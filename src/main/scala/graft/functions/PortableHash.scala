@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** md5-derived hashes reproducible bit-for-bit in any SQL engine.
+  *
+  * Spark's native `hash()`/`xxhash64()` are murmur3/xxhash with Spark's
+  * seeding — fast, but not portable to the DuckDB correctness oracle.
+  * Anywhere a hash value is *part of the result* (dedup keys, minhash
+  * signatures, simhash bits, LSH bands) we derive it from md5 hex,
+  * which every engine computes identically. Spark-internal sharding /
+  * salting can still use `hash()`.
+  *
+  * The value is the first 8 hex chars of md5 as an unsigned 32-bit int
+  * (range [0, 2^32), always non-negative in a Long) — uniform enough
+  * for min-hashing and banding, cheap to reproduce in SQL:
+  * DuckDB `('0x' || substr(md5(x), 1, 8))::UBIGINT`.
+  */
+object PortableHash {
+  /** Unsigned-32-bit hash of a string column, as LongType. */
+  def phash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash family member `seed`. */
+  def phash(c: Column, seed: Column): Column =
+    phash(concat(seed.cast("string"), lit(":"), c.cast("string")))
+
+  def phash(c: Column, seed: Int): Column = phash(c, lit(seed))
+
+  /** DuckDB SQL fragment computing the same value. `expr` must be a
+    * SQL expression of type VARCHAR.
+    */
+  def duckSql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 8)) AS UBIGINT)"
+
+  def duckSql(expr: String, seed: Int): String =
+    duckSql(s"'$seed' || ':' || ($expr)")
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Vector similarity search over the `embeddings` table — the Spark
+  * re-expression of Oracle AI Vector Search's query surface
+  * (reference: /root/reference/scripts/01_pdf_to_vector.sql:84-97 —
+  * `VECTOR_DISTANCE` with COSINE/EUCLIDEAN/DOT/MANHATTAN and the
+  * top-k `FETCH FIRST k ROWS` pattern).
+  *
+  * Scale design:
+  *  - the query side is always a broadcast (one vector, or a small
+  *    query batch); the data side streams — no shuffle for knn.
+  *  - `orderBy(dist).limit(k)` plans as TakeOrderedAndProject:
+  *    per-partition bounded heaps + a driver merge of k·P rows, the
+  *    correct distributed exact-knn topology at any data size.
+  *  - batch (all-pairs) knn broadcasts the smaller side; at true
+  *    100 TB scale the IVF/LSH-blocked variants bound the pair space
+  *    (see IvfIndex / Dedup.embeddingLsh).
+  *  - distances are ordered on their *rounded* value with id
+  *    tie-breaks so exact top-k sets match the oracle bit-for-bit.
+  */
+object VectorSearch {
+
+  /** Top-k rows by a distance column vs the query vector vec_id=0. */
+  private def knn(s: SparkSession, dir: String,
+      dist: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(dist(col("embedding"), col("qv")), 4).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  def knnCosine(s: SparkSession, dir: String): DataFrame = knn(s, dir, cosineDistance)
+  def knnL2(s: SparkSession, dir: String): DataFrame = knn(s, dir, l2Distance)
+  def knnDot(s: SparkSession, dir: String): DataFrame = knn(s, dir, negDotDistance)
+  def knnManhattan(s: SparkSession, dir: String): DataFrame = knn(s, dir, manhattanDistance)
+
+  /** All vectors within cosine distance ≤ radius of the query — the
+    * similarity-threshold form of vector search. */
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosineDistance(col("embedding"), col("qv")), 4).as("dist"))
+      .filter(col("dist") <= 0.8)
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
+  /** Batch similarity search: top-5 neighbors for EVERY vector (bulk
+    * form of online knn serving — the part of the reference workload
+    * that fits Spark). Broadcast nested-loop with per-key top-k. */
+  def knnBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val nbr = broadcast(
+      Tables.embeddings(s, dir).select(col("vec_id").as("nid"), col("embedding").as("nvec")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("nid"))
+    emb.crossJoin(nbr)
+      .filter(col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("nid"),
+        round(cosineDistance(col("embedding"), col("nvec")), 4).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
+  /** VECTOR_NORM / VECTOR_DIMENSION_COUNT / element + normalize ops. */
+  def vectorOps(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    emb.select(
+      col("vec_id"),
+      vecDims(col("embedding")).as("dims"),
+      round(vecNorm(col("embedding")), 4).as("norm"),
+      round(element_at(col("embedding"), 1).cast("double") / vecNorm(col("embedding")), 4).as("unit_x0"),
+      round(array_min(col("embedding")).cast("double"), 4).as("min_val"),
+      round(array_max(col("embedding")).cast("double"), 4).as("max_val"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ---- DuckDB oracle fragments ----------------------------------------
+
+  /** Σ a[i]·b[i] in double, left-to-right — matches zip_with+aggregate. */
+  private def dDot(a: String, b: String): String =
+    s"list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in generate_series(1, len($a))])"
+  private def dNorm(a: String): String =
+    s"sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE for i in generate_series(1, len($a))]))"
+  private def dCosine(a: String, b: String): String =
+    s"1 - ${dDot(a, b)} / (${dNorm(a)} * ${dNorm(b)})"
+  private def dL2(a: String, b: String): String =
+    s"sqrt(list_sum([($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE) for i in generate_series(1, len($a))]))"
+  private def dL1(a: String, b: String): String =
+    s"list_sum([abs($a[i]::DOUBLE - $b[i]::DOUBLE) for i in generate_series(1, len($a))])"
+
+  private def knnSql(distExpr: String, k: Int = 10): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, round($distExpr, 4) AS dist
+       |FROM embeddings, q WHERE vec_id <> 0
+       |ORDER BY dist, vec_id LIMIT $k""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vs_knn_cosine" -> (knnCosine _),
+    "vs_knn_l2" -> (knnL2 _),
+    "vs_knn_dot" -> (knnDot _),
+    "vs_knn_manhattan" -> (knnManhattan _),
+    "vs_range_search" -> (rangeSearch _),
+    "vs_knn_batch" -> (knnBatch _),
+    "vs_vector_ops" -> (vectorOps _))
+
+  val oracleSql: Map[String, String] = Map(
+    "vs_knn_cosine" -> knnSql(dCosine("embedding", "qv")),
+    "vs_knn_l2" -> knnSql(dL2("embedding", "qv")),
+    "vs_knn_dot" -> knnSql(s"-(${dDot("embedding", "qv")})"),
+    "vs_knn_manhattan" -> knnSql(dL1("embedding", "qv")),
+    "vs_range_search" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT vec_id, round(${dCosine("embedding", "qv")}, 4) AS dist
+         |      FROM embeddings, q WHERE vec_id <> 0)
+         |SELECT vec_id, dist FROM d WHERE dist <= 0.8 ORDER BY dist, vec_id""".stripMargin,
+    "vs_knn_batch" ->
+      s"""WITH d AS (
+         |  SELECT a.vec_id, b.vec_id AS nid,
+         |    round(${dCosine("a.embedding", "b.embedding")}, 4) AS dist
+         |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+         |SELECT vec_id, nid, dist,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, nid) AS rnk
+         |FROM d QUALIFY rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
+    "vs_vector_ops" ->
+      s"""SELECT vec_id, len(embedding) AS dims,
+         |  round(${dNorm("embedding")}, 4) AS norm,
+         |  round(embedding[1]::DOUBLE / ${dNorm("embedding")}, 4) AS unit_x0,
+         |  round(list_min(embedding)::DOUBLE, 4) AS min_val,
+         |  round(list_max(embedding)::DOUBLE, 4) AS max_val
+         |FROM embeddings ORDER BY vec_id""".stripMargin)
+}

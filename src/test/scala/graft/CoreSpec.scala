@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.functions.TextFunctions._
+import graft.functions.PortableHash
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class CoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("vector functions: self-distance identities") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f)), (Array(1f, 0f, 0f), Array(0f, 1f, 0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      cosineDistance($"a", $"a").as("c0"),
+      l2Distance($"a", $"a").as("l0"),
+      manhattanDistance($"a", $"a").as("m0"),
+      cosineDistance($"a", $"b").as("cab"),
+      vecDot($"a", $"b").as("dab"),
+      vecNorm($"a").as("na")).collect()
+    assert(math.abs(r(0).getDouble(0)) < 1e-12)
+    assert(math.abs(r(0).getDouble(1)) < 1e-12)
+    assert(math.abs(r(0).getDouble(2)) < 1e-12)
+    // orthogonal unit vectors: cosine distance 1, dot 0
+    assert(math.abs(r(1).getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(r(1).getDouble(4)) < 1e-12)
+    assert(math.abs(r(0).getDouble(5) - math.sqrt(14)) < 1e-12)
+  }
+
+  test("to_vector/from_vector round-trip") {
+    import spark.implicits._
+    val df = Seq("[0.5,-1.25,3.0]").toDF("s")
+    val arr = df.select(toVector($"s").as("v")).select(
+      size($"v"), element_at($"v", 2)).collect()(0)
+    assert(arr.getInt(0) == 3 && arr.getFloat(1) == -1.25f)
+    val rt = df.select(fromVector(toVector($"s")).as("s2")).collect()(0).getString(0)
+    assert(rt == "[0.5,-1.25,3.0]")
+  }
+
+  test("portable hash matches DuckDB convention") {
+    import spark.implicits._
+    // md5('hello') = 5d41402a... -> 0x5d41402a = 1564557354
+    val h = Seq("hello").toDF("s").select(PortableHash.phash($"s")).collect()(0).getLong(0)
+    assert(h == 1564557354L)
+  }
+
+  test("tokens and shingles") {
+    import spark.implicits._
+    val df = Seq("  The quick  brown fox ").toDF("t")
+    val toks = df.select(tokens($"t").as("tk"))
+    assert(toks.select(size($"tk")).collect()(0).getInt(0) == 4)
+    val sh = toks.select(shingles($"tk", 3).as("sh")).select(explode($"sh")).as[String].collect()
+    assert(sh.toSeq == Seq("the quick brown", "quick brown fox"))
+    // fewer tokens than n -> empty
+    val e = Seq("a b").toDF("t").select(shingles(tokens($"t"), 3).as("sh"))
+      .select(size($"sh")).collect()(0).getInt(0)
+    assert(e == 0)
+  }
+
+  test("all declared queries run on sf0.001 with stable schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has oracle sql or is documented rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val rowsOnly = Set("vs_knn_ivf", "dedup_embedding_lsh", "mm_frame_sample",
+      "stream_sessionize", "vs_to_vector_roundtrip", "model_registry")
+    assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
+  }
+}

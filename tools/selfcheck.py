@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/selfcheck.py [sfDir] [outDir]
+
+Reads the parquet dumps produced by `graft.Verify` plus the
+oracle_sql.json it wrote, runs each oracle SQL in DuckDB against views
+named after the testdata tables, and compares row-by-row (columns
+sorted by name, rows sorted, floats rounded-equal).
+
+Dev tool only — the library itself has no Python dependency.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        spark_dir = out_dir / name
+        if not spark_dir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
+            gcols, grows = norm_rows(got.columns, got.fetchall())
+            want = con.sql(oracle[name])
+            wcols, wrows = norm_rows(want.columns, want.fetchall())
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if gcols != wcols:
+            print(f"FAIL {name}: cols spark={gcols} oracle={wcols}")
+            n_fail += 1
+        elif len(grows) != len(wrows):
+            print(f"FAIL {name}: rows spark={len(grows)} oracle={len(wrows)}")
+            n_fail += 1
+        elif grows != wrows:
+            bad = next(i for i, (a, b) in enumerate(zip(grows, wrows)) if a != b)
+            print(f"FAIL {name}: first diff at sorted row {bad}:")
+            print(f"  spark : {grows[bad]}")
+            print(f"  oracle: {wrows[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(grows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
