@@ -16,7 +16,8 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Analytics.queries, Analytics.oracleSql),
-      (VectorSearch.queries, VectorSearch.oracleSql))
+      (VectorSearch.queries, VectorSearch.oracleSql),
+      (DocPipeline.queries, DocPipeline.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

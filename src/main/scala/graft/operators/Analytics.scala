@@ -85,7 +85,7 @@ object Analytics {
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("revenue").desc, col("p_partkey"))
-    rev.withColumn("rnk", row_number().over(w))
+    rev.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy(col("p_brand"), col("rnk"))
   }
@@ -94,7 +94,7 @@ object Analytics {
     val l = Tables.lineitem(s, dir)
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-    l.withColumn("rn", row_number().over(w))
+    l.withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("running_qty",
         round(sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
       .filter(col("rn") <= 5)
@@ -120,7 +120,7 @@ object Analytics {
       .withColumn("new_sess",
         when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
       .withColumn("sess_id",
-        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
       .groupBy(col("user_id"), col("sess_id"))
       .agg(count(lit(1)).as("n_events"),
         (max(col("sec")) - min(col("sec"))).as("duration_sec"),
@@ -214,7 +214,7 @@ object Analytics {
         |  FROM (SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM e)),
         |sess AS (
         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sess_id
         |  FROM marked)
         |SELECT user_id, sess_id, count(*) AS n_events,
         |  max(sec) - min(sec) AS duration_sec,

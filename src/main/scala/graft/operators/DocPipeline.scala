@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableHash
+import graft.functions.TextFunctions._
+
+/** The reference's ingestion pipeline, Spark-first
+  * (/root/reference/scripts/01_pdf_to_vector.sql:119-256:
+  * UTL_TO_TEXT → UTL_TO_CHUNKS → UTL_TO_EMBEDDINGS → doc_chunks).
+  *
+  *  - UTL_TO_TEXT: binary→text decode. The synthetic corpus is already
+  *    text, so decode is identity here; the binary plumbing (and the
+  *    stub decoder the container mandates) lives in Multimodal.
+  *  - UTL_TO_CHUNKS (`by:"words", max, overlap, normalize:"all"` —
+  *    reference line 239): pure `functions._` composition — tokenize,
+  *    sequence over chunk starts, slice, join. No UDF, fully codegen'd,
+  *    explode fan-out is bounded by max-tokens so no skew.
+  *  - UTL_TO_EMBEDDINGS (reference line 186: in-DB ONNX model): stands
+  *    in a deterministic hashing-trick embedder — token → md5 bucket
+  *    (±1 sign) → sparse weight vector, exactly the feature-hashing
+  *    construction (Weinberger et al., ICML'09). The model is fake by
+  *    mandate (no ONNX runtime in-container); the dataflow — explode,
+  *    partial-agg by (chunk, bucket), norm join — is the real 100 TB
+  *    shape: every step is a map or a partial-aggregable groupBy on
+  *    uniformly-hashed keys.
+  *
+  * The sparse (bucket, weight) representation also powers chunk-level
+  * knn as a *join on bucket* (inverted-index dot product) rather than
+  * a dense cross join — the standard sparse-similarity topology at
+  * scale.
+  */
+object DocPipeline {
+  val MaxTokens = 40
+  val Overlap = 10
+  val Stride: Int = MaxTokens - Overlap
+  val Dim = 64
+  val BucketSeed = 101
+  val SignSeed = 202
+
+  /** UTL_TO_CHUNKS: (doc_id, chunk_id, n_tokens, chunk_text). */
+  def chunks(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        when(col("n") <= MaxTokens, lit(1))
+          .otherwise(floor((col("n") - MaxTokens + Stride - 1) / lit(Stride)).cast("int") + 1))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("i"))
+      .select(
+        col("doc_id"),
+        (col("i") + 1).cast("long").as("chunk_id"),
+        slice(col("toks"), col("i") * Stride + 1, lit(MaxTokens)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+  }
+
+  def chunksOrdered(s: SparkSession, dir: String): DataFrame =
+    chunks(s, dir).orderBy("doc_id", "chunk_id")
+
+  private def bucketOf(token: Column): Column =
+    pmod(PortableHash.phash(token, BucketSeed), lit(Dim))
+  private def signOf(token: Column): Column =
+    PortableHash.phash(token, SignSeed) % 2 * 2 - 1
+
+  /** Sparse hashed embedding weights per chunk:
+    * (doc_id, chunk_id, bucket, w) with w ≠ 0. */
+  def chunkWeights(s: SparkSession, dir: String): DataFrame =
+    chunks(s, dir)
+      .select(col("doc_id"), col("chunk_id"),
+        explode(split(col("chunk_text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("chunk_id"), bucketOf(col("token")).as("bucket"))
+      .agg(sum(signOf(col("token"))).as("w"))
+      .filter(col("w") =!= 0)
+
+  /** UTL_TO_EMBEDDINGS end-to-end: per-chunk embedding stats
+    * (doc_id, chunk_id, n_tokens, nnz, norm). */
+  def docPipeline(s: SparkSession, dir: String): DataFrame = {
+    val stats = chunkWeights(s, dir)
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("nnz"),
+        round(sqrt(sum(col("w") * col("w")).cast("double")), 4).as("norm"))
+    chunks(s, dir)
+      .join(stats, Seq("doc_id", "chunk_id"), "left")
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        coalesce(col("nnz"), lit(0L)).as("nnz"),
+        coalesce(col("norm"), lit(0.0)).as("norm"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Chunk-level knn: top-10 chunks most cosine-similar to the chunk
+    * (doc 0, chunk 1), via an inverted-index (bucket) equi-join —
+    * sparse dot products with integer exactness, no cross join. */
+  def chunkKnn(s: SparkSession, dir: String): DataFrame = {
+    val w = chunkWeights(s, dir)
+    val norms = w.groupBy("doc_id", "chunk_id")
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val q = w.filter(col("doc_id") === 0 && col("chunk_id") === 1)
+      .select(col("bucket"), col("w").as("wq"))
+    val qNorm = norms.filter(col("doc_id") === 0 && col("chunk_id") === 1)
+      .select(col("nrm").as("qnrm"))
+    val dots = w.join(broadcast(q), "bucket")
+      .groupBy("doc_id", "chunk_id")
+      .agg(sum(col("w") * col("wq")).as("dot"))
+    dots.join(norms, Seq("doc_id", "chunk_id"))
+      .crossJoin(broadcast(qNorm))
+      .filter(!(col("doc_id") === 0 && col("chunk_id") === 1))
+      .select(col("doc_id"), col("chunk_id"),
+        round(col("dot") / (col("nrm") * col("qnrm")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"), col("chunk_id"))
+      .limit(10)
+  }
+
+  // ---- DuckDB oracle --------------------------------------------------
+
+  /** Shared CTE prefix reproducing chunks + weights in DuckDB. */
+  private val chunkCte: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                tok -> length(tok) > 0) AS toks
+       |  FROM documents),
+       |sized AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    CASE WHEN len(toks) <= $MaxTokens THEN 1
+       |         ELSE (len(toks) - $MaxTokens + $Stride - 1) // $Stride + 1 END AS n_chunks
+       |  FROM t),
+       |chunks AS (
+       |  SELECT doc_id, i + 1 AS chunk_id,
+       |    len(toks[i*$Stride+1 : i*$Stride+$MaxTokens]) AS n_tokens,
+       |    array_to_string(toks[i*$Stride+1 : i*$Stride+$MaxTokens], ' ') AS chunk_text
+       |  FROM sized, unnest(generate_series(0, n_chunks - 1)) AS u(i))""".stripMargin
+
+  private val weightCte: String =
+    s"""tok AS (
+       |  SELECT doc_id, chunk_id, unnest(string_split(chunk_text, ' ')) AS token
+       |  FROM chunks WHERE length(chunk_text) > 0),
+       |wt AS (
+       |  SELECT doc_id, chunk_id,
+       |    CAST(${PortableHash.duckSql("token", BucketSeed)} % $Dim AS BIGINT) AS bucket,
+       |    sum(CAST(${PortableHash.duckSql("token", SignSeed)} % 2 AS BIGINT) * 2 - 1) AS w
+       |  FROM tok GROUP BY 1, 2, 3),
+       |wnz AS (SELECT * FROM wt WHERE w <> 0)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunk" -> (chunksOrdered _),
+    "doc_pipeline" -> (docPipeline _),
+    "vs_chunk_knn" -> (chunkKnn _))
+
+  val oracleSql: Map[String, String] = Map(
+    "doc_chunk" ->
+      s"""$chunkCte
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens, chunk_text
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    "doc_pipeline" ->
+      s"""$chunkCte,
+         |$weightCte,
+         |stats AS (
+         |  SELECT doc_id, chunk_id, count(*) AS nnz,
+         |    round(sqrt(sum(w * w)::DOUBLE), 4) AS norm
+         |  FROM wnz GROUP BY 1, 2)
+         |SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(c.n_tokens AS BIGINT) AS n_tokens,
+         |  coalesce(s.nnz, 0)::BIGINT AS nnz, coalesce(s.norm, 0.0) AS norm
+         |FROM chunks c LEFT JOIN stats s
+         |  ON c.doc_id = s.doc_id AND c.chunk_id = s.chunk_id
+         |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+    "vs_chunk_knn" ->
+      s"""$chunkCte,
+         |$weightCte,
+         |norms AS (
+         |  SELECT doc_id, chunk_id, sqrt(sum(w * w)::DOUBLE) AS nrm
+         |  FROM wnz GROUP BY 1, 2),
+         |q AS (SELECT bucket, w AS wq FROM wnz WHERE doc_id = 0 AND chunk_id = 1),
+         |qn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = 0 AND chunk_id = 1),
+         |dots AS (
+         |  SELECT w.doc_id, w.chunk_id, sum(w.w * q.wq) AS dot
+         |  FROM wnz w JOIN q ON w.bucket = q.bucket GROUP BY 1, 2)
+         |SELECT d.doc_id, CAST(d.chunk_id AS BIGINT) AS chunk_id,
+         |  round(d.dot / (n.nrm * qn.qnrm), 4) AS sim
+         |FROM dots d JOIN norms n ON d.doc_id = n.doc_id AND d.chunk_id = n.chunk_id, qn
+         |WHERE NOT (d.doc_id = 0 AND d.chunk_id = 1)
+         |ORDER BY sim DESC, d.doc_id, d.chunk_id LIMIT 10""".stripMargin)
+}

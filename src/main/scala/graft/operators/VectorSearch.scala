@@ -69,7 +69,7 @@ object VectorSearch {
       .filter(col("vec_id") =!= col("nid"))
       .select(col("vec_id"), col("nid"),
         round(cosineDistance(col("embedding"), col("nvec")), 4).as("dist"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .orderBy(col("vec_id"), col("rnk"))
   }
@@ -79,7 +79,7 @@ object VectorSearch {
     val emb = Tables.embeddings(s, dir)
     emb.select(
       col("vec_id"),
-      vecDims(col("embedding")).as("dims"),
+      vecDims(col("embedding")).cast("long").as("dims"),
       round(vecNorm(col("embedding")), 4).as("norm"),
       round(element_at(col("embedding"), 1).cast("double") / vecNorm(col("embedding")), 4).as("unit_x0"),
       round(array_min(col("embedding")).cast("double"), 4).as("min_val"),
