@@ -17,7 +17,8 @@ object SparkEntry {
     Seq(
       (Analytics.queries, Analytics.oracleSql),
       (VectorSearch.queries, VectorSearch.oracleSql),
-      (DocPipeline.queries, DocPipeline.oracleSql))
+      (DocPipeline.queries, DocPipeline.oracleSql),
+      (Dedup.queries, Dedup.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

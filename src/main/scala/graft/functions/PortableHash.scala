@@ -36,4 +36,8 @@ object PortableHash {
 
   def duckSql(expr: String, seed: Int): String =
     duckSql(s"'$seed' || ':' || ($expr)")
+
+  /** Seed taken from a SQL expression (e.g. an unnested seed column). */
+  def duckSqlDynSeed(expr: String, seedExpr: String): String =
+    duckSql(s"($seedExpr)::VARCHAR || ':' || ($expr)")
 }
