@@ -18,7 +18,8 @@ object SparkEntry {
       (Analytics.queries, Analytics.oracleSql),
       (VectorSearch.queries, VectorSearch.oracleSql),
       (DocPipeline.queries, DocPipeline.oracleSql),
-      (Dedup.queries, Dedup.oracleSql))
+      (Dedup.queries, Dedup.oracleSql),
+      (TextAnalysis.queries, TextAnalysis.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

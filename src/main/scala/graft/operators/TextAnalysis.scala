@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableHash
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for a training-data pipeline: corpus stats,
+  * quality scoring, language id, winnowing fingerprints, token
+  * frequencies. All pure `functions._` composition — per-doc map work
+  * plus partial-aggregable groupBys, which is exactly the shape that
+  * scales linearly with corpus size.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Marker-word lists per language for the n-gram/stopword-overlap
+    * language-id heuristic. Fixed priority order breaks score ties. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  /** Corpus stats by language: doc counts, token/char totals, mean
+    * word length. */
+  def stats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars"),
+        tokens(col("text")).as("toks"))
+      .select(col("lang"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("tok_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(sum("tok_chars").cast("double") / sum("n_tokens"), 4).as("mean_word_len"))
+      .orderBy("lang")
+
+  /** Per-doc quality score from stopword/punct/digit/repetition
+    * ratios — the standard pre-training corpus filters. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val chars = length(col("text")).cast("double")
+    val punct = strippedLen(col("text"), "[a-z0-9\\s]+").cast("double")
+    val digits = strippedLen(col("text"), "[^0-9]+").cast("double")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        round(nStop / nTok, 4).as("stopword_ratio"),
+        round(punct / chars, 4).as("punct_ratio"),
+        round(digits / chars, 4).as("digit_ratio"),
+        round(lit(1.0) - nDistinct / nTok, 4).as("repetition_ratio"))
+      .withColumn("quality",
+        round(lit(1.0)
+          - greatest(lit(0.0), lit(0.3) - col("stopword_ratio"))
+          - col("punct_ratio") - col("digit_ratio")
+          - col("repetition_ratio") * 0.4, 4))
+      .orderBy("doc_id")
+  }
+
+  /** Language id: marker-word hit counts per language, argmax with
+    * fixed priority tie-break; reported as a confusion table against
+    * the labeled `lang`. */
+  def langid(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .select(col("doc_id") +: col("lang") +:
+        langMarkers.map { case (l, ms) =>
+          size(filter(col("toks"), t => t.isInCollection(ms))).as(s"s_$l")
+        }: _*)
+    val best = langMarkers.map { case (l, _) => col(s"s_$l") }
+    val maxScore = greatest(best: _*)
+    // first language (in fixed declaration order) achieving the max
+    val predictedFirst = langMarkers.reverse.foldLeft(lit("und")) { case (acc, (l, _)) =>
+      when(col(s"s_$l") === maxScore, lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("predicted", when(maxScore === 0, lit("und")).otherwise(predictedFirst))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 shape): hash
+    * 4-gram shingles, take the min over each sliding window of 4
+    * consecutive shingle hashes, count the distinct selected hashes. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(shingles(tokens(col("text")), 4)))
+      .select(col("doc_id"), col("pos"),
+        PortableHash.phash(col("col"), 4242).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, 3)
+    sh.withColumn("wmin", min(col("h")).over(w))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("wmin")).as("n_fingerprints"),
+        min(col("wmin")).as("fp_min"),
+        max(col("wmin")).as("fp_max"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus token frequency top-100 with the BPE-ish regex tokenizer
+    * (word pieces: runs of letters, digits, or single punctuation). */
+  def tokenFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(filter(
+        split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (stats _),
+    "text_quality" -> (quality _),
+    "text_langid" -> (langid _),
+    "text_fingerprint" -> (fingerprint _),
+    "text_token_freq" -> (tokenFreq _))
+
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> length(tok) > 0)"
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH t AS (
+         |  SELECT lang, n_chars, $toksSql AS toks FROM documents),
+         |d AS (
+         |  SELECT lang, n_chars, len(toks)::BIGINT AS n_tokens,
+         |    list_sum([length(tok)::BIGINT for tok in toks]) AS tok_chars
+         |  FROM t)
+         |SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+         |  round(avg(n_chars), 4) AS avg_chars,
+         |  round(sum(tok_chars)::DOUBLE / sum(n_tokens), 4) AS mean_word_len
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    round(len(list_filter(toks, tok -> tok IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+         |      / len(toks), 4) AS stopword_ratio,
+         |    round(length(regexp_replace(text, '[a-z0-9\\s]+', '', 'g'))::DOUBLE
+         |      / length(text), 4) AS punct_ratio,
+         |    round(length(regexp_replace(text, '[^0-9]+', '', 'g'))::DOUBLE
+         |      / length(text), 4) AS digit_ratio,
+         |    round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 4) AS repetition_ratio
+         |  FROM t)
+         |SELECT doc_id, stopword_ratio, punct_ratio, digit_ratio, repetition_ratio,
+         |  round(1.0 - greatest(0.0, 0.3 - stopword_ratio) - punct_ratio - digit_ratio
+         |    - repetition_ratio * 0.4, 4) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "text_langid" -> {
+      val scoreCols = langMarkers.map { case (l, ms) =>
+        val set = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(toks, tok -> tok IN ($set))) AS s_$l"
+      }.mkString(",\n    ")
+      val maxExpr = "greatest(" + langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+      val caseExpr = langMarkers.map { case (l, _) =>
+        s"WHEN s_$l = m THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    $scoreCols
+         |  FROM t),
+         |best AS (
+         |  SELECT *, $maxExpr AS m FROM scored)
+         |SELECT lang,
+         |  CASE WHEN m = 0 THEN 'und' $caseExpr ELSE 'und' END AS predicted,
+         |  count(*) AS n_docs
+         |FROM best GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, i AS pos,
+         |    ${PortableHash.duckSql("array_to_string(toks[i:i+3], ' ')", 4242)} AS h
+         |  FROM t, unnest(generate_series(1, len(toks) - 3)) AS u(i)
+         |  WHERE len(toks) >= 4),
+         |wm AS (
+         |  SELECT doc_id,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+         |  FROM sh)
+         |SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints,
+         |  min(wmin)::BIGINT AS fp_min, max(wmin)::BIGINT AS fp_max
+         |FROM wm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_token_freq" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    t -> length(t) > 0)) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS freq FROM tok
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin)
+}
