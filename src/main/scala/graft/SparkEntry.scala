@@ -19,7 +19,9 @@ object SparkEntry {
       (VectorSearch.queries, VectorSearch.oracleSql),
       (DocPipeline.queries, DocPipeline.oracleSql),
       (Dedup.queries, Dedup.oracleSql),
-      (TextAnalysis.queries, TextAnalysis.oracleSql))
+      (TextAnalysis.queries, TextAnalysis.oracleSql),
+      (Multimodal.queries, Multimodal.oracleSql),
+      (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Raw media bytes + typed metadata after stub decode. */
+case class MediaMeta(
+    doc_id: Long, fmt: String, n_bytes: Long,
+    width: Long, height: Long, n_frames: Long)
+
+/** Multimodal column plumbing: opaque `binary` payloads with typed
+  * metadata, decoded/feature-extracted per partition.
+  *
+  * The reference stores documents as BLOBs and decodes in-engine
+  * (/root/reference/scripts/01_pdf_to_vector.sql:49-59 `pdf_content
+  * BLOB` + UTL_TO_TEXT). Here the same shape carries image/audio/video:
+  * a `binary` column plus a decode step.
+  *
+  * The decode itself is a STUB by mandate — no image/audio libs ship in
+  * this container. `stubDecode` derives deterministic fake metadata
+  * from the byte length; swap its body for a real codec (JavaCV,
+  * TwelveMonkeys, ffmpeg-over-pipe) without touching the dataflow.
+  * Everything around the stub is the real 100 TB shape:
+  *  - payloads stay in executors (mapPartitions over an iterator —
+  *    nothing is collected, one in-flight element per partition
+  *    (bounded memory) regardless of payload size);
+  *  - the decode is a narrow map — no shuffle; downstream agg is
+  *    partial-aggregation friendly;
+  *  - the typed boundary is a case-class Dataset, so schema is
+  *    explicit and column-prunable upstream of the decode.
+  */
+object Multimodal {
+
+  /** Deterministic fake decode: metadata derived only from payload
+    * bytes. The *interface* (bytes → typed meta) is the real one. */
+  def stubDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val n = payload.length.toLong
+    val fmt = if (n % 2 == 0) "img" else "vid"
+    MediaMeta(docId, fmt, n,
+      width = n % 640 + 16, height = (n * 7) % 480 + 16,
+      n_frames = if (fmt == "vid") n % 24 + 1 else 1L)
+  }
+
+  /** Binary payload table synthesized from the documents' text bytes —
+    * the container has no real media files; the column type and
+    * partition topology are what matter. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Decode per partition through the typed boundary. */
+  def decoded(s: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => stubDecode(id, bytes) })
+  }
+
+  /** Aggregated metadata per format (oracle-checked: the stub's
+    * arithmetic is reproduced in SQL over octet_length). */
+  def decodeMeta(s: SparkSession, dir: String): DataFrame =
+    decoded(s, dir).toDF()
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n_media"),
+        sum("n_bytes").as("total_bytes"),
+        round(avg("width"), 4).as("avg_width"),
+        round(avg("height"), 4).as("avg_height"),
+        sum("n_frames").as("total_frames"))
+      .orderBy("fmt")
+
+  /** Frame sampling: explode each video's frames, fingerprint every
+    * 6th frame (partition-preserving fan-out bounded by n_frames). */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decoded(s, dir)
+      .flatMap { m =>
+        (1L to m.n_frames).filter(f => f % 6 == 1).map { f =>
+          // frame fingerprint: deterministic from (doc, frame)
+          (m.doc_id, m.fmt, f, (m.doc_id * 1315423911L + f * 2654435761L) & 0xFFFFFFFFL)
+        }
+      }
+      .toDF("doc_id", "fmt", "frame", "frame_fp")
+      .orderBy("doc_id", "frame")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> (decodeMeta _),
+    "mm_frame_sample" -> (frameSample _))
+
+  // mm_frame_sample is rows-only (Scala-side fingerprint mixing isn't
+  // worth re-expressing in SQL); its exactness is spec-tested.
+  val oracleSql: Map[String, String] = Map(
+    "mm_decode_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'img' ELSE 'vid' END AS fmt
+        |  FROM documents),
+        |meta AS (
+        |  SELECT doc_id, fmt, n AS n_bytes,
+        |    n % 640 + 16 AS width, (n * 7) % 480 + 16 AS height,
+        |    CASE WHEN fmt = 'vid' THEN n % 24 + 1 ELSE 1 END AS n_frames
+        |  FROM m)
+        |SELECT fmt, count(*) AS n_media, sum(n_bytes)::BIGINT AS total_bytes,
+        |  round(avg(width), 4) AS avg_width, round(avg(height), 4) AS avg_height,
+        |  sum(n_frames)::BIGINT AS total_frames
+        |FROM meta GROUP BY fmt ORDER BY fmt""".stripMargin)
+}

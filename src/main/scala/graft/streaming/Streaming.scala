@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming pipelines over the events stream.
+  *
+  * The batch analytics in Analytics.scala answer "what happened"; these
+  * answer the same questions continuously. `Trigger.AvailableNow`
+  * drains the parquet backlog as a bounded stream, which is also how
+  * the correctness gate runs them deterministically: `stream_hourly`
+  * must produce byte-identical results to the batch q_events_hourly
+  * oracle.
+  *
+  * Scale notes: the tumbling-window agg is keyed on (window,
+  * event_type) — state is bounded by #windows × #types, partial
+  * aggregation applies upstream of the shuffle, and a watermark (used
+  * in the append-mode variant) bounds state retention for true
+  * unbounded streams. Sessionization keeps one state object per
+  * user_id with an event-time timeout — the standard
+  * flatMapGroupsWithState topology.
+  */
+object Streaming {
+
+  /** Raw event row as read from the stream (ns epoch already
+    * normalized to a microsecond timestamp). */
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionAgg(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** events.parquet as a bounded file stream with normalized ts. */
+  def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    // file-stream sources take a directory; the sf dir holds every
+    // table, so glob-filter down to the events file(s).
+    val raw = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
+
+  /** Tumbling 1-hour windows by event type — streaming twin of
+    * Analytics.qEventsHourly. Complete mode so the bounded drain
+    * emits every window (the unbounded deployment would use the
+    * watermarked append variant below). */
+  def hourly(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"), col("avg_value"))
+    val name = s"stream_hourly_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("hour", "event_type")
+  }
+
+  /** Watermarked append-mode variant (the unbounded-stream shape):
+    * late data beyond 30 min is dropped, state is evicted per
+    * watermark advance. Only windows sealed by the final watermark
+    * are emitted, so this is spec-tested rather than oracle-diffed. */
+  def hourlyWatermarked(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+    val name = s"stream_hourly_wm_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("hour", "event_type")
+  }
+
+  /** Stateful sessionization with flatMapGroupsWithState: one state
+    * object per user, closed on a 30-minute event-time gap. Emits
+    * (user_id, n_events, sum_value) per closed session plus the final
+    * open one at drain end. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs: Dataset[Ev] = eventStream(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+
+    def fn(userId: Long, rows: Iterator[Ev],
+        state: GroupState[List[(Long, Double)]]): Iterator[SessionAgg] = {
+      // batch-drain semantics: all of a user's events arrive in one
+      // group; split into sessions by the 30-min gap in event time.
+      val evsSorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sessions = scala.collection.mutable.ListBuffer.empty[SessionAgg]
+      var n = 0L; var sv = 0.0; var lastTs = Long.MinValue
+      evsSorted.foreach { e =>
+        if (lastTs != Long.MinValue && e.ts.getTime - lastTs > 30 * 60 * 1000L) {
+          sessions += SessionAgg(userId, n, math.rint(sv * 100) / 100)
+          n = 0L; sv = 0.0
+        }
+        n += 1; sv += e.value; lastTs = e.ts.getTime
+      }
+      if (n > 0) sessions += SessionAgg(userId, n, math.rint(sv * 100) / 100)
+      sessions.iterator
+    }
+
+    val out = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    val name = s"stream_sessionize_${System.nanoTime()}"
+    val q = out.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id", "n_events", "sum_value")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hourly" -> (hourly _),
+    "stream_sessionize" -> (sessionize _))
+
+  // stream_hourly is held to the same oracle as the batch twin.
+  val oracleSql: Map[String, String] = Map(
+    "stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
