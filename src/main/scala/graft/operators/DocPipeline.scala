@@ -98,7 +98,9 @@ object DocPipeline {
     * (doc 0, chunk 1), via an inverted-index (bucket) equi-join —
     * sparse dot products with integer exactness, no cross join. */
   def chunkKnn(s: SparkSession, dir: String): DataFrame = {
-    val w = chunkWeights(s, dir)
+    // the weights table feeds four plan branches (weights, norms, the
+    // query's weights and norm) — materialize it once.
+    val w = chunkWeights(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = w.groupBy("doc_id", "chunk_id")
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
     val q = w.filter(col("doc_id") === 0 && col("chunk_id") === 1)

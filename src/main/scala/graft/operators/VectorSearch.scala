@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.functions.FloatVecDistance
 
 /** Vector similarity search over the `embeddings` table — the Spark
   * re-expression of Oracle AI Vector Search's query surface
@@ -40,10 +41,10 @@ object VectorSearch {
       .limit(k)
   }
 
-  def knnCosine(s: SparkSession, dir: String): DataFrame = knn(s, dir, cosineDistance)
-  def knnL2(s: SparkSession, dir: String): DataFrame = knn(s, dir, l2Distance)
-  def knnDot(s: SparkSession, dir: String): DataFrame = knn(s, dir, negDotDistance)
-  def knnManhattan(s: SparkSession, dir: String): DataFrame = knn(s, dir, manhattanDistance)
+  def knnCosine(s: SparkSession, dir: String): DataFrame = knn(s, dir, FloatVecDistance.cosine)
+  def knnL2(s: SparkSession, dir: String): DataFrame = knn(s, dir, FloatVecDistance.l2)
+  def knnDot(s: SparkSession, dir: String): DataFrame = knn(s, dir, FloatVecDistance.dot)
+  def knnManhattan(s: SparkSession, dir: String): DataFrame = knn(s, dir, FloatVecDistance.manhattan)
 
   /** All vectors within cosine distance ≤ radius of the query — the
     * similarity-threshold form of vector search. */
@@ -52,7 +53,7 @@ object VectorSearch {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosineDistance(col("embedding"), col("qv")), 4).as("dist"))
+      .select(col("vec_id"), round(FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))
       .filter(col("dist") <= 0.8)
       .orderBy(col("dist"), col("vec_id"))
   }
@@ -68,7 +69,7 @@ object VectorSearch {
     emb.crossJoin(nbr)
       .filter(col("vec_id") =!= col("nid"))
       .select(col("vec_id"), col("nid"),
-        round(cosineDistance(col("embedding"), col("nvec")), 4).as("dist"))
+        round(FloatVecDistance.cosine(col("embedding"), col("nvec")), 4).as("dist"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .orderBy(col("vec_id"), col("rnk"))
