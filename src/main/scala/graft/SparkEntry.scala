@@ -21,7 +21,10 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracleSql),
       (TextAnalysis.queries, TextAnalysis.oracleSql),
       (Multimodal.queries, Multimodal.oracleSql),
-      (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracleSql))
+      (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracleSql),
+      (IvfIndex.queries, IvfIndex.oracleSql),
+      (EmbeddingLsh.queries, EmbeddingLsh.oracleSql),
+      (ModelRegistry.queries, ModelRegistry.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

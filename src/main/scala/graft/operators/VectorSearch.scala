@@ -88,6 +88,18 @@ object VectorSearch {
       .orderBy(col("vec_id"))
   }
 
+  /** TO_VECTOR/FROM_VECTOR round-trip audit (reference line 144:
+    * TO_VECTOR(et.embed_vector)): serialize every embedding to its
+    * string form and parse it back; float32→string→float32 must be
+    * lossless. Rows-only (string formatting is engine-specific);
+    * exactness asserted here in-query and in CoreSpec. */
+  def toVectorRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        toVector(fromVector(col("embedding"))).as("rt"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("rt") === col("embedding"), 1L).otherwise(0L)).as("n_exact"))
+
   // ---- DuckDB oracle fragments ----------------------------------------
 
   /** Σ a[i]·b[i] in double, left-to-right — matches zip_with+aggregate. */
@@ -115,7 +127,8 @@ object VectorSearch {
     "vs_knn_manhattan" -> (knnManhattan _),
     "vs_range_search" -> (rangeSearch _),
     "vs_knn_batch" -> (knnBatch _),
-    "vs_vector_ops" -> (vectorOps _))
+    "vs_vector_ops" -> (vectorOps _),
+    "vs_to_vector_roundtrip" -> (toVectorRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
     "vs_knn_cosine" -> knnSql(dCosine("embedding", "qv")),

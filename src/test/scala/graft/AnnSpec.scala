@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, EmbeddingLsh, IvfIndex, ModelRegistry, VectorSearch}
+
+class AnnSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("ivf probe recall vs exact knn") {
+    val exact = VectorSearch.knnCosine(spark, sf).collect().map(_.getLong(0)).toSet
+    val approx = IvfIndex.knnIvf(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(approx.size == 10)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall $recall below 0.5 (nprobe=${IvfIndex.NumProbe}/${IvfIndex.NumCentroids})")
+  }
+
+  test("ivf full probe equals exact knn") {
+    val (index, centroids) = IvfIndex.build(spark, sf)
+    val query = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val full = IvfIndex.search(spark,
+      index.filter(org.apache.spark.sql.functions.col("vec_id") =!= 0),
+      centroids, query, k = 10, nprobe = IvfIndex.NumCentroids)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = VectorSearch.knnCosine(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(full == exact, "probing every partition must equal exact knn")
+  }
+
+  test("embedding lsh: verified subset of exact pairs, usable recall") {
+    val exact = Dedup.embedding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = EmbeddingLsh.pairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "lsh emitted a pair the exact join rejects")
+    if (exact.nonEmpty) {
+      val recall = (exact & lsh).size.toDouble / exact.size
+      assert(recall >= 0.3, s"lsh recall $recall below 0.3")
+    }
+  }
+
+  test("model registry load/list/drop surface") {
+    ModelRegistry.catalog.foreach(m => ModelRegistry.load(m, force = true))
+    assert(ModelRegistry.list().contains("ALL_MINILM_L12_V2"))
+    assert(!ModelRegistry.load(ModelRegistry.catalog.head), "double load must report already-loaded")
+    assert(ModelRegistry.drop("ALL_MINILM_L12_V2"))
+    assert(!ModelRegistry.list().contains("ALL_MINILM_L12_V2"))
+    assert(!ModelRegistry.drop("ALL_MINILM_L12_V2"), "double drop must report missing")
+    ModelRegistry.load(ModelRegistry.catalog.head)
+  }
+
+  test("to_vector round-trip is lossless for every embedding") {
+    val r = VectorSearch.toVectorRoundtrip(spark, sf).collect()(0)
+    assert(r.getLong(0) > 0 && r.getLong(0) == r.getLong(1))
+  }
+}
