@@ -40,4 +40,18 @@ object PortableHash {
   /** Seed taken from a SQL expression (e.g. an unnested seed column). */
   def duckSqlDynSeed(expr: String, seedExpr: String): String =
     duckSql(s"($seedExpr)::VARCHAR || ':' || ($expr)")
+
+  /** One md5 yields four independent 32-bit words (hex chars 1-8,
+    * 9-16, 17-24, 25-32). Hash-hungry operators (minhash banding, the
+    * hashing embedder) read multiple words per digest instead of
+    * paying one md5 per hash — 4× fewer digests for the same number of
+    * hash values. */
+  def phashWord(c: Column, seed: Int, word: Int): Column = {
+    require(word >= 0 && word < 4)
+    conv(substring(md5(concat(lit(seed.toString), lit(":"), c.cast("string"))),
+      word * 8 + 1, 8), 16, 10).cast("long")
+  }
+
+  def duckSqlWord(expr: String, seed: Int, word: Int): String =
+    s"CAST(('0x' || substr(md5('$seed' || ':' || ($expr)), ${word * 8 + 1}, 8)) AS UBIGINT)"
 }

@@ -38,8 +38,8 @@ object DocPipeline {
   val Overlap = 10
   val Stride: Int = MaxTokens - Overlap
   val Dim = 64
-  val BucketSeed = 101
-  val SignSeed = 202
+  /** One digest per token: bucket = word 0, sign = word 1. */
+  val EmbedSeed = 101
 
   /** UTL_TO_CHUNKS: (doc_id, chunk_id, n_tokens, chunk_text). */
   def chunks(s: SparkSession, dir: String): DataFrame = {
@@ -64,9 +64,9 @@ object DocPipeline {
     chunks(s, dir).orderBy("doc_id", "chunk_id")
 
   private def bucketOf(token: Column): Column =
-    pmod(PortableHash.phash(token, BucketSeed), lit(Dim))
+    pmod(PortableHash.phashWord(token, EmbedSeed, 0), lit(Dim))
   private def signOf(token: Column): Column =
-    PortableHash.phash(token, SignSeed) % 2 * 2 - 1
+    PortableHash.phashWord(token, EmbedSeed, 1) % 2 * 2 - 1
 
   /** Sparse hashed embedding weights per chunk:
     * (doc_id, chunk_id, bucket, w) with w ≠ 0. */
@@ -145,8 +145,8 @@ object DocPipeline {
        |  FROM chunks WHERE length(chunk_text) > 0),
        |wt AS (
        |  SELECT doc_id, chunk_id,
-       |    CAST(${PortableHash.duckSql("token", BucketSeed)} % $Dim AS BIGINT) AS bucket,
-       |    sum(CAST(${PortableHash.duckSql("token", SignSeed)} % 2 AS BIGINT) * 2 - 1) AS w
+       |    CAST(${PortableHash.duckSqlWord("token", EmbedSeed, 0)} % $Dim AS BIGINT) AS bucket,
+       |    sum(CAST(${PortableHash.duckSqlWord("token", EmbedSeed, 1)} % 2 AS BIGINT) * 2 - 1) AS w
        |  FROM tok GROUP BY 1, 2, 3),
        |wnz AS (SELECT * FROM wt WHERE w <> 0)""".stripMargin
 

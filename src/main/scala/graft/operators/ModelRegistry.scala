@@ -22,14 +22,14 @@ import graft.functions.PortableHash
   */
 object ModelRegistry {
 
-  final case class EmbedModel(name: String, dim: Int, bucketSeed: Int, signSeed: Int)
+  final case class EmbedModel(name: String, dim: Int, seed: Int)
 
   /** Default catalog — mirrors models/models.json (one all-MiniLM
     * entry, 384-dim); a second smaller model exercises multi-model
     * management. */
   val catalog: Seq[EmbedModel] = Seq(
-    EmbedModel("ALL_MINILM_L12_V2", 384, 101, 202),
-    EmbedModel("MINI_HASH_64", 64, 303, 404))
+    EmbedModel("ALL_MINILM_L12_V2", 384, 101),
+    EmbedModel("MINI_HASH_64", 64, 303))
 
   private val loaded = TrieMap.empty[String, EmbedModel]
 
@@ -53,8 +53,8 @@ object ModelRegistry {
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"),
-        pmod(PortableHash.phash(col("token"), m.bucketSeed), lit(m.dim)).as("bucket"))
-      .agg(sum(PortableHash.phash(col("token"), m.signSeed) % 2 * 2 - 1).as("w"))
+        pmod(PortableHash.phashWord(col("token"), m.seed, 0), lit(m.dim)).as("bucket"))
+      .agg(sum(PortableHash.phashWord(col("token"), m.seed, 1) % 2 * 2 - 1).as("w"))
       .filter(col("w") =!= 0)
 
   /** model_registry query: load the catalog, embed the corpus under
@@ -86,8 +86,8 @@ object ModelRegistry {
        |  SELECT doc_id, count(*) AS nnz, sqrt(sum(w * w)::DOUBLE) AS nrm
        |  FROM (
        |    SELECT doc_id,
-       |      CAST(${PortableHash.duckSql("token", m.bucketSeed)} % ${m.dim} AS BIGINT) AS bucket,
-       |      sum(CAST(${PortableHash.duckSql("token", m.signSeed)} % 2 AS BIGINT) * 2 - 1) AS w
+       |      CAST(${PortableHash.duckSqlWord("token", m.seed, 0)} % ${m.dim} AS BIGINT) AS bucket,
+       |      sum(CAST(${PortableHash.duckSqlWord("token", m.seed, 1)} % 2 AS BIGINT) * 2 - 1) AS w
        |    FROM (
        |      SELECT doc_id, unnest(list_filter(
        |        regexp_split_to_array(lower(trim(text)), '\\s+'),

@@ -65,13 +65,18 @@ object VectorSearch {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val nbr = broadcast(
       Tables.embeddings(s, dir).select(col("vec_id").as("nid"), col("embedding").as("nvec")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("nid"))
+    // Bounded top-k aggregate instead of a window rank: each map
+    // partition reduces to ≤ k entries per key before the exchange, so
+    // shuffle volume is #vectors × k, not the full N·M scored pairs.
     emb.crossJoin(nbr)
       .filter(col("vec_id") =!= col("nid"))
       .select(col("vec_id"), col("nid"),
         round(FloatVecDistance.cosine(col("embedding"), col("nvec")), 4).as("dist"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKAgg.topkByDist(col("dist"), col("nid"), 5).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("col.id").as("nid"), col("col.dist").as("dist"),
+        (col("pos") + 1).cast("long").as("rnk"))
       .orderBy(col("vec_id"), col("rnk"))
   }
 
