@@ -26,9 +26,11 @@ object SparkEntry {
       (EmbeddingLsh.queries, EmbeddingLsh.oracleSql),
       (ModelRegistry.queries, ModelRegistry.oracleSql))
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The reference's headline flow end-to-end: documents →
+    * chunks → embeddings → top-k chunk retrieval. */
   def entry(spark: SparkSession): DataFrame =
-    VectorSearch.knnCosine(spark, "/root/testdata/sf0.001")
+    DocPipeline.chunkKnn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ArrayReduceAgg, FloatVecDistance, TopKAgg, VectorFunctions}
+
+/** Custom Catalyst kernels must agree exactly with the combinator
+  * formulations they replaced — that equivalence is what lets them
+  * slot into oracle-checked queries without changing results. */
+class KernelSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val emb = Tables.embeddings(spark, sf).limit(50)
+    .select(col("vec_id"), col("embedding"))
+
+  test("FloatVecDistance matches combinator distances bit-for-bit") {
+    val pairs = emb.crossJoin(
+      emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")))
+      .filter(col("vec_id") < col("b_id"))
+    val diffs = pairs.select(
+      (FloatVecDistance.cosine(col("embedding"), col("b_emb")) -
+        VectorFunctions.cosineDistance(col("embedding"), col("b_emb"))).as("dc"),
+      (FloatVecDistance.l2(col("embedding"), col("b_emb")) -
+        VectorFunctions.l2Distance(col("embedding"), col("b_emb"))).as("dl"),
+      (FloatVecDistance.dot(col("embedding"), col("b_emb")) -
+        VectorFunctions.negDotDistance(col("embedding"), col("b_emb"))).as("dd"),
+      (FloatVecDistance.manhattan(col("embedding"), col("b_emb")) -
+        VectorFunctions.manhattanDistance(col("embedding"), col("b_emb"))).as("dm"))
+      .agg(max(abs(col("dc"))), max(abs(col("dl"))), max(abs(col("dd"))), max(abs(col("dm"))))
+      .collect()(0)
+    (0 until 4).foreach(i => assert(diffs.getDouble(i) == 0.0,
+      s"kernel $i deviates from combinator path"))
+  }
+
+  test("FloatVecDistance interpreted eval agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val e = graft.functions.FloatVecDistance(
+      Literal.create(Array(1f, 2f, 3f), ArrayType(FloatType)),
+      Literal.create(Array(4f, 5f, 6f), ArrayType(FloatType)),
+      "cosine")
+    val interpreted = e.eval(null).asInstanceOf[Double]
+    import spark.implicits._
+    val codegen = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+      .select(FloatVecDistance.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(interpreted == codegen)
+  }
+
+  test("TopKByDist equals window row_number top-k") {
+    val pairs = emb.crossJoin(
+      emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")))
+      .filter(col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("nid"),
+        round(FloatVecDistance.cosine(col("embedding"), col("nvec")), 4).as("dist"))
+    val viaAgg = pairs.groupBy("vec_id")
+      .agg(TopKAgg.topkByDist(col("dist"), col("nid"), 3).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("col.id"), col("col.dist"), (col("pos") + 1).as("rnk"))
+      .collect().map(_.toSeq).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("nid"))
+    val viaWindow = pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("vec_id"), col("nid"), col("dist"), col("rnk"))
+      .collect().map(_.toSeq).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("ArrayLongReduce min/sum match explode+groupBy") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(5L, 1L, 9L)), (1L, Array(3L, 7L, 2L)), (2L, Array(10L, 10L, 10L)))
+      .toDF("k", "arr")
+    val viaAgg = df.groupBy("k")
+      .agg(ArrayReduceAgg.arrayMinAgg(col("arr")).as("mn"),
+        ArrayReduceAgg.arraySumAgg(col("arr")).as("sm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+      .sortBy(_._1).toSeq
+    assert(viaAgg == Seq(
+      (1L, Seq(3L, 1L, 2L), Seq(8L, 8L, 11L)),
+      (2L, Seq(10L, 10L, 10L), Seq(10L, 10L, 10L))))
+  }
+}
