@@ -128,6 +128,21 @@ object Analytics {
       .orderBy("user_id", "sess_id")
   }
 
+  /** Per-user value totals via a two-phase *salted* aggregation — the
+    * standard defense when a grouping key is pathologically skewed
+    * (one user = 30% of events): phase 1 groups on (key, salt) so the
+    * hot key spreads over 8 reducers; phase 2 combines the 8 partials.
+    * Results are identical to the direct groupBy (the oracle runs the
+    * plain form). */
+  def qUserSalted(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy("user_id", "salt")
+      .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+      .groupBy("user_id")
+      .agg(sum("pn").as("n_events"), round(sum("pv"), 2).as("sum_value"))
+      .orderBy("user_id")
+
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -143,7 +158,8 @@ object Analytics {
     "q_window_supplier" -> (qWindowSupplier _),
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_sessionize" -> (qEventsSessionize _),
-    "q_events_json" -> (qEventsJson _))
+    "q_events_json" -> (qEventsJson _),
+    "q_user_salted" -> (qUserSalted _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -220,6 +236,9 @@ object Analytics {
         |  max(sec) - min(sec) AS duration_sec,
         |  round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+    "q_user_salted" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_events_json" ->
       """SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,

@@ -63,6 +63,28 @@ object DocPipeline {
   def chunksOrdered(s: SparkSession, dir: String): DataFrame =
     chunks(s, dir).orderBy("doc_id", "chunk_id")
 
+  val CharMax = 200
+  val CharOverlap = 40
+  val CharStride: Int = CharMax - CharOverlap
+
+  /** UTL_TO_CHUNKS `by:"characters"` variant (reference's documented
+    * alternative A at 01_pdf_to_vector.sql:216-220): fixed-size char
+    * windows with overlap over the normalized text. */
+  def chunksByChars(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), normText(col("text")).as("t"))
+      .withColumn("n", length(col("t")))
+      .withColumn("n_chunks",
+        when(col("n") <= CharMax, lit(1))
+          .otherwise(floor((col("n") - CharMax + CharStride - 1) / lit(CharStride)).cast("int") + 1))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("i"))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("chunk_id"),
+        expr(s"substring(t, i * $CharStride + 1, $CharMax)").as("chunk_text"))
+      .select(col("doc_id"), col("chunk_id"),
+        length(col("chunk_text")).cast("long").as("n_chars"), col("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
   private def bucketOf(token: Column): Column =
     pmod(PortableHash.phashWord(token, EmbedSeed, 0), lit(Dim))
   private def signOf(token: Column): Column =
@@ -152,6 +174,7 @@ object DocPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunk" -> (chunksOrdered _),
+    "doc_chunk_chars" -> (chunksByChars _),
     "doc_pipeline" -> (docPipeline _),
     "vs_chunk_knn" -> (chunkKnn _))
 
@@ -161,6 +184,20 @@ object DocPipeline {
          |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
          |  CAST(n_tokens AS BIGINT) AS n_tokens, chunk_text
          |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    "doc_chunk_chars" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lower(trim(text)) AS t, length(lower(trim(text))) AS n
+         |  FROM documents),
+         |sized AS (
+         |  SELECT doc_id, t,
+         |    CASE WHEN n <= $CharMax THEN 1
+         |         ELSE (n - $CharMax + $CharStride - 1) // $CharStride + 1 END AS n_chunks
+         |  FROM t)
+         |SELECT doc_id, CAST(i + 1 AS BIGINT) AS chunk_id,
+         |  CAST(length(substr(t, i * $CharStride + 1, $CharMax)) AS BIGINT) AS n_chars,
+         |  substr(t, i * $CharStride + 1, $CharMax) AS chunk_text
+         |FROM sized, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     "doc_pipeline" ->
       s"""$chunkCte,
          |$weightCte,

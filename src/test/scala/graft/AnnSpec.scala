@@ -28,6 +28,25 @@ class AnnSpec extends AnyFunSuite {
     assert(full == exact, "probing every partition must equal exact knn")
   }
 
+  test("ivf on-disk layout partition-prunes the probe") {
+    import org.apache.spark.sql.functions.col
+    val (index, centroids) = IvfIndex.build(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    IvfIndex.writeIndex(index, path)
+    val onDisk = IvfIndex.readIndex(spark, path)
+    val query = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0).select("embedding").collect()(0).getSeq[Float](0).toArray
+    val probed = IvfIndex.search(spark, onDisk.filter(col("vec_id") =!= 0),
+      centroids, query, k = 10)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("centroid_id"),
+      "probe must push the centroid filter into partition pruning")
+    // pruned probe returns the same answer as the in-memory probe
+    val mem = IvfIndex.search(spark, index.filter(col("vec_id") =!= 0),
+      centroids, query, k = 10).collect().map(_.toSeq).toSeq
+    assert(probed.collect().map(_.toSeq).toSeq == mem)
+  }
+
   test("embedding lsh: verified subset of exact pairs, usable recall") {
     val exact = Dedup.embedding(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
