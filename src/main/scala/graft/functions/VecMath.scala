@@ -1,0 +1,32 @@
+package graft.functions
+
+/** Shared primitive-loop distance math (interpreted path of
+  * FloatVecDistance and the KnnJoin physical operator). Double,
+  * left-to-right accumulation — the portable convention. */
+object VecMath {
+  def dist(metric: String, av: Array[Float], bv: Array[Float]): Double = {
+    val n = math.min(av.length, bv.length)
+    var i = 0
+    metric match {
+      case "cosine" =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        while (i < n) {
+          val x = av(i).toDouble; val y = bv(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+      case "l2" =>
+        var acc = 0.0
+        while (i < n) { val d = av(i).toDouble - bv(i).toDouble; acc += d * d; i += 1 }
+        math.sqrt(acc)
+      case "dot" =>
+        var acc = 0.0
+        while (i < n) { acc += av(i).toDouble * bv(i).toDouble; i += 1 }
+        -acc
+      case "manhattan" =>
+        var acc = 0.0
+        while (i < n) { acc += math.abs(av(i).toDouble - bv(i).toDouble); i += 1 }
+        acc
+    }
+  }
+}

@@ -134,6 +134,38 @@ object VectorSearch {
       .limit(10)
   }
 
+  /** Same batch-knn result through the custom KnnJoin operator
+    * (LogicalPlan + Strategy + SparkPlan): broadcast index side,
+    * per-row bounded heap, no shuffle. k=8 then re-rank on the rounded
+    * distance so tie-breaks match the oracle's (rounded, id) order. */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val nbr = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("rdist"), col("nid"))
+    graft.plans.KnnJoin(emb, nbr, "embedding", "nvec", k = 8, metric = "cosine")
+      .filter(col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("nid"), round(col("dist"), 4).as("rdist"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("vec_id"), col("nid"), col("rdist").as("dist"), col("rnk"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
+  /** The knn query through plain SQL with the registered
+    * vec_cosine_distance function — the reference's own interface
+    * (SELECT … ORDER BY VECTOR_DISTANCE(…) FETCH FIRST k ROWS ONLY). */
+  def knnSql(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+    s.sql("""
+      SELECT vec_id,
+        round(vec_cosine_distance(embedding,
+          (SELECT embedding FROM graft_embeddings WHERE vec_id = 0)), 4) AS dist
+      FROM graft_embeddings WHERE vec_id <> 0
+      ORDER BY dist, vec_id LIMIT 10""")
+  }
+
   // ---- DuckDB oracle fragments ----------------------------------------
 
   /** Σ a[i]·b[i] in double, left-to-right — matches zip_with+aggregate. */
@@ -163,7 +195,9 @@ object VectorSearch {
     "vs_knn_batch" -> (knnBatch _),
     "vs_vector_ops" -> (vectorOps _),
     "vs_to_vector_roundtrip" -> (toVectorRoundtrip _),
-    "vs_knn_int8" -> (knnInt8 _))
+    "vs_knn_int8" -> (knnInt8 _),
+    "vs_knn_join" -> (knnJoin _),
+    "vs_knn_sql" -> (knnSql _))
 
   val oracleSql: Map[String, String] = Map(
     "vs_knn_cosine" -> knnSql(dCosine("embedding", "qv")),
@@ -183,6 +217,15 @@ object VectorSearch {
          |SELECT vec_id, nid, dist,
          |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, nid) AS rnk
          |FROM d QUALIFY rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
+    "vs_knn_join" ->
+      s"""WITH d AS (
+         |  SELECT a.vec_id, b.vec_id AS nid,
+         |    round(${dCosine("a.embedding", "b.embedding")}, 4) AS dist
+         |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+         |SELECT vec_id, nid, dist,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, nid) AS rnk
+         |FROM d QUALIFY rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
+    "vs_knn_sql" -> knnSql(dCosine("embedding", "qv")),
     "vs_knn_int8" ->
       s"""WITH base AS (
          |  SELECT vec_id, embedding,
