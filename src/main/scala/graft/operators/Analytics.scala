@@ -143,6 +143,31 @@ object Analytics {
       .agg(sum("pn").as("n_events"), round(sum("pv"), 2).as("sum_value"))
       .orderBy("user_id")
 
+  /** AS-OF join — an operator Spark lacks natively, composed from
+    * existing ops (preference (a) of the build rules): each `error`
+    * event is matched to the same user's most recent `purchase` at or
+    * before it. Union the two streams tagged, sort per user by time,
+    * carry the last purchase forward with last(ignoreNulls) — one
+    * shuffle on user_id, no range join blowup. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("ts").cast("long").as("sec"))
+      .filter(col("event_type").isin("error", "purchase"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("purch_sec",
+        last(when(col("event_type") === "purchase", col("sec")), ignoreNulls = true).over(byUser))
+      .withColumn("purch_value",
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "error" && col("purch_sec").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        (col("sec") - col("purch_sec")).as("gap_sec"),
+        round(col("purch_value"), 2).as("purch_value"))
+      .orderBy("event_id")
+  }
+
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -159,7 +184,8 @@ object Analytics {
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_json" -> (qEventsJson _),
-    "q_user_salted" -> (qUserSalted _))
+    "q_user_salted" -> (qUserSalted _),
+    "q_asof_join" -> (qAsofJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -239,6 +265,24 @@ object Analytics {
     "q_user_salted" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE event_type IN ('error', 'purchase')),
+        |c AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN sec END IGNORE NULLS)
+        |      OVER w AS purch_sec,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER w AS purch_value
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, sec - purch_sec AS gap_sec,
+        |  round(purch_value, 2) AS purch_value
+        |FROM c WHERE event_type = 'error' AND purch_sec IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     "q_events_json" ->
       """SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
