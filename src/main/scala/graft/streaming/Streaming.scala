@@ -90,6 +90,28 @@ object Streaming {
     s.table(name).orderBy("hour", "event_type")
   }
 
+  /** Stream-static enrichment join: the event stream joined to a
+    * broadcast dimension (customer segment), then aggregated — the
+    * standard streaming-enrichment topology (dim broadcast per
+    * micro-batch, no stream-side shuffle before the agg). */
+  def enrich(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventStream(s, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    val name = s"stream_enrich_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("c_mktsegment", "event_type")
+  }
+
   /** Stateful sessionization with flatMapGroupsWithState: one state
     * object per user, closed on a 30-minute event-time gap. Emits
     * (user_id, n_events, sum_value) per closed session plus the final
@@ -133,10 +155,16 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly" -> (hourly _),
+    "stream_enrich" -> (enrich _),
     "stream_sessionize" -> (sessionize _))
 
-  // stream_hourly is held to the same oracle as the batch twin.
+  // stream_hourly/stream_enrich are held to the batch oracles.
   val oracleSql: Map[String, String] = Map(
+    "stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n,
