@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.SafeRound.round
 
 import graft.Tables
 
@@ -190,20 +191,20 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  round(1e-9 + sum(l_quantity), 2) AS sum_qty,
+        |  round(1e-9 + sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(1e-9 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(1e-9 + avg(l_quantity), 4) AS avg_qty,
+        |  round(1e-9 + avg(l_extendedprice), 4) AS avg_price,
+        |  round(1e-9 + avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top_orders" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -213,7 +214,7 @@ object Analytics {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_nation_revenue" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -226,7 +227,7 @@ object Analytics {
     "q_topk_per_group" ->
       """WITH rev AS (
         |  SELECT p_brand, p_partkey,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |    round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_brand, p_partkey)
         |SELECT p_brand, p_partkey, revenue,
@@ -236,15 +237,15 @@ object Analytics {
       """SELECT l_suppkey, rn, l_orderkey, running_qty FROM (
         |  SELECT l_suppkey, l_orderkey,
         |    row_number() OVER w AS rn,
-        |    round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |    round(1e-9 + sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
         |  FROM lineitem
         |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
         |WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin,
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n,
-        |  round(sum(value), 2) AS sum_value,
-        |  round(avg(value), 4) AS avg_value
+        |  round(1e-9 + sum(value), 2) AS sum_value,
+        |  round(1e-9 + avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_sessionize" ->
       """WITH e AS (
@@ -260,7 +261,7 @@ object Analytics {
         |  FROM marked)
         |SELECT user_id, sess_id, count(*) AS n_events,
         |  max(sec) - min(sec) AS duration_sec,
-        |  round(sum(value), 2) AS sum_value
+        |  round(1e-9 + sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
     "q_user_salted" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
@@ -280,12 +281,12 @@ object Analytics {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, sec - purch_sec AS gap_sec,
-        |  round(purch_value, 2) AS purch_value
+        |  round(1e-9 + purch_value, 2) AS purch_value
         |FROM c WHERE event_type = 'error' AND purch_sec IS NOT NULL
         |ORDER BY event_id""".stripMargin,
     "q_events_json" ->
       """SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
-        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |  count(*) AS n, round(1e-9 + sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

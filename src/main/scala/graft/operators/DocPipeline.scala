@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.SafeRound.round
 
 import graft.Tables
 import graft.functions.PortableHash
@@ -203,7 +204,7 @@ object DocPipeline {
          |$weightCte,
          |stats AS (
          |  SELECT doc_id, chunk_id, count(*) AS nnz,
-         |    round(sqrt(sum(w * w)::DOUBLE), 4) AS norm
+         |    round(1e-9 + sqrt(sum(w * w)::DOUBLE), 4) AS norm
          |  FROM wnz GROUP BY 1, 2)
          |SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
          |  CAST(c.n_tokens AS BIGINT) AS n_tokens,
@@ -223,7 +224,7 @@ object DocPipeline {
          |  SELECT w.doc_id, w.chunk_id, sum(w.w * q.wq) AS dot
          |  FROM wnz w JOIN q ON w.bucket = q.bucket GROUP BY 1, 2)
          |SELECT d.doc_id, CAST(d.chunk_id AS BIGINT) AS chunk_id,
-         |  round(d.dot / (n.nrm * qn.qnrm), 4) AS sim
+         |  round(1e-9 + d.dot / (n.nrm * qn.qnrm), 4) AS sim
          |FROM dots d JOIN norms n ON d.doc_id = n.doc_id AND d.chunk_id = n.chunk_id, qn
          |WHERE NOT (d.doc_id = 0 AND d.chunk_id = 1)
          |ORDER BY sim DESC, d.doc_id, d.chunk_id LIMIT 10""".stripMargin)

@@ -5,6 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SafeRound.round
 
 import graft.Tables
 import graft.functions.FloatVecDistance

@@ -4,6 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SafeRound.round
 
 import graft.Tables
 import graft.functions.PortableHash
@@ -80,8 +81,8 @@ object ModelRegistry {
 
   private def modelSql(m: EmbedModel): String =
     s"""SELECT '${m.name}' AS model, CAST(${m.dim} AS BIGINT) AS dim,
-       |  count(*) AS n_docs, round(avg(nnz), 4) AS avg_nnz,
-       |  round(avg(nrm), 4) AS avg_norm
+       |  count(*) AS n_docs, round(1e-9 + avg(nnz), 4) AS avg_nnz,
+       |  round(1e-9 + avg(nrm), 4) AS avg_norm
        |FROM (
        |  SELECT doc_id, count(*) AS nnz, sqrt(sum(w * w)::DOUBLE) AS nrm
        |  FROM (

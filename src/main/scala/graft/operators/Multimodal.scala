@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SafeRound.round
 
 import graft.Tables
 
@@ -103,7 +104,7 @@ object Multimodal {
         |    CASE WHEN fmt = 'vid' THEN n % 24 + 1 ELSE 1 END AS n_frames
         |  FROM m)
         |SELECT fmt, count(*) AS n_media, sum(n_bytes)::BIGINT AS total_bytes,
-        |  round(avg(width), 4) AS avg_width, round(avg(height), 4) AS avg_height,
+        |  round(1e-9 + avg(width), 4) AS avg_width, round(1e-9 + avg(height), 4) AS avg_height,
         |  sum(n_frames)::BIGINT AS total_frames
         |FROM meta GROUP BY fmt ORDER BY fmt""".stripMargin)
 }

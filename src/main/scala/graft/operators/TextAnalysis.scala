@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.SafeRound.round
 
 import graft.Tables
 import graft.functions.PortableHash
@@ -140,24 +141,24 @@ object TextAnalysis {
          |    list_sum([length(tok)::BIGINT for tok in toks]) AS tok_chars
          |  FROM t)
          |SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
-         |  round(avg(n_chars), 4) AS avg_chars,
-         |  round(sum(tok_chars)::DOUBLE / sum(n_tokens), 4) AS mean_word_len
+         |  round(1e-9 + avg(n_chars), 4) AS avg_chars,
+         |  round(1e-9 + sum(tok_chars)::DOUBLE / sum(n_tokens), 4) AS mean_word_len
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, $toksSql AS toks FROM documents),
          |r AS (
          |  SELECT doc_id,
-         |    round(len(list_filter(toks, tok -> tok IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+         |    round(1e-9 + len(list_filter(toks, tok -> tok IN ('the','a','of','and','to','in','is','it')))::DOUBLE
          |      / len(toks), 4) AS stopword_ratio,
-         |    round(length(regexp_replace(text, '[a-z0-9\\s]+', '', 'g'))::DOUBLE
+         |    round(1e-9 + length(regexp_replace(text, '[a-z0-9\\s]+', '', 'g'))::DOUBLE
          |      / length(text), 4) AS punct_ratio,
-         |    round(length(regexp_replace(text, '[^0-9]+', '', 'g'))::DOUBLE
+         |    round(1e-9 + length(regexp_replace(text, '[^0-9]+', '', 'g'))::DOUBLE
          |      / length(text), 4) AS digit_ratio,
-         |    round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 4) AS repetition_ratio
+         |    round(1e-9 + 1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 4) AS repetition_ratio
          |  FROM t)
          |SELECT doc_id, stopword_ratio, punct_ratio, digit_ratio, repetition_ratio,
-         |  round(1.0 - greatest(0.0, 0.3 - stopword_ratio) - punct_ratio - digit_ratio
+         |  round(1e-9 + 1.0 - greatest(0.0, 0.3 - stopword_ratio) - punct_ratio - digit_ratio
          |    - repetition_ratio * 0.4, 4) AS quality
          |FROM r ORDER BY doc_id""".stripMargin,
     "text_langid" -> {

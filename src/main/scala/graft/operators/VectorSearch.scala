@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.SafeRound.round
 
 import graft.Tables
 import graft.functions.VectorFunctions._
@@ -107,7 +108,7 @@ object VectorSearch {
 
   /** INT8 scalar quantization + quantized knn (Oracle 26ai supports
     * INT8/BINARY vector storage; this is the INT8 path). Per-vector
-    * scale s = 127/max|x|; q = clamp(round(x·s)); search scores
+    * scale s = 127/max|x|; q = clamp(round(1e-9 + x·s)); search scores
     * integer dot products dequantized by 1/(s_a·s_q). Quantization
     * cuts vector bytes 4× — at 100 TB that is the difference between
     * an in-memory and a spilled index; the int dot product is also
@@ -182,7 +183,7 @@ object VectorSearch {
 
   private def knnSql(distExpr: String, k: Int = 10): String =
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-       |SELECT vec_id, round($distExpr, 4) AS dist
+       |SELECT vec_id, round(1e-9 + $distExpr, 4) AS dist
        |FROM embeddings, q WHERE vec_id <> 0
        |ORDER BY dist, vec_id LIMIT $k""".stripMargin
 
@@ -206,13 +207,13 @@ object VectorSearch {
     "vs_knn_manhattan" -> knnSql(dL1("embedding", "qv")),
     "vs_range_search" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |d AS (SELECT vec_id, round(${dCosine("embedding", "qv")}, 4) AS dist
+         |d AS (SELECT vec_id, round(1e-9 + ${dCosine("embedding", "qv")}, 4) AS dist
          |      FROM embeddings, q WHERE vec_id <> 0)
          |SELECT vec_id, dist FROM d WHERE dist <= 0.8 ORDER BY dist, vec_id""".stripMargin,
     "vs_knn_batch" ->
       s"""WITH d AS (
          |  SELECT a.vec_id, b.vec_id AS nid,
-         |    round(${dCosine("a.embedding", "b.embedding")}, 4) AS dist
+         |    round(1e-9 + ${dCosine("a.embedding", "b.embedding")}, 4) AS dist
          |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
          |SELECT vec_id, nid, dist,
          |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, nid) AS rnk
@@ -220,7 +221,7 @@ object VectorSearch {
     "vs_knn_join" ->
       s"""WITH d AS (
          |  SELECT a.vec_id, b.vec_id AS nid,
-         |    round(${dCosine("a.embedding", "b.embedding")}, 4) AS dist
+         |    round(1e-9 + ${dCosine("a.embedding", "b.embedding")}, 4) AS dist
          |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
          |SELECT vec_id, nid, dist,
          |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, nid) AS rnk
@@ -234,21 +235,21 @@ object VectorSearch {
          |  FROM embeddings),
          |q8 AS (
          |  SELECT vec_id,
-         |    [greatest(-127, least(127, CAST(round(embedding[i]::DOUBLE * sc, 0) AS BIGINT)))
+         |    [greatest(-127, least(127, CAST(round(1e-9 + embedding[i]::DOUBLE * sc, 0) AS BIGINT)))
          |     for i in generate_series(1, len(embedding))] AS q
          |  FROM base),
          |qv AS (SELECT q AS qq FROM q8 WHERE vec_id = 0)
          |SELECT vec_id,
-         |  round(1 - list_sum([q[i] * qq[i] for i in generate_series(1, len(q))])::DOUBLE /
+         |  round(1e-9 + 1 - list_sum([q[i] * qq[i] for i in generate_series(1, len(q))])::DOUBLE /
          |    (sqrt(list_sum([q[i] * q[i] for i in generate_series(1, len(q))])::DOUBLE) *
          |     sqrt(list_sum([qq[i] * qq[i] for i in generate_series(1, len(qq))])::DOUBLE)), 4) AS qdist
          |FROM q8, qv WHERE vec_id <> 0
          |ORDER BY qdist, vec_id LIMIT 10""".stripMargin,
     "vs_vector_ops" ->
       s"""SELECT vec_id, len(embedding) AS dims,
-         |  round(${dNorm("embedding")}, 4) AS norm,
-         |  round(embedding[1]::DOUBLE / ${dNorm("embedding")}, 4) AS unit_x0,
-         |  round(list_min(embedding)::DOUBLE, 4) AS min_val,
-         |  round(list_max(embedding)::DOUBLE, 4) AS max_val
+         |  round(1e-9 + ${dNorm("embedding")}, 4) AS norm,
+         |  round(1e-9 + embedding[1]::DOUBLE / ${dNorm("embedding")}, 4) AS unit_x0,
+         |  round(1e-9 + list_min(embedding)::DOUBLE, 4) AS min_val,
+         |  round(1e-9 + list_max(embedding)::DOUBLE, 4) AS max_val
          |FROM embeddings ORDER BY vec_id""".stripMargin)
 }

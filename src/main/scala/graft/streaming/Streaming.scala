@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SafeRound.round
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming pipelines over the events stream.
@@ -162,13 +163,13 @@ object Streaming {
   val oracleSql: Map[String, String] = Map(
     "stream_enrich" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
-        |  round(sum(value), 2) AS sum_value
+        |  round(1e-9 + sum(value), 2) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n,
-        |  round(sum(value), 2) AS sum_value,
-        |  round(avg(value), 4) AS avg_value
+        |  round(1e-9 + sum(value), 2) AS sum_value,
+        |  round(1e-9 + avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
