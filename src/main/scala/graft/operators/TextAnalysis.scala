@@ -122,7 +122,26 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token"))
       .limit(100)
 
+  /** Unigram cross-entropy per doc against the corpus' own unigram LM
+    * — the language-model quality signal (high = unusual token mix).
+    * Two aggregations + one broadcast join: the vocabulary is bounded,
+    * so the frequency table broadcasts and the scoring pass is a
+    * narrow map at any corpus size. */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("t"))
+    toks.join(broadcast(freq), "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("c").cast("double") / col("t"))), 4).as("xent"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_logprob" -> (unigramLogprob _),
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
@@ -133,6 +152,15 @@ object TextAnalysis {
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> length(tok) > 0)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_unigram_logprob" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |freq AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(c) AS t FROM freq)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(1e-9 + avg(-ln(c::DOUBLE / t)), 4) AS xent
+         |FROM tok JOIN freq USING (token), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (
          |  SELECT lang, n_chars, $toksSql AS toks FROM documents),
