@@ -4,6 +4,8 @@ package graft.functions
   * FloatVecDistance and the KnnJoin physical operator). Double,
   * left-to-right accumulation — the portable convention. */
 object VecMath {
+  val metrics: Set[String] = Set("cosine", "l2", "dot", "manhattan")
+
   def dist(metric: String, av: Array[Float], bv: Array[Float]): Double = {
     val n = math.min(av.length, bv.length)
     var i = 0
@@ -27,6 +29,9 @@ object VecMath {
         var acc = 0.0
         while (i < n) { acc += math.abs(av(i).toDouble - bv(i).toDouble); i += 1 }
         acc
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown metric $other (one of ${metrics.mkString(",")})")
     }
   }
 }

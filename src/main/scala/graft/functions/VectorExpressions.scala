@@ -33,35 +33,10 @@ case class FloatVecDistance(left: Expression, right: Expression, metric: String)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = s"vec_${metric}_distance"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val av = a.asInstanceOf[ArrayData].toFloatArray()
-    val bv = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(av.length, bv.length)
-    var i = 0
-    metric match {
-      case "cosine" =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        while (i < n) {
-          val x = av(i).toDouble; val y = bv(i).toDouble
-          dot += x * y; na += x * x; nb += y * y; i += 1
-        }
-        1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
-      case "l2" =>
-        var acc = 0.0
-        while (i < n) {
-          val d = av(i).toDouble - bv(i).toDouble; acc += d * d; i += 1
-        }
-        math.sqrt(acc)
-      case "dot" =>
-        var acc = 0.0
-        while (i < n) { acc += av(i).toDouble * bv(i).toDouble; i += 1 }
-        -acc
-      case "manhattan" =>
-        var acc = 0.0
-        while (i < n) { acc += math.abs(av(i).toDouble - bv(i).toDouble); i += 1 }
-        acc
-    }
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.dist(metric,
+      a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {

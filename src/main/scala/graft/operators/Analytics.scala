@@ -172,7 +172,7 @@ object Analytics {
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
-      .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_bucket"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("event_type", "k_bucket")
 
@@ -264,7 +264,7 @@ object Analytics {
         |  round(1e-9 + sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
     "q_user_salted" ->
-      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      """SELECT user_id, count(*) AS n_events, round(1e-9 + sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (

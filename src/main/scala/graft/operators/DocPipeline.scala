@@ -94,6 +94,9 @@ object DocPipeline {
   /** Sparse hashed embedding weights per chunk:
     * (doc_id, chunk_id, bucket, w) with w ≠ 0. */
   def chunkWeights(s: SparkSession, dir: String): DataFrame =
+    graft.functions.DfCache.getOrElseUpdate(s, s"chunkWeights:$dir")(chunkWeightsPlan(s, dir))
+
+  private def chunkWeightsPlan(s: SparkSession, dir: String): DataFrame =
     chunks(s, dir)
       .select(col("doc_id"), col("chunk_id"),
         explode(split(col("chunk_text"), " ")).as("token"))
@@ -122,8 +125,8 @@ object DocPipeline {
     * sparse dot products with integer exactness, no cross join. */
   def chunkKnn(s: SparkSession, dir: String): DataFrame = {
     // the weights table feeds four plan branches (weights, norms, the
-    // query's weights and norm) — materialize it once.
-    val w = chunkWeights(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // query's weights and norm) — DfCache materializes it once.
+    val w = chunkWeights(s, dir)
     val norms = w.groupBy("doc_id", "chunk_id")
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
     val q = w.filter(col("doc_id") === 0 && col("chunk_id") === 1)

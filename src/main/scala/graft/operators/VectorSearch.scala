@@ -137,14 +137,14 @@ object VectorSearch {
 
   /** Same batch-knn result through the custom KnnJoin operator
     * (LogicalPlan + Strategy + SparkPlan): broadcast index side,
-    * per-row bounded heap, no shuffle. k=8 then re-rank on the rounded
+    * per-row bounded heap, no shuffle. k=16 margin then re-rank on the rounded
     * distance so tie-breaks match the oracle's (rounded, id) order. */
   def knnJoin(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val nbr = Tables.embeddings(s, dir)
       .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("rdist"), col("nid"))
-    graft.plans.KnnJoin(emb, nbr, "embedding", "nvec", k = 8, metric = "cosine")
+    graft.plans.KnnJoin(emb, nbr, "embedding", "nvec", k = 16, metric = "cosine")
       .filter(col("vec_id") =!= col("nid"))
       .select(col("vec_id"), col("nid"), round(col("dist"), 4).as("rdist"))
       .withColumn("rnk", row_number().over(w).cast("long"))

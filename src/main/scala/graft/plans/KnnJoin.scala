@@ -123,6 +123,8 @@ object KnnJoin {
   def apply(leftDf: DataFrame, rightDf: DataFrame,
       leftVecCol: String, rightVecCol: String,
       k: Int, metric: String = "cosine"): DataFrame = {
+    require(VecMath.metrics.contains(metric),
+      s"unknown metric $metric (one of ${VecMath.metrics.mkString(",")})")
     val spark = leftDf.sparkSession
     ensureStrategy(spark)
     val l = GraftColumnBridge.analyzed(leftDf)

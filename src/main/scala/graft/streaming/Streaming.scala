@@ -33,6 +33,16 @@ object Streaming {
 
   case class SessionAgg(user_id: Long, n_events: Long, sum_value: Double)
 
+  /** Collect a memory-sink table into a local frame and drop the view,
+    * so repeated runs don't accumulate result copies in the catalog. */
+  private def drainMemorySink(s: SparkSession, name: String): DataFrame = {
+    val src = s.table(name)
+    val rows = src.collect()
+    val schema = src.schema
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** events.parquet as a bounded file stream with normalized ts. */
   def eventStream(s: SparkSession, dir: String): DataFrame = {
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -42,7 +52,7 @@ object Streaming {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 
@@ -66,7 +76,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy("hour", "event_type")
+    drainMemorySink(s, name).orderBy("hour", "event_type")
   }
 
   /** Watermarked append-mode variant (the unbounded-stream shape):
@@ -88,7 +98,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy("hour", "event_type")
+    drainMemorySink(s, name).orderBy("hour", "event_type")
   }
 
   /** Stream-static enrichment join: the event stream joined to a
@@ -110,7 +120,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy("c_mktsegment", "event_type")
+    drainMemorySink(s, name).orderBy("c_mktsegment", "event_type")
   }
 
   /** Stateful sessionization with flatMapGroupsWithState: one state
@@ -123,6 +133,10 @@ object Streaming {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Ev]
 
+    // repo rounding convention (SafeRound): +1e-9 then HALF_UP
+    def r2(v: Double): Double =
+      BigDecimal(v + 1e-9).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
     def fn(userId: Long, rows: Iterator[Ev],
         state: GroupState[List[(Long, Double)]]): Iterator[SessionAgg] = {
       // batch-drain semantics: all of a user's events arrive in one
@@ -132,12 +146,12 @@ object Streaming {
       var n = 0L; var sv = 0.0; var lastTs = Long.MinValue
       evsSorted.foreach { e =>
         if (lastTs != Long.MinValue && e.ts.getTime - lastTs > 30 * 60 * 1000L) {
-          sessions += SessionAgg(userId, n, math.rint(sv * 100) / 100)
+          sessions += SessionAgg(userId, n, r2(sv))
           n = 0L; sv = 0.0
         }
         n += 1; sv += e.value; lastTs = e.ts.getTime
       }
-      if (n > 0) sessions += SessionAgg(userId, n, math.rint(sv * 100) / 100)
+      if (n > 0) sessions += SessionAgg(userId, n, r2(sv))
       sessions.iterator
     }
 
@@ -151,7 +165,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy("user_id", "n_events", "sum_value")
+    drainMemorySink(s, name).orderBy("user_id", "n_events", "sum_value")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
