@@ -103,6 +103,28 @@ object Analytics {
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
+  /** Hierarchical totals via ROLLUP grouping sets (subtotal + grand
+    * total rows), the standard reporting shape. */
+  def q1Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact interpolated percentiles per event type (Spark `percentile`
+    * == DuckDB `quantile_cont`, both linear interpolation). */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
   def qEventsHourly(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -186,7 +208,9 @@ object Analytics {
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_json" -> (qEventsJson _),
     "q_user_salted" -> (qUserSalted _),
-    "q_asof_join" -> (qAsofJoin _))
+    "q_asof_join" -> (qAsofJoin _),
+    "q1_rollup" -> (q1Rollup _),
+    "q_percentiles" -> (qPercentiles _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -266,6 +290,18 @@ object Analytics {
     "q_user_salted" ->
       """SELECT user_id, count(*) AS n_events, round(1e-9 + sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q1_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  round(1e-9 + sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(1e-9 + quantile_cont(value, 0.5), 4) AS p50,
+        |  round(1e-9 + quantile_cont(value, 0.9), 4) AS p90,
+        |  round(1e-9 + quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,
