@@ -23,6 +23,7 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracleSql),
       (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracleSql),
       (IvfIndex.queries, IvfIndex.oracleSql),
+      (HybridSearch.queries, HybridSearch.oracleSql),
       (EmbeddingLsh.queries, EmbeddingLsh.oracleSql),
       (ModelRegistry.queries, ModelRegistry.oracleSql))
 

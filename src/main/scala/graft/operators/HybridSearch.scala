@@ -1,0 +1,153 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.SafeRound.round
+
+import graft.Tables
+import graft.functions.PortableHash
+import graft.functions.TextFunctions._
+
+/** Hybrid (keyword + vector) retrieval — the modern vector-database
+  * headline capability (Oracle 26ai ships it as hybrid vector search
+  * next to the pure-vector path the reference uses).
+  *
+  * Two independent scores per document for a fixed query:
+  *  - keyword: TF-IDF over the corpus (tf(t,d) · ln(N/df(t)) summed
+  *    over query terms) — all partial-aggregable groupBys.
+  *  - vector: cosine between the doc's hashing-trick embedding and the
+  *    query's, computed sparsely via the bucket equi-join.
+  * Fusion is min-max *score* fusion rather than reciprocal-rank
+  * fusion: RRF needs global ranks (a global sort); min-max needs only
+  * global min/max (one tiny broadcast agg), so the whole query stays
+  * shuffle-light and the final top-k is a TakeOrderedAndProject.
+  */
+object HybridSearch {
+  val QueryTerms: Seq[String] = Seq("fast", "join", "stream")
+  val EmbedSeed = 303
+  val Dim = 64
+  val TopK = 10
+
+  /** Driver-side portable hash (same convention as PortableHash:
+    * 32-bit word w of md5("seed:token")). */
+  private def phashWord(token: String, seed: Int, word: Int): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$token".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(word * 8, word * 8 + 8), 16)
+  }
+
+  /** Query-side sparse embedding: (bucket, wq), computed driver-side
+    * (a handful of terms) with the identical hash convention. */
+  private def queryWeights: Seq[(Long, Long)] =
+    QueryTerms
+      .map(t => (phashWord(t, EmbedSeed, 0) % Dim, phashWord(t, EmbedSeed, 1) % 2 * 2 - 1))
+      .groupBy(_._1).map { case (b, ws) => (b, ws.map(_._2).sum) }
+      .filter(_._2 != 0L).toSeq
+
+  def search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+
+    // ---- keyword: TF-IDF over the query terms --------------------------
+    val qtoks = toks.filter(col("token").isInCollection(QueryTerms))
+    val tf = qtoks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dft = qtoks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val kw = tf.join(broadcast(dft), "token")
+      .crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * log(col("n").cast("double") / col("df"))).as("kw_raw"))
+
+    // ---- vector: sparse cosine vs the query embedding ------------------
+    val w = ModelRegistry.embed(s, dir,
+      ModelRegistry.EmbedModel("HYBRID_HASH", Dim, EmbedSeed))
+    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val qw = queryWeights.toDF("bucket", "wq")
+    val qnorm = math.sqrt(queryWeights.map(p => (p._2 * p._2).toDouble).sum)
+    val vec = w.join(broadcast(qw), "bucket")
+      .groupBy("doc_id").agg(sum(col("w") * col("wq")).as("dot"))
+      .join(norms, "doc_id")
+      .select(col("doc_id"), (col("dot") / (col("nrm") * lit(qnorm))).as("vec_raw"))
+
+    // ---- min-max score fusion ------------------------------------------
+    val scored = docs
+      .join(kw, Seq("doc_id"), "left")
+      .join(vec, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("kw_raw"), lit(0.0)), 4).as("kw_score"),
+        round(coalesce(col("vec_raw"), lit(0.0)), 4).as("vec_score"))
+    val bounds = scored.agg(
+      min("kw_score").as("kmin"), max("kw_score").as("kmax"),
+      min("vec_score").as("vmin"), max("vec_score").as("vmax"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("kw_score"), col("vec_score"),
+        round(
+          (col("kw_score") - col("kmin")) / greatest(col("kmax") - col("kmin"), lit(1e-12)) * 0.5 +
+            (col("vec_score") - col("vmin")) / greatest(col("vmax") - col("vmin"), lit(1e-12)) * 0.5,
+          4).as("fused"))
+      .orderBy(col("fused").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vs_hybrid_search" -> (search _))
+
+  private val qTermsSql = QueryTerms.map(t => s"('$t')").mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "vs_hybrid_search" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    t -> length(t) > 0)) AS token
+         |  FROM documents),
+         |qt AS (SELECT doc_id, token FROM tok WHERE token IN (SELECT t FROM (VALUES $qTermsSql) v(t))),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2),
+         |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |kw AS (
+         |  SELECT doc_id, sum(tf * ln(n::DOUBLE / df)) AS kw_raw
+         |  FROM tf JOIN dft USING (token), nd GROUP BY doc_id),
+         |wt AS (
+         |  SELECT doc_id,
+         |    CAST(${PortableHash.duckSqlWord("token", EmbedSeed, 0)} % $Dim AS BIGINT) AS bucket,
+         |    sum(CAST(${PortableHash.duckSqlWord("token", EmbedSeed, 1)} % 2 AS BIGINT) * 2 - 1) AS w
+         |  FROM tok GROUP BY 1, 2),
+         |wnz AS (SELECT * FROM wt WHERE w <> 0),
+         |norms AS (SELECT doc_id, sqrt(sum(w * w)::DOUBLE) AS nrm FROM wnz GROUP BY 1),
+         |qw AS (
+         |  SELECT CAST(${PortableHash.duckSqlWord("t", EmbedSeed, 0)} % $Dim AS BIGINT) AS bucket,
+         |    sum(CAST(${PortableHash.duckSqlWord("t", EmbedSeed, 1)} % 2 AS BIGINT) * 2 - 1) AS wq
+         |  FROM (VALUES $qTermsSql) v(t) GROUP BY 1),
+         |qwnz AS (SELECT * FROM qw WHERE wq <> 0),
+         |qn AS (SELECT sqrt(sum(wq * wq)::DOUBLE) AS qnrm FROM qwnz),
+         |vec AS (
+         |  SELECT w.doc_id, sum(w.w * q.wq)::DOUBLE / (any_value(n.nrm) * any_value(qn.qnrm)) AS vec_raw
+         |  FROM wnz w JOIN qwnz q USING (bucket)
+         |    JOIN norms n ON w.doc_id = n.doc_id, qn
+         |  GROUP BY w.doc_id),
+         |scored AS (
+         |  SELECT d.doc_id,
+         |    round(1e-9 + coalesce(kw.kw_raw, 0.0), 4) AS kw_score,
+         |    round(1e-9 + coalesce(vec.vec_raw, 0.0), 4) AS vec_score
+         |  FROM documents d
+         |    LEFT JOIN kw ON d.doc_id = kw.doc_id
+         |    LEFT JOIN vec ON d.doc_id = vec.doc_id),
+         |bounds AS (
+         |  SELECT min(kw_score) kmin, max(kw_score) kmax,
+         |         min(vec_score) vmin, max(vec_score) vmax
+         |  FROM scored)
+         |SELECT doc_id, kw_score, vec_score,
+         |  round(1e-9 +
+         |    (kw_score - kmin) / greatest(kmax - kmin, 1e-12) * 0.5 +
+         |    (vec_score - vmin) / greatest(vmax - vmin, 1e-12) * 0.5, 4) AS fused
+         |FROM scored, bounds
+         |ORDER BY fused DESC, doc_id LIMIT $TopK""".stripMargin)
+}
