@@ -52,6 +52,15 @@ object PortableHash {
       word * 8 + 1, 8), 16, 10).cast("long")
   }
 
+  /** Driver-side (plain String) form of the same convention — for
+    * query-literal hashing where no Column exists. */
+  def phashWordLocal(s: String, seed: Int, word: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$s".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(word * 8, word * 8 + 8), 16)
+  }
+
   def duckSqlWord(expr: String, seed: Int, word: Int): String =
     s"CAST(('0x' || substr(md5('$seed' || ':' || ($expr)), ${word * 8 + 1}, 8)) AS UBIGINT)"
 }

@@ -83,7 +83,7 @@ case class FloatVecDistance(left: Expression, right: Expression, metric: String)
 }
 
 object FloatVecDistance {
-  val metrics: Set[String] = Set("cosine", "l2", "dot", "manhattan")
+  val metrics: Set[String] = VecMath.metrics
 
   def cosine(a: Column, b: Column): Column =
     toColumn(FloatVecDistance(toExpr(a), toExpr(b), "cosine"))

@@ -1,8 +1,5 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.SafeRound.round
@@ -27,18 +24,16 @@ import graft.functions.TextFunctions._
   */
 object HybridSearch {
   val QueryTerms: Seq[String] = Seq("fast", "join", "stream")
-  val EmbedSeed = 303
-  val Dim = 64
+  /** Embedding model: the registry's 64-dim hashing model — the doc
+    * side and the query side must hash identically. */
+  val Model: ModelRegistry.EmbedModel =
+    ModelRegistry.catalog.find(_.name == "MINI_HASH_64").get
+  val EmbedSeed: Int = Model.seed
+  val Dim: Int = Model.dim
   val TopK = 10
 
-  /** Driver-side portable hash (same convention as PortableHash:
-    * 32-bit word w of md5("seed:token")). */
-  private def phashWord(token: String, seed: Int, word: Int): Long = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s"$seed:$token".getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(word * 8, word * 8 + 8), 16)
-  }
+  private def phashWord(token: String, seed: Int, word: Int): Long =
+    PortableHash.phashWordLocal(token, seed, word)
 
   /** Query-side sparse embedding: (bucket, wq), computed driver-side
     * (a handful of terms) with the identical hash convention. */
@@ -66,8 +61,7 @@ object HybridSearch {
       .agg(sum(col("tf") * log(col("n").cast("double") / col("df"))).as("kw_raw"))
 
     // ---- vector: sparse cosine vs the query embedding ------------------
-    val w = ModelRegistry.embed(s, dir,
-      ModelRegistry.EmbedModel("HYBRID_HASH", Dim, EmbedSeed))
+    val w = ModelRegistry.embed(s, dir, Model)
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
     val qw = queryWeights.toDF("bucket", "wq")
     val qnorm = math.sqrt(queryWeights.map(p => (p._2 * p._2).toDouble).sum)
@@ -77,12 +71,16 @@ object HybridSearch {
       .select(col("doc_id"), (col("dot") / (col("nrm") * lit(qnorm))).as("vec_raw"))
 
     // ---- min-max score fusion ------------------------------------------
-    val scored = docs
-      .join(kw, Seq("doc_id"), "left")
-      .join(vec, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        round(coalesce(col("kw_raw"), lit(0.0)), 4).as("kw_score"),
-        round(coalesce(col("vec_raw"), lit(0.0)), 4).as("vec_score"))
+    // scored feeds two branches (global bounds + final projection) —
+    // materialize once like the other multi-consumer intermediates.
+    val scored = graft.functions.DfCache.getOrElseUpdate(s, s"hybridScored:$dir") {
+      docs
+        .join(kw, Seq("doc_id"), "left")
+        .join(vec, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(coalesce(col("kw_raw"), lit(0.0)), 4).as("kw_score"),
+          round(coalesce(col("vec_raw"), lit(0.0)), 4).as("vec_score"))
+    }
     val bounds = scored.agg(
       min("kw_score").as("kmin"), max("kw_score").as("kmax"),
       min("vec_score").as("vmin"), max("vec_score").as("vmax"))

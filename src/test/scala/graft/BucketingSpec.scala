@@ -13,6 +13,7 @@ class BucketingSpec extends AnyFunSuite {
   test("bucketed fact-fact join plans without exchanges") {
     // default warehouse dir (./spark-warehouse, gitignored); the
     // warehouse location is a static conf and can't move per-test.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       Tables.lineitem(spark, sf).write.mode("overwrite")
@@ -41,7 +42,7 @@ class BucketingSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
 }
