@@ -24,6 +24,7 @@ object SparkEntry {
       (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracleSql),
       (IvfIndex.queries, IvfIndex.oracleSql),
       (HybridSearch.queries, HybridSearch.oracleSql),
+      (Pipeline.queries, Pipeline.oracleSql),
       (EmbeddingLsh.queries, EmbeddingLsh.oracleSql),
       (ModelRegistry.queries, ModelRegistry.oracleSql))
 
