@@ -24,10 +24,16 @@ object Pipeline {
   def e2e(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     // near-dups from the verified MinHash pairs; the larger id of each
-    // pair is the duplicate, the smaller the keeper
-    val dupDocs = Dedup.minhashLsh(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    // pair is the duplicate, the smaller the keeper. The funnel's seven
+    // stage aggregates all hang off these two frames — materialize them
+    // once or the minhash DAG re-runs per stage.
+    val dupDocs = graft.functions.DfCache.getOrElseUpdate(s, s"pipeDups:$dir") {
+      Dedup.minhashLsh(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    }
     val afterDedup = docs.join(dupDocs, Seq("doc_id"), "left_anti")
-    val qual = TextAnalysis.quality(s, dir).select(col("doc_id"), col("quality"))
+    val qual = graft.functions.DfCache.getOrElseUpdate(s, s"pipeQuality:$dir") {
+      TextAnalysis.quality(s, dir).select(col("doc_id"), col("quality"))
+    }
     val afterQuality = afterDedup.join(qual, "doc_id")
       .filter(col("quality") >= QualityMin).select("doc_id")
     val chunks = DocPipeline.chunks(s, dir).join(afterQuality, "doc_id")
