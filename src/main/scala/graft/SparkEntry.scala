@@ -38,30 +38,34 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.iterator.map(_._1).reduce(_ ++ _)
 
-  /** Correctness (t2) runs at this scale factor; oracle SQL resolves
-    * table names to parquet paths here so the SQL is self-contained —
-    * it works whether or not the harness registers views (TESTDATA.md
-    * lists only the TPC-H tables; documents/embeddings registration is
-    * unspecified). */
+  /** Default SF for `oracleSql` when no explicit dir is given (the
+    * driver's correctness gate runs Verify at sf0.01). Verify itself
+    * emits `oracleSqlFor(itsActualSfDir)` so the SQL always targets
+    * the same data the Spark side read. */
   val OracleSfDir = "/root/testdata/sf0.01"
 
   /** Prepend CTEs binding each referenced table name to its parquet
-    * path, leaving the query body untouched (CTEs shadow any views the
-    * harness may or may not have registered). */
-  private def pathify(sql: String): String = {
+    * path under `sfDir`, leaving the query body untouched (CTEs shadow
+    * any views the harness may or may not have registered — TESTDATA.md
+    * lists only the TPC-H tables; documents/embeddings registration is
+    * unspecified). */
+  private def pathify(sfDir: String, sql: String): String = {
     val used = Tables.names.filter(n => ("\\b" + n + "\\b").r.findFirstIn(sql).isDefined)
     if (used.isEmpty) sql
     else {
       val defs = used.map(n =>
-        s"$n AS (SELECT * FROM read_parquet('$OracleSfDir/$n.parquet'))").mkString(",\n")
+        s"$n AS (SELECT * FROM read_parquet('$sfDir/$n.parquet'))").mkString(",\n")
       val body = sql.trim
       if (body.take(5).equalsIgnoreCase("WITH ")) s"WITH $defs,\n${body.drop(5)}"
       else s"WITH $defs\n$body"
     }
   }
 
+  /** Oracle SQL with table paths bound to `sfDir`. */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    groups.iterator.map(_._2).reduce(_ ++ _).map { case (k, v) => k -> pathify(sfDir, v) }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    groups.iterator.map(_._2).reduce(_ ++ _).map { case (k, v) => k -> pathify(v) }
+  def oracleSql: Map[String, String] = oracleSqlFor(OracleSfDir)
 }

@@ -274,7 +274,7 @@ object Analytics {
     "q_events_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |    epoch_ns(ts) // 1000000000 AS sec
         |  FROM events),
         |marked AS (
         |  SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS new_sess
@@ -305,7 +305,7 @@ object Analytics {
     "q_asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |    epoch_ns(ts) // 1000000000 AS sec
         |  FROM events WHERE event_type IN ('error', 'purchase')),
         |c AS (
         |  SELECT *,

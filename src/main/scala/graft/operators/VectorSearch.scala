@@ -137,19 +137,21 @@ object VectorSearch {
 
   /** Same batch-knn result through the custom KnnJoin operator
     * (LogicalPlan + Strategy + SparkPlan): broadcast index side,
-    * per-row bounded heap, no shuffle. k=16 margin then re-rank on the rounded
-    * distance so tie-breaks match the oracle's (rounded, id) order. */
+    * per-row bounded heap, no shuffle. The distance is rounded and
+    * tie-broken on nid INSIDE the operator, so the kept k=6 are exactly
+    * the oracle's first 6 by (rounded dist, nid); dropping the self
+    * match (≤1 row) leaves the exact top-5. */
   def knnJoin(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val nbr = Tables.embeddings(s, dir)
       .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("rdist"), col("nid"))
-    graft.plans.KnnJoin(emb, nbr, "embedding", "nvec", k = 16, metric = "cosine")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("nid"))
+    graft.plans.KnnJoin(emb, nbr, "embedding", "nvec", k = 6, metric = "cosine",
+        roundDp = 4, tieBreak = Some("nid"))
       .filter(col("vec_id") =!= col("nid"))
-      .select(col("vec_id"), col("nid"), round(col("dist"), 4).as("rdist"))
+      .select(col("vec_id"), col("nid"), col("dist"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
-      .select(col("vec_id"), col("nid"), col("rdist").as("dist"), col("rnk"))
       .orderBy(col("vec_id"), col("rnk"))
   }
 

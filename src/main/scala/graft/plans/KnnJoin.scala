@@ -32,6 +32,8 @@ case class KnnJoinPlan(
     rightVec: Attribute,
     k: Int,
     metric: String,
+    roundDp: Int = -1,
+    rightTie: Option[Attribute] = None,
     distAttr: AttributeReference =
       AttributeReference("dist", DoubleType, nullable = false)())
   extends BinaryNode {
@@ -51,6 +53,8 @@ case class KnnJoinExec(
     rightVec: Attribute,
     k: Int,
     metric: String,
+    roundDp: Int,
+    rightTie: Option[Attribute],
     distAttr: AttributeReference)
   extends BinaryExecNode {
 
@@ -61,8 +65,16 @@ case class KnnJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val rightRows = right.executeCollect()
     val rightVecBound = BindReferences.bindReference(rightVec: Expression, right.output)
-    val rightData: Array[(InternalRow, Array[Float])] = rightRows.map { r =>
-      (r, rightVecBound.eval(r).asInstanceOf[ArrayData].toFloatArray())
+    val rightTieBound = rightTie.map(t => BindReferences.bindReference(t: Expression, right.output))
+    // tie value: a caller-chosen integral right-side id (so heap order
+    // matches an external "(dist, id)" total order), else the collect
+    // index (arbitrary but deterministic within a run).
+    val rightData: Array[(InternalRow, Array[Float], Long)] = rightRows.zipWithIndex.map { case (r, i) =>
+      val tie = rightTieBound.map(_.eval(r) match {
+        case l: java.lang.Long => l.longValue()
+        case n: java.lang.Number => n.longValue()
+      }).getOrElse(i.toLong)
+      (r, rightVecBound.eval(r).asInstanceOf[ArrayData].toFloatArray(), tie)
     }
     val bc = sparkContext.broadcast(rightData)
     val leftOut = left.output
@@ -70,26 +82,37 @@ case class KnnJoinExec(
     val m = metric
     val kk = k
     val lv = leftVec
+    val dp = roundDp
     left.execute().mapPartitions { it =>
       val data = bc.value
       val leftVecBound = BindReferences.bindReference(lv: Expression, leftOut)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val joinedLR = new JoinedRow
       val joinedAll = new JoinedRow
-      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+      val ord = Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Long, Ordering.Int)
+      // when roundDp >= 0, round INSIDE the operator (same semantics as
+      // Spark's round(d + 1e-9, dp): shortest-decimal HALF_UP) so the
+      // kept-k set is selected on the same key the consumer ranks on —
+      // rounding after a tighter unrounded heap can drop a candidate
+      // that ties on the rounded value with a smaller id (ADVICE r1).
+      val rnd: Double => Double =
+        if (dp < 0) identity
+        else d => java.math.BigDecimal.valueOf(d + 1e-9)
+          .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
       it.flatMap { lrow =>
         val lvArr = leftVecBound.eval(lrow).asInstanceOf[ArrayData].toFloatArray()
-        // bounded max-heap of (dist, rightIdx)
-        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
+        // bounded max-heap of (dist, tie, rightIdx)
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Int)](ord)
         var i = 0
         while (i < data.length) {
-          val d = VecMath.dist(m, lvArr, data(i)._2)
-          if (heap.size < kk) heap.enqueue((d, i))
-          else if (ord.lt((d, i), heap.head)) { heap.dequeue(); heap.enqueue((d, i)) }
+          val d = rnd(VecMath.dist(m, lvArr, data(i)._2))
+          val cand = (d, data(i)._3, i)
+          if (heap.size < kk) heap.enqueue(cand)
+          else if (ord.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
           i += 1
         }
         val lcopy = lrow.copy()
-        heap.toArray.sorted(ord).map { case (d, idx) =>
+        heap.toArray.sorted(ord).map { case (d, _, idx) =>
           joinedAll(joinedLR(lcopy, data(idx)._1), InternalRow(d))
           proj(joinedAll).copy(): InternalRow
         }
@@ -104,8 +127,8 @@ case class KnnJoinExec(
 
 object KnnJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case KnnJoinPlan(l, r, lv, rv, k, m, d) =>
-      KnnJoinExec(planLater(l), planLater(r), lv, rv, k, m, d) :: Nil
+    case KnnJoinPlan(l, r, lv, rv, k, m, dp, tie, d) =>
+      KnnJoinExec(planLater(l), planLater(r), lv, rv, k, m, dp, tie, d) :: Nil
     case _ => Nil
   }
 }
@@ -119,10 +142,18 @@ object KnnJoin {
         spark.experimental.extraStrategies :+ KnnJoinStrategy
 
   /** For every left row: its k nearest right rows by `metric` distance
-    * between `leftVecCol` and `rightVecCol`, plus a `dist` column. */
+    * between `leftVecCol` and `rightVecCol`, plus a `dist` column.
+    *
+    * `roundDp >= 0` rounds the distance inside the operator (Spark
+    * `round(d + 1e-9, dp)` semantics) BEFORE heap selection;
+    * `tieBreak` names an integral right-side column used as the heap's
+    * secondary sort key, making the kept k exactly the k smallest by
+    * (rounded dist, tieBreak) — the order an oracle's
+    * `ORDER BY dist, id` would produce. */
   def apply(leftDf: DataFrame, rightDf: DataFrame,
       leftVecCol: String, rightVecCol: String,
-      k: Int, metric: String = "cosine"): DataFrame = {
+      k: Int, metric: String = "cosine",
+      roundDp: Int = -1, tieBreak: Option[String] = None): DataFrame = {
     require(VecMath.metrics.contains(metric),
       s"unknown metric $metric (one of ${VecMath.metrics.mkString(",")})")
     val spark = leftDf.sparkSession
@@ -133,6 +164,8 @@ object KnnJoin {
       .getOrElse(throw new IllegalArgumentException(s"no column $leftVecCol on left"))
     val rv = r.output.find(_.name == rightVecCol)
       .getOrElse(throw new IllegalArgumentException(s"no column $rightVecCol on right"))
-    GraftColumnBridge.ofRows(spark, KnnJoinPlan(l, r, lv, rv, k, metric))
+    val tie = tieBreak.map(t => r.output.find(_.name == t)
+      .getOrElse(throw new IllegalArgumentException(s"no column $t on right")))
+    GraftColumnBridge.ofRows(spark, KnnJoinPlan(l, r, lv, rv, k, metric, roundDp, tie))
   }
 }
