@@ -16,6 +16,7 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Analytics.queries, Analytics.oracleSql),
+      (Analytics2.queries, Analytics2.oracleSql),
       (VectorSearch.queries, VectorSearch.oracleSql),
       (DocPipeline.queries, DocPipeline.oracleSql),
       (Dedup.queries, Dedup.oracleSql),

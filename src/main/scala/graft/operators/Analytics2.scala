@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.SafeRound.round
+
+import graft.Tables
+
+/** Second analytics wave: the TPC-H patterns round 1 didn't cover —
+  * two-sided nation joins (Q7), correlated-subquery decorrelation
+  * (Q17/Q22 shape), semi-join EXISTS (Q4), outer-join distributions
+  * (Q13), CUBE grouping sets, distinct aggregates (Q16), and
+  * window-over-aggregate (YoY growth).
+  *
+  * Scale notes (100 TB):
+  *  - correlated subqueries are DECORRELATED into aggregate+join — the
+  *    only plan shape that distributes (per-row subquery execution does
+  *    not); the per-key aggregate is partial-agg friendly and the join
+  *    shuffles both sides on the correlation key once.
+  *  - EXISTS becomes a left-semi join: Spark stops probing a key after
+  *    the first match and never materializes the right payload.
+  *  - Q13's left outer join keeps the fact side un-exploded (orders
+  *    aggregated per customer AFTER the join; count(col) skips nulls).
+  *  - distinct aggregation (Q16) plans as a two-phase partial
+  *    distinct: dedup on (group, value) locally before the exchange.
+  *  - the threshold in q17 filters on an EXACT value: l_quantity is
+  *    integral so sum/avg are exact doubles in any accumulation order —
+  *    no cross-engine float drift at the comparison boundary.
+  */
+object Analytics2 {
+
+  private val NationA = "NATION_1"
+  private val NationB = "NATION_2"
+
+  /** Q7-style volume shipping: revenue flowing between two nations
+    * (supplier side ↔ customer side), by year and direction. */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("snk"))
+      .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+      .filter((col("supp_nation") === NationA && col("cust_nation") === NationB) ||
+        (col("supp_nation") === NationB && col("cust_nation") === NationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q17-style small-quantity revenue: lineitems below 20% of their
+    * part's average quantity, aggregated per brand. The correlated
+    * `(SELECT 0.2*avg(l_quantity) WHERE l_partkey = p_partkey)` is
+    * decorrelated into a per-part aggregate joined back on partkey. */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val cut = l.groupBy(col("l_partkey").as("pk"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_cut"))
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+    l.join(cut, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
+  /** Correlated-subquery pattern: orders whose totalprice exceeds 1.5×
+    * their customer's average order value (decorrelated via per-key
+    * aggregate + equi-join; ratios compared on the ROUNDED value so
+    * both engines cut at the same boundary). */
+  def qCorrAboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val ca = o.groupBy(col("o_custkey").as("ck"))
+      .agg(avg(col("o_totalprice")).as("cavg"))
+    o.join(ca, col("o_custkey") === col("ck"))
+      .withColumn("ratio", round(col("o_totalprice") / col("cavg"), 6))
+      .filter(col("ratio") > 1.5)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_above"), round(max(col("ratio")), 4).as("max_ratio"))
+      .orderBy("o_custkey")
+  }
+
+  /** CUBE grouping sets over (returnflag, linestatus) — all four
+    * grouping combinations in one pass (ROLLUP's superset). */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("sum_disc_price"), col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q16-style distinct supplier count per part type (two-phase
+    * partial-distinct aggregation — dedup before the exchange). */
+  def qSupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select("p_partkey", "p_type")
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_type")
+  }
+
+  /** Q4-style EXISTS: orders in 1996Q3 with at least one lineitem
+    * shipped more than 30 days after the order date — a left-semi
+    * join, counted per priority. */
+  def qOrderPriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q13-style customer order-count distribution, INCLUDING customers
+    * with zero orders (left outer join; count(col) skips nulls). */
+  def qCustOrderDist(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Year-over-year revenue growth per supplier nation: window (lag)
+    * over an aggregate; the ratio is taken on the ROUNDED revenues so
+    * both engines derive growth from identical inputs. */
+  def qYoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    val rev = Tables.lineitem(s, dir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("l_year"))
+    rev.withColumn("prev", lag(col("revenue"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("n_name"), col("l_year"), col("revenue"),
+        round(col("revenue") / col("prev") - 1.0, 4).as("growth"))
+      .orderBy("n_name", "l_year")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q17_small_qty" -> (q17SmallQty _),
+    "q_corr_above_avg" -> (qCorrAboveAvg _),
+    "q_cube" -> (qCube _),
+    "q_supplier_cnt" -> (qSupplierCnt _),
+    "q_order_priority_exists" -> (qOrderPriorityExists _),
+    "q_cust_order_dist" -> (qCustOrderDist _),
+    "q_yoy_growth" -> (qYoyGrowth _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  round(1e-9 + sum(volume), 2) AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    year(l_shipdate) AS l_year,
+         |    l_extendedprice * (1 - l_discount) AS volume
+         |  FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE (n1.n_name = '$NationA' AND n2.n_name = '$NationB')
+         |     OR (n1.n_name = '$NationB' AND n2.n_name = '$NationA'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q17_small_qty" ->
+      """WITH cut AS (
+        |  SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_cut
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand,
+        |  round(1e-9 + sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |  JOIN cut ON l_partkey = pk
+        |  JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity < qty_cut
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_corr_above_avg" ->
+      """WITH ca AS (
+        |  SELECT o_custkey AS ck, avg(o_totalprice) AS cavg
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT o_custkey, round(1e-9 + o_totalprice / cavg, 6) AS ratio
+        |  FROM orders JOIN ca ON o_custkey = ck)
+        |SELECT o_custkey, count(*) AS n_above,
+        |  round(1e-9 + max(ratio), 4) AS max_ratio
+        |FROM r WHERE ratio > 1.5
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  round(1e-9 + sum(l_quantity), 2) AS sum_qty,
+        |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_supplier_cnt" ->
+      """SELECT p_type, count(DISTINCT l_suppkey) AS supplier_cnt,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q_order_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_cust_order_dist" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_yoy_growth" ->
+      """WITH rev AS (
+        |  SELECT n_name, year(l_shipdate) AS l_year,
+        |    round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT n_name, l_year, revenue,
+        |    lag(revenue) OVER (PARTITION BY n_name ORDER BY l_year) AS prev
+        |  FROM rev)
+        |SELECT n_name, l_year, revenue,
+        |  round(1e-9 + revenue / prev - 1.0, 4) AS growth
+        |FROM lagged WHERE prev IS NOT NULL
+        |ORDER BY n_name, l_year""".stripMargin)
+}
