@@ -18,6 +18,7 @@ object SparkEntry {
       (Analytics.queries, Analytics.oracleSql),
       (Analytics2.queries, Analytics2.oracleSql),
       (VectorSearch.queries, VectorSearch.oracleSql),
+      (BinaryVector.queries, BinaryVector.oracleSql),
       (DocPipeline.queries, DocPipeline.oracleSql),
       (Dedup.queries, Dedup.oracleSql),
       (TextAnalysis.queries, TextAnalysis.oracleSql),
@@ -26,6 +27,7 @@ object SparkEntry {
       (IvfIndex.queries, IvfIndex.oracleSql),
       (HybridSearch.queries, HybridSearch.oracleSql),
       (Pipeline.queries, Pipeline.oracleSql),
+      (TrainingPipeline.queries, TrainingPipeline.oracleSql),
       (EmbeddingLsh.queries, EmbeddingLsh.oracleSql),
       (ModelRegistry.queries, ModelRegistry.oracleSql))
 

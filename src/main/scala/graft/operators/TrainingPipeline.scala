@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.SafeRound.round
+
+import graft.Tables
+import graft.functions.PortableHash
+import graft.functions.TextFunctions._
+
+/** Dataset-preparation operators a large-scale training pipeline runs
+  * after dedup/quality filtering: deterministic splits, stratified
+  * re-balancing, sequence packing, and token-budget accounting.
+  *
+  * Scale design (100 TB):
+  *  - splits and samples are HASH-deterministic, not random: membership
+  *    is a pure function of the key, so re-runs, backfills, and late
+  *    partitions land identically — no shuffled global sample, no RNG
+  *    state. This is one narrow map over the corpus.
+  *  - sequence packing never builds a global order (a global running
+  *    sum is the classic anti-scale pattern): docs are sharded by hash
+  *    and packed WITHIN shards — exactly how per-worker packing behaves
+  *    in a real loader; each shard's window sorts only its own slice.
+  *  - token accounting is a plain partial-agg + a 20-row window.
+  */
+object TrainingPipeline {
+
+  /** Tokens per document (whitespace tokenization of normalized text —
+    * the corpus-wide counting convention shared with TextAnalysis). */
+  private def nTokens(c: org.apache.spark.sql.Column) = size(tokens(c)).cast("long")
+
+  /** Deterministic train/val/test split: bucket = md5(doc_id) mod 100 →
+    * 90/5/5. Membership is a pure function of doc_id. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket", PortableHash.phash(col("doc_id"), 7) % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split")
+
+  /** Stratified downsampling: keep 30% of the dominant language (en),
+    * 60% of the rest — hash-thresholded so the sample is deterministic
+    * and re-runnable. Reports per-language keep rates. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("keep",
+        (PortableHash.phash(col("doc_id"), 11) % 1000 <
+          when(col("lang") === "en", 300).otherwise(600)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+        round(sum(col("keep")).cast("double") / count(lit(1)), 4).as("kept_frac"))
+      .orderBy("lang")
+
+  /** Sequence packing (concat-and-cut, budget 2048 tokens): documents
+    * are hash-sharded (8 shards = "workers"), ordered by doc_id within
+    * the shard, and a doc starts bin ⌊tokens-before/2048⌋ — the
+    * concatenate-then-slice packing of GPT-style pretraining loaders,
+    * computed per shard so no global order or single-partition window
+    * exists anywhere. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (PortableHash.phash(col("doc_id"), 13) % 8).as("shard"),
+        nTokens(col("text")).as("ntok"))
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("bin", expr(s"(cum - ntok) div $budget"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+      .orderBy("shard", "bin")
+  }
+
+  /** Token-budget accounting: tokens per (lang, source) cell with its
+    * corpus share and size rank — the report that decides what to
+    * up/down-sample next. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), nTokens(col("text")).as("ntok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"))
+    val all = Window.partitionBy()
+    val bySize = Window.orderBy(col("total_tokens").desc, col("lang"), col("source"))
+    cell
+      .withColumn("share",
+        round(col("total_tokens").cast("double") / sum(col("total_tokens")).over(all), 6))
+      .withColumn("rnk", row_number().over(bySize).cast("long"))
+      .orderBy("rnk")
+  }
+
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> length(tok) > 0)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tp_hash_split" -> (hashSplit _),
+    "tp_stratified_sample" -> (stratifiedSample _),
+    "tp_pack_sequences" -> (packSequences _),
+    "tp_token_budget" -> (tokenBudget _))
+
+  val oracleSql: Map[String, String] = Map(
+    "tp_hash_split" ->
+      s"""WITH b AS (
+         |  SELECT n_chars, ${PortableHash.duckSql("doc_id::VARCHAR", 7)} % 100 AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 90 THEN 'train'
+         |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tp_stratified_sample" ->
+      s"""WITH k AS (
+         |  SELECT lang,
+         |    CASE WHEN ${PortableHash.duckSql("doc_id::VARCHAR", 11)} % 1000 <
+         |      CASE WHEN lang = 'en' THEN 300 ELSE 600 END THEN 1 ELSE 0 END AS keep
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs, sum(keep)::BIGINT AS n_kept,
+         |  round(1e-9 + sum(keep)::DOUBLE / count(*), 4) AS kept_frac
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "tp_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${PortableHash.duckSql("doc_id::VARCHAR", 13)} % 8 AS shard,
+         |    len($toksSql)::BIGINT AS ntok
+         |  FROM documents),
+         |c AS (
+         |  SELECT shard, ntok,
+         |    sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT shard::BIGINT AS shard, ((cum - ntok) // 2048)::BIGINT AS bin,
+         |  count(*) AS n_docs, sum(ntok)::BIGINT AS sum_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "tp_token_budget" ->
+      s"""WITH cell AS (
+         |  SELECT lang, source, count(*) AS n_docs,
+         |    sum(len($toksSql))::BIGINT AS total_tokens
+         |  FROM documents GROUP BY lang, source)
+         |SELECT lang, source, n_docs, total_tokens,
+         |  round(1e-9 + total_tokens::DOUBLE / sum(total_tokens) OVER (), 6) AS share,
+         |  row_number() OVER (ORDER BY total_tokens DESC, lang, source) AS rnk
+         |FROM cell ORDER BY rnk""".stripMargin)
+}
