@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Physical-plan property assertions — the scale-shape audits from
+  * SURVEY §4, pinned as tests instead of eyeballed `.explain` output.
+  * A regression that turns a broadcast join into a shuffle join, drops
+  * a parquet filter pushdown, or sneaks in a cartesian product fails
+  * CI here long before it fails a 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q5: all dimension joins are broadcast, no shuffle join of dims, no cartesian") {
+    val p = plan(Analytics.q5NationRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    // four broadcast dims: supplier, customer, nation, region
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
+  test("q1: parquet scan pushes the shipdate filter and prunes columns") {
+    val p = plan(Analytics.q1PricingSummary(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // projection needs 7 of lineitem's 11 columns; the scan must not read the rest
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"column not pruned: $readSchema")
+    assert(!readSchema.contains("l_partkey"), s"column not pruned: $readSchema")
+  }
+
+  test("knn top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(VectorSearch.knnCosine(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the query side is a broadcast, the data side must not shuffle
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("dedup band joins are equi-joins (shuffle or broadcast), never cartesian") {
+    for (q <- Seq(Dedup.minhashLsh _, Dedup.simhash _)) {
+      val p = plan(q(spark, sf))
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("batch knn broadcasts the index side (nested-loop on broadcast, no shuffle cartesian)") {
+    val p = plan(VectorSearch.knnBatch(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q4-style EXISTS plans as a semi join") {
+    val p = plan(Analytics2.qOrderPriorityExists(spark, sf))
+    assert(p.contains("Semi"), p)
+  }
+
+  test("salted aggregation is two partial-agg phases, no extra shuffle of the raw table") {
+    val p = plan(Analytics.qUserSalted(spark, sf))
+    // exactly one exchange on (user_id, salt) then one on user_id —
+    // both HashAggregate pairs, never a sort-based fallback
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("sequence packing shards its window (no single-partition global window)") {
+    val p = plan(TrainingPipeline.packSequences(spark, sf))
+    assert(p.contains("hashpartitioning(shard"), s"window must partition by shard\n$p")
+    assert(!p.contains("SinglePartition\n   +- Window"), p)
+  }
+}
