@@ -24,6 +24,7 @@ object SparkEntry {
       (TextAnalysis.queries, TextAnalysis.oracleSql),
       (Multimodal.queries, Multimodal.oracleSql),
       (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracleSql),
+      (graft.streaming.IvfStream.queries, graft.streaming.IvfStream.oracleSql),
       (IvfIndex.queries, IvfIndex.oracleSql),
       (HybridSearch.queries, HybridSearch.oracleSql),
       (Pipeline.queries, Pipeline.oracleSql),

@@ -33,20 +33,30 @@ object IvfIndex {
   val NumProbe = 4
   val Seed = 42L
 
+  /** Fit centroids on `emb` (k-means||, cosine). The model is the
+    * reusable "index definition": batch builds and streaming upserts
+    * both assign with it. */
+  def fitModel(emb: DataFrame, k: Int = NumCentroids): org.apache.spark.ml.clustering.KMeansModel =
+    new KMeans()
+      .setK(k).setSeed(Seed).setMaxIter(20)
+      .setDistanceMeasure("cosine")
+      .setFeaturesCol("features").setPredictionCol("centroid_id")
+      .fit(emb.withColumn("features", array_to_vector(col("embedding"))))
+
+  /** Assign every vector of `emb` to its nearest centroid — one narrow
+    * map with the broadcast centroid set; works identically on a batch
+    * frame and a micro-batch inside foreachBatch. */
+  def assign(model: org.apache.spark.ml.clustering.KMeansModel, emb: DataFrame): DataFrame =
+    model.transform(emb.withColumn("features", array_to_vector(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+
   /** Assign every vector to its (cosine) nearest centroid; the
     * returned frame is the index: repartitioned on centroid_id. */
   def build(s: SparkSession, dir: String,
       k: Int = NumCentroids): (DataFrame, Array[Array[Double]]) = {
     val emb = Tables.embeddings(s, dir)
-      .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans()
-      .setK(k).setSeed(Seed).setMaxIter(20)
-      .setDistanceMeasure("cosine")
-      .setFeaturesCol("features").setPredictionCol("centroid_id")
-      .fit(emb)
-    val indexed = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      .repartition(col("centroid_id"))
+    val model = fitModel(emb, k)
+    val indexed = assign(model, emb).repartition(col("centroid_id"))
     (indexed, model.clusterCenters.map(_.toArray))
   }
 

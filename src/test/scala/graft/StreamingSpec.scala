@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Multimodal}
-import graft.streaming.Streaming
+import graft.operators.{Analytics, IvfIndex, Multimodal}
+import graft.streaming.{IvfStream, Streaming}
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -32,6 +32,22 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(stream == batch)
+  }
+
+  test("streaming IVF upsert probes identically to a batch build with the same model") {
+    // stream path: base half built in batch, odd half appended per micro-batch
+    val streamed = IvfStream.indexUpsert(spark, sf).collect().map(_.toSeq).toSeq
+    // batch path: same centroid model (seeded fit on the even half),
+    // whole table assigned in one pass
+    val emb = Tables.embeddings(spark, sf)
+    val model = IvfIndex.fitModel(emb.filter(col("vec_id") % 2 === 0))
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val batchIndex = IvfIndex.assign(model, emb).filter(col("vec_id") =!= 0)
+    val batch = IvfIndex.search(spark, batchIndex, model.clusterCenters.map(_.toArray),
+      query, k = 10).collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 10)
   }
 
   test("mm_frame_sample is deterministic and bounded by n_frames") {
