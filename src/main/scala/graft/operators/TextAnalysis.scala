@@ -95,21 +95,24 @@ object TextAnalysis {
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 shape): hash
     * 4-gram shingles, take the min over each sliding window of 4
     * consecutive shingle hashes, count the distinct selected hashes. */
-  def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    // Sliding-window mins computed as per-doc ARRAY ops (hash array →
+    // windowed array_min → array_distinct): zero shuffles, no
+    // explode+sort of the shingle stream — each doc is bounded local
+    // work, the shape that stays embarrassingly parallel at 100 TB.
+    Tables.documents(s, dir)
       .select(col("doc_id"),
-        posexplode(shingles(tokens(col("text")), 4)))
-      .select(col("doc_id"), col("pos"),
-        PortableHash.phash(col("col"), 4242).as("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, 3)
-    sh.withColumn("wmin", min(col("h")).over(w))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("wmin")).as("n_fingerprints"),
-        min(col("wmin")).as("fp_min"),
-        max(col("wmin")).as("fp_max"))
+        transform(shingles(tokens(col("text")), 4),
+          x => PortableHash.phash(x, 4242)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("hs")) - 1),
+          i => array_min(slice(col("hs"), i + 1, lit(4)))).as("wm"))
+      .select(col("doc_id"),
+        size(array_distinct(col("wm"))).cast("long").as("n_fingerprints"),
+        array_min(col("wm")).as("fp_min"),
+        array_max(col("wm")).as("fp_max"))
       .orderBy("doc_id")
-  }
 
   /** Corpus token frequency top-100 with the BPE-ish regex tokenizer
     * (word pieces: runs of letters, digits, or single punctuation). */

@@ -95,10 +95,22 @@ case class KnnJoinExec(
       // kept-k set is selected on the same key the consumer ranks on —
       // rounding after a tighter unrounded heap can drop a candidate
       // that ties on the rounded value with a smaller id (ADVICE r1).
+      // Fast path: half-up in doubles — identical to the BigDecimal
+      // semantics whenever the scaled value is >1e-9 away from a half
+      // boundary (the +1e-9 nudge guarantees exactly that for values on
+      // a ≥1e-7 grid); the rare near-boundary case falls back.
       val rnd: Double => Double =
         if (dp < 0) identity
-        else d => java.math.BigDecimal.valueOf(d + 1e-9)
-          .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
+        else {
+          val scale = math.pow(10, dp)
+          d => {
+            val y = (d + 1e-9) * scale
+            if (math.abs(y - math.floor(y) - 0.5) < 1e-9)
+              java.math.BigDecimal.valueOf(d + 1e-9)
+                .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
+            else math.floor(y + 0.5) / scale
+          }
+        }
       it.flatMap { lrow =>
         val lvArr = leftVecBound.eval(lrow).asInstanceOf[ArrayData].toFloatArray()
         // bounded max-heap of (dist, tie, rightIdx)

@@ -93,7 +93,8 @@ class CoreSpec extends AnyFunSuite {
   test("every query has oracle sql or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("vs_knn_ivf", "dedup_embedding_lsh", "mm_frame_sample",
-      "stream_sessionize", "vs_to_vector_roundtrip", "model_registry")
+      "stream_sessionize", "vs_to_vector_roundtrip", "model_registry",
+      "stream_index_upsert")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }
