@@ -81,7 +81,72 @@ object EmbeddingLsh {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** ANN top-k via the hyperplane sketch: candidates are vectors
+    * sharing at least one 4-bit band with the query's sketch, then
+    * exact cosine re-ranking. Unlike k-means IVF this pruning is a
+    * pure hash function, so the DuckDB oracle reproduces the EXACT
+    * candidate set and the result is hash-checked, not rows-only.
+    *
+    * Scale shape: the query's sketch is computed driver-side (24
+    * dot products), the probe is a narrow scan + 6-term band filter +
+    * exact kernel + TakeOrderedAndProject — no join, no shuffle; on a
+    * band-bucketed layout the filter prunes partitions like IVF. */
+  def annSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val pl = planes(dim)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0).toArray
+    val qsk = sketch(query, pl)
+    val sketches = emb.filter(col("vec_id") =!= 0).as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, v, sketch(v, pl)) })
+      .toDF("vec_id", "embedding", "sk")
+    val sharesBand = (0 until NumBands)
+      .map(b => (shiftrightunsigned(col("sk"), b * BandBits) % (1 << BandBits)) ===
+        ((qsk >>> (b * BandBits)) % (1 << BandBits)))
+      .reduce(_ || _)
+    val qlit = array(query.map(f => lit(f)).toIndexedSeq: _*).cast("array<float>")
+    sketches.filter(sharesBand)
+      .select(col("vec_id"),
+        round(FloatVecDistance.cosine(col("embedding"), qlit), 4).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** DuckDB fragment: the 24-bit sketch of `vec` — identical plane
+    * derivation (md5 first-byte parity) and identical left-to-right
+    * double accumulation as the Scala `sketch`. */
+  private def skSql(vec: String): String =
+    s"""list_sum([CASE WHEN list_sum([$vec[i+1]::DOUBLE *
+       |      (CASE WHEN CAST(('0x' || substr(md5(b || ':' || i), 1, 2)) AS UBIGINT) % 2 = 0
+       |       THEN 1.0 ELSE -1.0 END)
+       |    for i in generate_series(0, len($vec) - 1)]) > 0
+       |  THEN CAST(2 ** b AS BIGINT) ELSE 0 END
+       |  for b in generate_series(0, ${NumBits - 1})])::BIGINT""".stripMargin
+
+  private def dCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum([$x[i]::DOUBLE * $y[i]::DOUBLE for i in generate_series(1, len($x))])"
+    def norm(x: String) = s"sqrt(${dot(x, x)})"
+    s"1 - ${dot(a, b)} / (${norm(a)} * ${norm(b)})"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_embedding_lsh" -> (pairs _))
-  val oracleSql: Map[String, String] = Map.empty
+    "dedup_embedding_lsh" -> (pairs _),
+    "vs_knn_lsh" -> (annSearch _))
+  val oracleSql: Map[String, String] = Map(
+    "vs_knn_lsh" ->
+      s"""WITH sk AS (
+         |  SELECT vec_id, embedding, ${skSql("embedding")} AS sk
+         |  FROM embeddings),
+         |qs AS (SELECT sk AS qsk, embedding AS qv FROM sk WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT DISTINCT s.vec_id, s.embedding, q.qv
+         |  FROM sk s, qs q, generate_series(0, ${NumBands - 1}) t(band)
+         |  WHERE s.vec_id <> 0
+         |    AND (s.sk // CAST(2 ** (band * $BandBits) AS BIGINT)) % ${1 << BandBits}
+         |      = (q.qsk // CAST(2 ** (band * $BandBits) AS BIGINT)) % ${1 << BandBits})
+         |SELECT vec_id, round(1e-9 + ${dCosine("embedding", "qv")}, 4) AS dist
+         |FROM cand ORDER BY dist, vec_id LIMIT 10""".stripMargin)
 }
