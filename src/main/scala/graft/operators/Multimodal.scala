@@ -86,9 +86,24 @@ object Multimodal {
       .orderBy("doc_id", "frame")
   }
 
+  /** Resize planning: fit each image/frame into a 224×224 box
+    * preserving aspect ratio (the standard vision-model preprocessing
+    * step). The pixel transform itself belongs in the stubbed decode;
+    * the dimension arithmetic, schema, and per-doc map shape are the
+    * real pipeline piece and are oracle-checked. */
+  def resizePlan(s: SparkSession, dir: String): DataFrame =
+    decoded(s, dir).toDF()
+      .withColumn("scale",
+        least(lit(224.0) / col("width"), lit(224.0) / col("height")))
+      .select(col("doc_id"), col("fmt"), col("width"), col("height"),
+        greatest(lit(1L), floor(col("width") * col("scale")).cast("long")).as("out_w"),
+        greatest(lit(1L), floor(col("height") * col("scale")).cast("long")).as("out_h"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> (decodeMeta _),
-    "mm_frame_sample" -> (frameSample _))
+    "mm_frame_sample" -> (frameSample _),
+    "mm_resize" -> (resizePlan _))
 
   // mm_frame_sample is rows-only (Scala-side fingerprint mixing isn't
   // worth re-expressing in SQL); its exactness is spec-tested.
@@ -106,5 +121,20 @@ object Multimodal {
         |SELECT fmt, count(*) AS n_media, sum(n_bytes)::BIGINT AS total_bytes,
         |  round(1e-9 + avg(width), 4) AS avg_width, round(1e-9 + avg(height), 4) AS avg_height,
         |  sum(n_frames)::BIGINT AS total_frames
-        |FROM meta GROUP BY fmt ORDER BY fmt""".stripMargin)
+        |FROM meta GROUP BY fmt ORDER BY fmt""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'img' ELSE 'vid' END AS fmt
+        |  FROM documents),
+        |meta AS (
+        |  SELECT doc_id, fmt,
+        |    (n % 640 + 16)::BIGINT AS width, ((n * 7) % 480 + 16)::BIGINT AS height
+        |  FROM m),
+        |sc AS (
+        |  SELECT *, least(224.0 / width, 224.0 / height) AS scale FROM meta)
+        |SELECT doc_id, fmt, width, height,
+        |  greatest(1, floor(width * scale)::BIGINT) AS out_w,
+        |  greatest(1, floor(height * scale)::BIGINT) AS out_h
+        |FROM sc ORDER BY doc_id""".stripMargin)
 }

@@ -168,10 +168,43 @@ object Streaming {
     drainMemorySink(s, name).orderBy("user_id", "n_events", "sum_value")
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's errors in the following 30 minutes. Both sides are
+    * watermarked and the join carries an event-time range condition —
+    * the shape that lets Spark bound join state on a true unbounded
+    * stream (state for a purchase is evicted once the error-side
+    * watermark passes its +30 min horizon). Inner joins emit complete
+    * results under a bounded drain, so this is held to the batch
+    * range-join oracle. */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = eventStream(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      .withWatermark("pts", "30 minutes")
+    val e = eventStream(s, dir).filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("euid"), col("ts").as("ets"))
+      .withWatermark("ets", "30 minutes")
+    val joined = p.join(e,
+      col("user_id") === col("euid") &&
+        col("ets") > col("pts") &&
+        col("ets") <= col("pts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("error_id"), col("user_id"),
+        (col("ets").cast("long") - col("pts").cast("long")).as("gap_sec"))
+    val name = s"stream_interval_join_${System.nanoTime()}"
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drainMemorySink(s, name).orderBy("purchase_id", "error_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly" -> (hourly _),
     "stream_enrich" -> (enrich _),
-    "stream_sessionize" -> (sessionize _))
+    "stream_sessionize" -> (sessionize _),
+    "stream_interval_join" -> (intervalJoin _))
 
   // stream_hourly/stream_enrich are held to the batch oracles.
   val oracleSql: Map[String, String] = Map(
@@ -185,5 +218,17 @@ object Streaming {
         |  event_type, count(*) AS n,
         |  round(1e-9 + sum(value), 2) AS sum_value,
         |  round(1e-9 + avg(value), 4) AS avg_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // comparisons run on µs-truncated timestamps (epoch_ns // 1000) to
+    // match Spark's ns→µs normalization exactly; gaps on second grain.
+    "stream_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE event_type IN ('purchase', 'error'))
+        |SELECT p.event_id AS purchase_id, x.event_id AS error_id, p.user_id,
+        |  x.us // 1000000 - p.us // 1000000 AS gap_sec
+        |FROM e p JOIN e x ON p.user_id = x.user_id
+        |  AND p.event_type = 'purchase' AND x.event_type = 'error'
+        |  AND x.us > p.us AND x.us <= p.us + 1800000000
+        |ORDER BY 1, 2""".stripMargin)
 }
