@@ -145,6 +145,23 @@ object Analytics2 {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** Q22-style anti-join: above-average-balance customers with NO
+    * orders, counted per nation. The correlated NOT EXISTS becomes a
+    * left-anti join; the scalar avg subquery is a broadcast. Comparison
+    * runs on the ROUNDED average so both engines cut identically. */
+  def q22LostCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(round(avg(col("c_acctbal")), 2).as("ab"))
+    val o = Tables.orders(s, dir).select("o_custkey")
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** Year-over-year revenue growth per supplier nation: window (lag)
     * over an aggregate; the ratio is taken on the ROUNDED revenues so
     * both engines derive growth from identical inputs. */
@@ -172,6 +189,7 @@ object Analytics2 {
     "q_supplier_cnt" -> (qSupplierCnt _),
     "q_order_priority_exists" -> (qOrderPriorityExists _),
     "q_cust_order_dist" -> (qCustOrderDist _),
+    "q22_lost_customers" -> (q22LostCustomers _),
     "q_yoy_growth" -> (qYoyGrowth _))
 
   val oracleSql: Map[String, String] = Map(
@@ -245,6 +263,16 @@ object Analytics2 {
         |SELECT c_count, count(*) AS custdist
         |FROM per_cust GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q22_lost_customers" ->
+      """WITH ab AS (
+        |  SELECT round(1e-9 + avg(c_acctbal), 2) AS ab
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  round(1e-9 + sum(c_acctbal), 2) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_yoy_growth" ->
       """WITH rev AS (
         |  SELECT n_name, year(l_shipdate) AS l_year,

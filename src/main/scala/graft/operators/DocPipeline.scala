@@ -86,6 +86,33 @@ object DocPipeline {
         length(col("chunk_text")).cast("long").as("n_chars"), col("chunk_text"))
       .orderBy("doc_id", "chunk_id")
 
+  val SentMaxWords = 60
+
+  /** UTL_TO_CHUNKS `split by:"sentence"` variant (reference's
+    * documented splitter mode at 01_pdf_to_vector.sql:224-231): break
+    * on sentence boundaries, then pack consecutive sentences into
+    * ≤60-word chunks (concat-and-cut at sentence granularity, so no
+    * sentence is ever split). The per-doc window partitions on doc_id —
+    * bounded work per doc, fully parallel across docs. */
+  def chunksBySentence(s: SparkSession, dir: String): DataFrame = {
+    val sents = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(filter(split(normText(col("text")), "[.!?]+\\s+"),
+          x => length(x) > lit(0))))
+      .select(col("doc_id"), col("pos"), col("col").as("sent"))
+      .withColumn("nw",
+        size(filter(split(col("sent"), "\\s+"), x => length(x) > lit(0))).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sents.withColumn("cum", sum(col("nw")).over(w))
+      .withColumn("chunk_id", expr(s"(cum - nw) div $SentMaxWords") + 1)
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"), sum(col("nw")).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("sent")))),
+          x => x.getField("sent")), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   private def bucketOf(token: Column): Column =
     pmod(PortableHash.phashWord(token, EmbedSeed, 0), lit(Dim))
   private def signOf(token: Column): Column =
@@ -179,6 +206,7 @@ object DocPipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunk" -> (chunksOrdered _),
     "doc_chunk_chars" -> (chunksByChars _),
+    "doc_chunk_sentence" -> (chunksBySentence _),
     "doc_pipeline" -> (docPipeline _),
     "vs_chunk_knn" -> (chunkKnn _))
 
@@ -188,6 +216,26 @@ object DocPipeline {
          |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
          |  CAST(n_tokens AS BIGINT) AS n_tokens, chunk_text
          |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    "doc_chunk_sentence" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(trim(text)), '[.!?]+\\s+'),
+         |                x -> length(x) > 0) AS sents
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, i - 1 AS pos, sents[i] AS sent,
+         |    len(list_filter(regexp_split_to_array(sents[i], '\\s+'),
+         |        x -> length(x) > 0))::BIGINT AS nw
+         |  FROM t, unnest(generate_series(1, len(sents))) AS u(i)),
+         |c AS (
+         |  SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM s)
+         |SELECT doc_id, ((cum - nw) // $SentMaxWords + 1)::BIGINT AS chunk_id,
+         |  count(*) AS n_sentences, sum(nw)::BIGINT AS n_tokens,
+         |  string_agg(sent, ' ' ORDER BY pos) AS chunk_text
+         |FROM c GROUP BY doc_id, chunk_id
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     "doc_chunk_chars" ->
       s"""WITH t AS (
          |  SELECT doc_id, lower(trim(text)) AS t, length(lower(trim(text))) AS n
