@@ -60,7 +60,12 @@ object SparkEntry {
       val defs = used.map(n =>
         s"$n AS (SELECT * FROM read_parquet('$sfDir/$n.parquet'))").mkString(",\n")
       val body = sql.trim
-      if (body.take(5).equalsIgnoreCase("WITH ")) s"WITH $defs,\n${body.drop(5)}"
+      // RECURSIVE is a modifier of the whole WITH list and must stay
+      // first; non-recursive CTEs (the table bindings) are legal in a
+      // RECURSIVE list.
+      if (body.take(15).equalsIgnoreCase("WITH RECURSIVE "))
+        s"WITH RECURSIVE $defs,\n${body.drop(15)}"
+      else if (body.take(5).equalsIgnoreCase("WITH ")) s"WITH $defs,\n${body.drop(5)}"
       else s"WITH $defs\n$body"
     }
   }
