@@ -151,6 +151,20 @@ object Analytics {
       .orderBy("user_id", "sess_id")
   }
 
+  /** Sessionization through Spark's NATIVE session_window (gap-merge
+    * windows, the same construct the streaming engine uses for
+    * stateful session aggregation). Semantics differ from the
+    * lag-based qEventsSessionize at the exact-gap boundary: a new
+    * session starts at gap ≥ 30 min (session_window merges only
+    * strictly-within-gap events); the oracle mirrors that. */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("sw.start").cast("long").as("sess_start_sec"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "sess_start_sec")
+
   /** Per-user value totals via a two-phase *salted* aggregation — the
     * standard defense when a grouping key is pathologically skewed
     * (one user = 30% of events): phase 1 groups on (key, salt) so the
@@ -206,6 +220,7 @@ object Analytics {
     "q_window_supplier" -> (qWindowSupplier _),
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_sessionize" -> (qEventsSessionize _),
+    "q_session_window" -> (qSessionWindow _),
     "q_events_json" -> (qEventsJson _),
     "q_user_salted" -> (qUserSalted _),
     "q_asof_join" -> (qAsofJoin _),
@@ -290,6 +305,23 @@ object Analytics {
     "q_user_salted" ->
       """SELECT user_id, count(*) AS n_events, round(1e-9 + sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // session_window semantics: merge iff gap < 30 min (µs precision);
+    // session start = min event time, truncated to seconds on output
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e)),
+        |s AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(us) // 1000000 AS sess_start_sec,
+        |  count(*) AS n_events, round(1e-9 + sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_sec""".stripMargin,
     "q1_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,

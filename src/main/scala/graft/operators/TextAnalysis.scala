@@ -114,6 +114,40 @@ object TextAnalysis {
         array_max(col("wm")).as("fp_max"))
       .orderBy("doc_id")
 
+  /** Collocation mining: top bigrams by PMI-monotone lift. Lift =
+    * P(w1,w2)/(P(w1)·P(w2)) = c12·N²/(c1·c2·B) — the same ranking as
+    * PMI (log is monotone) but computed as a ratio of EXACT integer
+    * products (all < 2^53), so both engines produce bit-identical
+    * doubles with no libm-log divergence. Min support 5, top-50.
+    *
+    * Scale: bigram/unigram counts are partial-aggregable; the unigram
+    * side joins back by token (broadcast at any realistic vocabulary);
+    * totals are scalar broadcasts. */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0).as("toks"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i + 1).as("w1"),
+          element_at(col("toks"), (i + 2).cast("int")).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum("c").as("n")).select(col("n"))
+    val nBi = bi.agg(sum("c12").as("bn")).select(col("bn"))
+    bi.filter(col("c12") >= 5)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c12"),
+        round((col("c12") * col("n") * col("n")).cast("double") /
+          (col("c1") * col("c2") * col("bn")).cast("double"), 4).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   /** Corpus token frequency top-100 with the BPE-ish regex tokenizer
     * (word pieces: runs of letters, digits, or single punctuation). */
   def tokenFreq(s: SparkSession, dir: String): DataFrame =
@@ -149,7 +183,8 @@ object TextAnalysis {
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
     "text_fingerprint" -> (fingerprint _),
-    "text_token_freq" -> (tokenFreq _))
+    "text_token_freq" -> (tokenFreq _),
+    "text_collocations" -> (collocations _))
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> length(tok) > 0)"
@@ -228,6 +263,26 @@ object TextAnalysis {
          |SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints,
          |  min(wmin)::BIGINT AS fp_min, max(wmin)::BIGINT AS fp_max
          |FROM wm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_collocations" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |bi AS (
+        |  SELECT toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |uc AS (SELECT unnest(toks) AS w FROM t),
+        |ucc AS (SELECT w, count(*) AS c FROM uc GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM ucc),
+        |btot AS (SELECT sum(c12)::BIGINT AS bn FROM bc)
+        |SELECT w1, w2, c12,
+        |  round(1e-9 + (c12 * n * n)::DOUBLE / (u1.c * u2.c * bn)::DOUBLE, 4) AS lift
+        |FROM bc JOIN ucc u1 ON bc.w1 = u1.w JOIN ucc u2 ON bc.w2 = u2.w, tot, btot
+        |WHERE c12 >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
     "text_token_freq" ->
       """WITH tok AS (
         |  SELECT unnest(list_filter(
