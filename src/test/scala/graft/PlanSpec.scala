@@ -74,4 +74,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(shard"), s"window must partition by shard\n$p")
     assert(!p.contains("SinglePartition\n   +- Window"), p)
   }
+
+  test("q22 anti-join: NOT EXISTS plans as LeftAnti, scalar avg broadcasts") {
+    val p = plan(Analytics2.q22LostCustomers(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("collocations: unigram sides and totals broadcast, no cartesian") {
+    val p = plan(TextAnalysis.collocations(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("lsh ann probe: no join and no shuffle before the top-k") {
+    val p = plan(EmbeddingLsh.annSearch(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("fingerprint is shuffle-free up to the final sort") {
+    val p = plan(TextAnalysis.fingerprint(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
