@@ -76,8 +76,59 @@ object ModelRegistry {
     frames.reduce(_ unionAll _).orderBy("model")
   }
 
+  /** Deterministic 5% evaluation sample: hash-selected query docs. */
+  val AbSampleMod = 20
+  val AbSampleSeed = 17
+  private def inSample(c: org.apache.spark.sql.Column) =
+    PortableHash.phash(c, AbSampleSeed) % AbSampleMod === 0
+
+  /** Top-k neighbors OF THE SAMPLED QUERY DOCS under model `m`, via
+    * the sparse inverted-index join (query-side weights filtered
+    * before the bucket join — pair volume is sample × corpus density,
+    * never corpus², which is what keeps this runnable at any SF). */
+  private def neighbors(s: SparkSession, dir: String, m: EmbedModel, k: Int): DataFrame = {
+    val w = embed(s, dir, m)
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val qw = w.filter(inSample(col("doc_id")))
+    val dots = qw.select(col("doc_id").as("da"), col("bucket"), col("w").as("wa"))
+      .join(w.select(col("doc_id").as("db"), col("bucket"), col("w").as("wb")), "bucket")
+      .filter(col("da") =!= col("db"))
+      .groupBy("da", "db")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("da")).orderBy(col("sim").desc, col("db"))
+    dots
+      .join(norms.select(col("doc_id").as("da"), col("nrm").as("na")), "da")
+      .join(norms.select(col("doc_id").as("db"), col("nrm").as("nb")), "db")
+      .select(col("da"), col("db"),
+        round(col("dot").cast("double") / (col("na") * col("nb")), 4).as("sim"))
+      .withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= k)
+      .select(col("da").as("doc_id"), col("db").as("nbr"))
+  }
+
+  /** A/B model evaluation: for each sampled query doc, how many of its
+    * top-3 neighbors under model A survive under model B — the
+    * retrieval-overlap histogram that gates an embedding-model swap. */
+  def abOverlap(s: SparkSession, dir: String): DataFrame = {
+    val Seq(a, b) = catalog.sortBy(_.name).take(2)
+    val na = neighbors(s, dir, a, 3)
+    val nb = neighbors(s, dir, b, 3)
+    val matches = na.join(nb, Seq("doc_id", "nbr"))
+      .groupBy("doc_id").agg(count(lit(1)).as("m"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(inSample(col("doc_id")))
+      .join(matches, Seq("doc_id"), "left")
+      .select(coalesce(col("m"), lit(0L)).as("overlap"))
+      .groupBy("overlap")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("overlap")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "model_registry" -> (registryReport _))
+    "model_registry" -> (registryReport _),
+    "model_ab_overlap" -> (abOverlap _))
 
   private def modelSql(m: EmbedModel): String =
     s"""SELECT '${m.name}' AS model, CAST(${m.dim} AS BIGINT) AS dim,
@@ -97,8 +148,51 @@ object ModelRegistry {
        |    GROUP BY 1, 2)
        |  WHERE w <> 0 GROUP BY doc_id)""".stripMargin
 
+  /** Per-model neighbor CTE chain (suffix keeps the two models'
+    * pipelines apart in one statement). */
+  private def nbrCtes(m: EmbedModel, suf: String): String =
+    s"""w_$suf AS (
+       |  SELECT doc_id,
+       |    CAST(${PortableHash.duckSqlWord("token", m.seed, 0)} % ${m.dim} AS BIGINT) AS bucket,
+       |    sum(CAST(${PortableHash.duckSqlWord("token", m.seed, 1)} % 2 AS BIGINT) * 2 - 1) AS w
+       |  FROM tok GROUP BY 1, 2),
+       |wnz_$suf AS (SELECT * FROM w_$suf WHERE w <> 0),
+       |nrm_$suf AS (SELECT doc_id, sqrt(sum(w * w)::DOUBLE) AS nrm FROM wnz_$suf GROUP BY 1),
+       |dot_$suf AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w * b.w) AS dot
+       |  FROM wnz_$suf a JOIN wnz_$suf b
+       |    ON a.bucket = b.bucket AND a.doc_id <> b.doc_id
+       |  WHERE ${PortableHash.duckSql("a.doc_id::VARCHAR", AbSampleSeed)} % $AbSampleMod = 0
+       |  GROUP BY 1, 2),
+       |nbr_$suf AS (
+       |  SELECT da AS doc_id, db AS nbr FROM (
+       |    SELECT da, db, row_number() OVER (PARTITION BY da
+       |      ORDER BY round(1e-9 + dot::DOUBLE / (na.nrm * nb.nrm), 4) DESC, db) AS rnk
+       |    FROM dot_$suf d
+       |      JOIN nrm_$suf na ON d.da = na.doc_id
+       |      JOIN nrm_$suf nb ON d.db = nb.doc_id)
+       |  WHERE rnk <= 3)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "model_registry" ->
       catalog.sortBy(_.name).map(modelSql)
-        .mkString("", "\nUNION ALL\n", "\nORDER BY model"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY model"),
+    "model_ab_overlap" -> {
+      val Seq(a, b) = catalog.sortBy(_.name).take(2)
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    tok -> length(tok) > 0)) AS token
+         |  FROM documents),
+         |${nbrCtes(a, "a")},
+         |${nbrCtes(b, "b")},
+         |matches AS (
+         |  SELECT x.doc_id, count(*) AS m
+         |  FROM nbr_a x JOIN nbr_b y ON x.doc_id = y.doc_id AND x.nbr = y.nbr
+         |  GROUP BY 1)
+         |SELECT coalesce(m.m, 0)::BIGINT AS overlap, count(*) AS n_docs
+         |FROM documents d LEFT JOIN matches m ON d.doc_id = m.doc_id
+         |WHERE ${PortableHash.duckSql("d.doc_id::VARCHAR", AbSampleSeed)} % $AbSampleMod = 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    })
 }
