@@ -47,15 +47,27 @@ object ModelRegistry {
 
   def get(name: String): Option[EmbedModel] = loaded.get(name)
 
+  /** Exploded (doc_id, token) stream — shared by every model's embed
+    * in the session (materialized once via DfCache). */
+  private def tokenStream(s: SparkSession, dir: String): DataFrame =
+    graft.functions.DfCache.getOrElseUpdate(s, s"modelTokens:$dir") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    }
+
   /** Sparse embedding weights of each document under model `m`:
-    * (doc_id, bucket, w). */
+    * (doc_id, bucket, w). One md5 digest per (token, model) feeds BOTH
+    * the bucket word and the sign word (phashWord words 0 and 1 of the
+    * same digest) — materialized in a child projection so the hash
+    * isn't computed twice. */
   def embed(s: SparkSession, dir: String, m: EmbedModel): DataFrame =
-    Tables.documents(s, dir)
+    tokenStream(s, dir)
       .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        md5(concat(lit(s"${m.seed}:"), col("token"))).as("dg"))
       .groupBy(col("doc_id"),
-        pmod(PortableHash.phashWord(col("token"), m.seed, 0), lit(m.dim)).as("bucket"))
-      .agg(sum(PortableHash.phashWord(col("token"), m.seed, 1) % 2 * 2 - 1).as("w"))
+        pmod(conv(substring(col("dg"), 1, 8), 16, 10).cast("long"), lit(m.dim)).as("bucket"))
+      .agg(sum(conv(substring(col("dg"), 9, 8), 16, 10).cast("long") % 2 * 2 - 1).as("w"))
       .filter(col("w") =!= 0)
 
   /** model_registry query: load the catalog, embed the corpus under
@@ -82,27 +94,37 @@ object ModelRegistry {
   private def inSample(c: org.apache.spark.sql.Column) =
     PortableHash.phash(c, AbSampleSeed) % AbSampleMod === 0
 
-  /** Top-k neighbors OF THE SAMPLED QUERY DOCS under model `m`, via
-    * the sparse inverted-index join (query-side weights filtered
-    * before the bucket join — pair volume is sample × corpus density,
-    * never corpus², which is what keeps this runnable at any SF). */
+  /** Top-k neighbors OF THE SAMPLED QUERY DOCS under model `m`.
+    * Weights are densified per doc and scored sample × corpus through
+    * the codegen'd float dot kernel — integer weights are exact in
+    * float32 and their dot exact in double, so the value is
+    * bit-identical to the sparse integer formulation (the oracle),
+    * without the bucket join's pair-row blowup on dense-ish vectors. */
   private def neighbors(s: SparkSession, dir: String, m: EmbedModel, k: Int): DataFrame = {
     val w = embed(s, dir, m)
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
-    val qw = w.filter(inSample(col("doc_id")))
-    val dots = qw.select(col("doc_id").as("da"), col("bucket"), col("w").as("wa"))
-      .join(w.select(col("doc_id").as("db"), col("bucket"), col("w").as("wb")), "bucket")
+    val dense = w
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket").cast("int"), col("w").cast("float")))).as("wm"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(m.dim - 1)),
+          i => coalesce(element_at(col("wm"), i), lit(0f))).as("dv"))
+    val q = dense.filter(inSample(col("doc_id")))
+      .select(col("doc_id").as("da"), col("dv").as("qv"))
+    val dots = dense.select(col("doc_id").as("db"), col("dv"))
+      .crossJoin(broadcast(q))
       .filter(col("da") =!= col("db"))
-      .groupBy("da", "db")
-      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .select(col("da"), col("db"),
+        (-graft.functions.FloatVecDistance.dot(col("qv"), col("dv"))).as("dot"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("da")).orderBy(col("sim").desc, col("db"))
     dots
       .join(norms.select(col("doc_id").as("da"), col("nrm").as("na")), "da")
       .join(norms.select(col("doc_id").as("db"), col("nrm").as("nb")), "db")
       .select(col("da"), col("db"),
-        round(col("dot").cast("double") / (col("na") * col("nb")), 4).as("sim"))
+        round(col("dot") / (col("na") * col("nb")), 4).as("sim"))
       .withColumn("rnk", row_number().over(byDoc))
       .filter(col("rnk") <= k)
       .select(col("da").as("doc_id"), col("db").as("nbr"))
@@ -158,12 +180,20 @@ object ModelRegistry {
        |  FROM tok GROUP BY 1, 2),
        |wnz_$suf AS (SELECT * FROM w_$suf WHERE w <> 0),
        |nrm_$suf AS (SELECT doc_id, sqrt(sum(w * w)::DOUBLE) AS nrm FROM wnz_$suf GROUP BY 1),
-       |dot_$suf AS (
+       |spdot_$suf AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w * b.w) AS dot
        |  FROM wnz_$suf a JOIN wnz_$suf b
        |    ON a.bucket = b.bucket AND a.doc_id <> b.doc_id
        |  WHERE ${PortableHash.duckSql("a.doc_id::VARCHAR", AbSampleSeed)} % $AbSampleMod = 0
        |  GROUP BY 1, 2),
+       |alldocs_$suf AS (SELECT DISTINCT doc_id FROM wnz_$suf),
+       |dot_$suf AS (
+       |  -- candidate set = sample × corpus (zero-overlap pairs score 0),
+       |  -- mirroring the dense-kernel scoring on the Spark side
+       |  SELECT q.doc_id AS da, t.doc_id AS db, coalesce(sp.dot, 0) AS dot
+       |  FROM alldocs_$suf q JOIN alldocs_$suf t ON q.doc_id <> t.doc_id
+       |  LEFT JOIN spdot_$suf sp ON sp.da = q.doc_id AND sp.db = t.doc_id
+       |  WHERE ${PortableHash.duckSql("q.doc_id::VARCHAR", AbSampleSeed)} % $AbSampleMod = 0),
        |nbr_$suf AS (
        |  SELECT da AS doc_id, db AS nbr FROM (
        |    SELECT da, db, row_number() OVER (PARTITION BY da

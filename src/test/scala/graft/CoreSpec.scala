@@ -90,6 +90,19 @@ class CoreSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("union-find and distributed label propagation agree on dup clusters") {
+    import graft.operators.Dedup
+    val pairs = Dedup.minhashLsh(spark, sf).select(col("doc_a"), col("doc_b"))
+    val distributed = Dedup.propagate(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // public path takes the driver union-find branch at this size
+    val unionFind = Dedup.components(spark, sf)
+      .select(col("doc_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unionFind == distributed)
+    assert(unionFind.nonEmpty)
+  }
+
   test("every query has oracle sql or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("vs_knn_ivf", "dedup_embedding_lsh", "mm_frame_sample",
