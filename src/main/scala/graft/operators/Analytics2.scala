@@ -181,7 +181,49 @@ object Analytics2 {
       .orderBy("n_name", "l_year")
   }
 
+  /** Weekly cohort retention: of the users active in week w, how many
+    * are active again in week w+1. One distinct (user, week) pass,
+    * then a self equi-join on (user, week+7d) — no window, no
+    * cross-week shuffle beyond the join key. */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wts"))
+      .distinct()
+    val nxt = uw.select(col("user_id"), col("wts").as("nwts"))
+    uw.join(nxt,
+        uw("user_id") === nxt("user_id") &&
+          col("nwts") === col("wts") + expr("INTERVAL 7 DAYS"),
+        "left_outer")
+      .groupBy(date_format(col("wts"), "yyyy-MM-dd").as("week"))
+      .agg(count(lit(1)).as("n_active"),
+        count(col("nwts")).as("n_retained"))
+      .withColumn("retention",
+        round(col("n_retained").cast("double") / col("n_active"), 4))
+      .orderBy("week")
+  }
+
+  /** Event funnel: view → click → purchase, ordered by each user's
+    * FIRST occurrence of each stage (µs-exact). One groupBy with
+    * conditional mins — a single shuffle on user_id. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val us = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    us.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("v"),
+        min(when(col("event_type") === "click", col("us"))).as("c"),
+        min(when(col("event_type") === "purchase", col("us"))).as("p"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("c") > col("v"), 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("p") > col("c") && col("c") > col("v"), 1L).otherwise(0L)).as("n_full"))
+      .withColumn("view_rate", round(col("n_view").cast("double") / col("n_users"), 4))
+      .withColumn("full_rate", round(col("n_full").cast("double") / col("n_users"), 4))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention" -> (qRetention _),
+    "q_funnel" -> (qFunnel _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q17_small_qty" -> (q17SmallQty _),
     "q_corr_above_avg" -> (qCorrAboveAvg _),
@@ -193,6 +235,29 @@ object Analytics2 {
     "q_yoy_growth" -> (qYoyGrowth _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wts FROM events)
+        |SELECT strftime(a.wts, '%Y-%m-%d') AS week,
+        |  count(*) AS n_active, count(b.wts) AS n_retained,
+        |  round(1e-9 + count(b.wts)::DOUBLE / count(*), 4) AS retention
+        |FROM uw a LEFT JOIN uw b
+        |  ON a.user_id = b.user_id AND b.wts = a.wts + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS v,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS c,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS p
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_view,
+        |  sum(CASE WHEN c > v THEN 1 ELSE 0 END)::BIGINT AS n_view_click,
+        |  sum(CASE WHEN p > c AND c > v THEN 1 ELSE 0 END)::BIGINT AS n_full,
+        |  round(1e-9 + sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS view_rate,
+        |  round(1e-9 + sum(CASE WHEN p > c AND c > v THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS full_rate
+        |FROM f""".stripMargin,
     "q7_volume_shipping" ->
       s"""SELECT supp_nation, cust_nation, l_year,
          |  round(1e-9 + sum(volume), 2) AS revenue
