@@ -94,7 +94,55 @@ object HybridSearch {
       .limit(TopK)
   }
 
+  /** MMR (maximal marginal relevance) diversity re-rank over the dense
+    * embeddings table: the distributed side scores the corpus and
+    * takes the top-20 candidates (TakeOrderedAndProject); the greedy
+    * selection then runs on the driver over that k-bounded set — the
+    * standard RAG post-processing topology (candidate generation
+    * distributes, the O(k²) rerank is trivially driver-side).
+    * Deterministic: rounded sims, id tie-breaks. Rows-only
+    * (sequential greedy argmax isn't SQL-expressible); CoreSpec
+    * asserts top-1 fidelity, size, and diversity vs the plain top-k. */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lambda = 0.7
+    val nCand = 20
+    val k = 5
+    val emb = Tables.embeddings(s, dir)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0).toArray
+    val qlit = array(query.map(f => lit(f)).toIndexedSeq: _*).cast("array<float>")
+    val cands = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(lit(1.0) - graft.functions.FloatVecDistance.cosine(col("embedding"), qlit), 4).as("qsim"),
+        col("embedding"))
+      .orderBy(col("qsim").desc, col("vec_id"))
+      .limit(nCand)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+    def sim(a: Array[Float], b: Array[Float]): Double =
+      1.0 - graft.functions.VecMath.dist("cosine", a, b)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, qs, v) =>
+        val maxSel = if (selected.isEmpty) 0.0
+          else selected.map(sel => sim(v, sel._3)).max
+        val mmr = BigDecimal(lambda * qs - (1 - lambda) * maxSel + 1e-9)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, qs, v, mmr)
+      }
+      val best = scored.minBy { case (id, _, _, m) => (-m, id) }
+      selected += ((best._1, best._4, best._3))
+      remaining --= remaining.filter(_._1 == best._1)
+    }
+    selected.zipWithIndex
+      .map { case ((id, mmr, _), i) => (i + 1L, id, mmr) }
+      .toSeq.toDF("rnk", "vec_id", "mmr_score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vs_mmr_rerank" -> (mmrRerank _),
     "vs_hybrid_search" -> (search _))
 
   private val qTermsSql = QueryTerms.map(t => s"('$t')").mkString(", ")

@@ -103,11 +103,24 @@ class CoreSpec extends AnyFunSuite {
     assert(unionFind.nonEmpty)
   }
 
+  test("mmr rerank: top-1 fidelity, size, and diversity improvement") {
+    import graft.operators.{HybridSearch, VectorSearch}
+    val mmr = HybridSearch.mmrRerank(spark, sf).collect()
+    assert(mmr.length == 5)
+    assert(mmr.map(_.getLong(0)).toSeq == (1L to 5L))
+    // first pick is the exact nearest neighbor
+    val top1 = VectorSearch.knnCosine(spark, sf).collect()(0).getLong(0)
+    assert(mmr(0).getLong(1) == top1)
+    // deterministic across runs
+    val again = HybridSearch.mmrRerank(spark, sf).collect()
+    assert(mmr.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("every query has oracle sql or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("vs_knn_ivf", "dedup_embedding_lsh", "mm_frame_sample",
       "stream_sessionize", "vs_to_vector_roundtrip", "model_registry",
-      "stream_index_upsert")
+      "stream_index_upsert", "vs_mmr_rerank")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }
