@@ -200,11 +200,36 @@ object Streaming {
     drainMemorySink(s, name).orderBy("purchase_id", "error_id")
   }
 
+  /** Exactly-once ingestion semantics over an at-least-once source:
+    * the stream unioned with itself (every event delivered twice)
+    * deduplicates on event_id under a watermark, and the downstream
+    * counts must equal the single-copy batch truth. This is the
+    * standard `dropDuplicates`-with-watermark topology — state holds
+    * only ids younger than the watermark horizon. */
+  def dedupStream(s: SparkSession, dir: String): DataFrame = {
+    val once = eventStream(s, dir)
+    val twice = once.union(eventStream(s, dir))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicates("event_id")
+    val agg = twice.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    val name = s"stream_dedup_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drainMemorySink(s, name).orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly" -> (hourly _),
     "stream_enrich" -> (enrich _),
     "stream_sessionize" -> (sessionize _),
-    "stream_interval_join" -> (intervalJoin _))
+    "stream_interval_join" -> (intervalJoin _),
+    "stream_dedup" -> (dedupStream _))
 
   // stream_hourly/stream_enrich are held to the batch oracles.
   val oracleSql: Map[String, String] = Map(
@@ -219,6 +244,10 @@ object Streaming {
         |  round(1e-9 + sum(value), 2) AS sum_value,
         |  round(1e-9 + avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(1e-9 + sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // comparisons run on µs-truncated timestamps (epoch_ns // 1000) to
     // match Spark's ns→µs normalization exactly; gaps on second grain.
     "stream_interval_join" ->
