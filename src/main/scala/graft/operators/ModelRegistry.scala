@@ -118,16 +118,18 @@ object ModelRegistry {
       .filter(col("da") =!= col("db"))
       .select(col("da"), col("db"),
         (-graft.functions.FloatVecDistance.dot(col("qv"), col("dv"))).as("dot"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("da")).orderBy(col("sim").desc, col("db"))
+    // bounded top-k aggregate on key (-sim, id) — identical order to a
+    // (sim DESC, id) window rank, but the shuffle carries #sample × k
+    // rows instead of every scored pair.
     dots
-      .join(norms.select(col("doc_id").as("da"), col("nrm").as("na")), "da")
-      .join(norms.select(col("doc_id").as("db"), col("nrm").as("nb")), "db")
+      .join(broadcast(norms.select(col("doc_id").as("da"), col("nrm").as("na"))), "da")
+      .join(broadcast(norms.select(col("doc_id").as("db"), col("nrm").as("nb"))), "db")
       .select(col("da"), col("db"),
         round(col("dot") / (col("na") * col("nb")), 4).as("sim"))
-      .withColumn("rnk", row_number().over(byDoc))
-      .filter(col("rnk") <= k)
-      .select(col("da").as("doc_id"), col("db").as("nbr"))
+      .groupBy(col("da"))
+      .agg(graft.functions.TopKAgg.topkByDist(-col("sim"), col("db"), k).as("top"))
+      .select(col("da").as("doc_id"), explode(col("top")))
+      .select(col("doc_id"), col("col.id").as("nbr"))
   }
 
   /** A/B model evaluation: for each sampled query doc, how many of its
