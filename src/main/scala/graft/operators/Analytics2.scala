@@ -104,6 +104,21 @@ object Analytics2 {
         col("sum_qty"), col("sum_disc_price"), col("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Explicit GROUPING SETS — the third grouping construct next to
+    * ROLLUP (q1_rollup) and CUBE (q_cube): exactly the flag-only and
+    * status-only marginals, no cross terms, via the SQL surface. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem_gs")
+    s.sql("""
+      SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+             coalesce(l_linestatus, 'ALL') AS l_linestatus,
+             round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+             count(*) AS n
+      FROM graft_lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      ORDER BY l_returnflag, l_linestatus""")
+  }
+
   /** Q16-style distinct supplier count per part type (two-phase
     * partial-distinct aggregation — dedup before the exchange). */
   def qSupplierCnt(s: SparkSession, dir: String): DataFrame = {
@@ -228,6 +243,7 @@ object Analytics2 {
     "q17_small_qty" -> (q17SmallQty _),
     "q_corr_above_avg" -> (qCorrAboveAvg _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_supplier_cnt" -> (qSupplierCnt _),
     "q_order_priority_exists" -> (qOrderPriorityExists _),
     "q_cust_order_dist" -> (qCustOrderDist _),
@@ -304,6 +320,13 @@ object Analytics2 {
         |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         |  count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  round(1e-9 + sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY 1, 2""".stripMargin,
     "q_supplier_cnt" ->
       """SELECT p_type, count(DISTINCT l_suppkey) AS supplier_cnt,
