@@ -147,6 +147,32 @@ object DocPipeline {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** The reference's full E-pipeline shape INCLUDING the JSON leg
+    * (01_pdf_to_vector.sql:132-256): UTL_TO_EMBEDDINGS returns a
+    * VECTOR_ARRAY_T of JSON docs `{"embed_id","embed_data",...}` that
+    * JSON_TABLE shreds back into relational rows. Here each doc's
+    * chunks are serialized to exactly that JSON array (to_json over a
+    * sorted struct array) and shredded back with from_json + explode —
+    * the round trip is lossless, so the oracle checks the shredded
+    * output directly. */
+  def embedJsonTable(s: SparkSession, dir: String): DataFrame = {
+    val varray = chunks(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(to_json(array_sort(collect_list(struct(
+        col("chunk_id").as("embed_id"),
+        col("chunk_text").as("embed_data"),
+        col("n_tokens").as("n_tokens"))))).as("varray"))
+    varray
+      .select(col("doc_id"),
+        explode(from_json(col("varray"),
+          "array<struct<embed_id:bigint,embed_data:string,n_tokens:bigint>>",
+          java.util.Collections.emptyMap[String, String]())).as("et"))
+      .select(col("doc_id"), col("et.embed_id").as("embed_id"),
+        length(col("et.embed_data")).cast("long").as("n_chars"),
+        col("et.n_tokens").as("n_tokens"))
+      .orderBy("doc_id", "embed_id")
+  }
+
   /** Chunk-level knn: top-10 chunks most cosine-similar to the chunk
     * (doc 0, chunk 1), via an inverted-index (bucket) equi-join —
     * sparse dot products with integer exactness, no cross join. */
@@ -207,6 +233,7 @@ object DocPipeline {
     "doc_chunk" -> (chunksOrdered _),
     "doc_chunk_chars" -> (chunksByChars _),
     "doc_chunk_sentence" -> (chunksBySentence _),
+    "doc_embed_json_table" -> (embedJsonTable _),
     "doc_pipeline" -> (docPipeline _),
     "vs_chunk_knn" -> (chunkKnn _))
 
@@ -216,6 +243,14 @@ object DocPipeline {
          |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
          |  CAST(n_tokens AS BIGINT) AS n_tokens, chunk_text
          |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    // JSON round-trip is identity on these fields; the oracle checks
+    // the shredded relational output straight from the chunk CTE.
+    "doc_embed_json_table" ->
+      s"""$chunkCte
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS embed_id,
+         |  CAST(length(chunk_text) AS BIGINT) AS n_chars,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM chunks ORDER BY doc_id, embed_id""".stripMargin,
     "doc_chunk_sentence" ->
       s"""WITH t AS (
          |  SELECT doc_id,
