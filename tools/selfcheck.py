@@ -42,8 +42,9 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
-    # oracle SQL is self-contained against the sf0.01 paths (the
-    # driver's verify SF); retarget when checking another SF locally
+    # since r2 Verify binds oracle paths to its own sfDir, so this
+    # replace is a no-op for matching runs; it remains only to retarget
+    # an oracle dump produced at a DIFFERENT SF than the one checked.
     oracle = {k: v.replace("/root/testdata/sf0.01", sf_dir)
               for k, v in oracle.items()}
     n_pass = n_fail = 0
