@@ -151,6 +151,22 @@ object Analytics {
       .orderBy("user_id", "sess_id")
   }
 
+  /** RANGE-frame window (value-based frames, vs the ROWS frames used
+    * elsewhere): per event, activity of the same user in the
+    * PRECEDING 10 MINUTES of event time — frame membership is defined
+    * by the sec value, so ties are all-in and no tie-break is needed. */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("ts").cast("long").as("sec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-600, 0)
+    e.withColumn("n_10min", count(lit(1)).over(w).cast("long"))
+      .withColumn("sum_10min", round(sum("value").over(w), 2))
+      .select(col("event_id"), col("user_id"), col("sec"), col("n_10min"), col("sum_10min"))
+      .orderBy("event_id")
+  }
+
   /** Sessionization through Spark's NATIVE session_window (gap-merge
     * windows, the same construct the streaming engine uses for
     * stateful session aggregation). Semantics differ from the
@@ -221,6 +237,7 @@ object Analytics {
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_session_window" -> (qSessionWindow _),
+    "q_window_range" -> (qWindowRange _),
     "q_events_json" -> (qEventsJson _),
     "q_user_salted" -> (qUserSalted _),
     "q_asof_join" -> (qAsofJoin _),
@@ -305,6 +322,16 @@ object Analytics {
     "q_user_salted" ->
       """SELECT user_id, count(*) AS n_events, round(1e-9 + sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_window_range" ->
+      """SELECT event_id, user_id, sec,
+        |  count(*) OVER w AS n_10min,
+        |  round(1e-9 + sum(value) OVER w, 2) AS sum_10min
+        |FROM (SELECT event_id, user_id, value,
+        |        epoch_ns(ts) // 1000000000 AS sec
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // session_window semantics: merge iff gap < 30 min (µs precision);
     // session start = min event time, truncated to seconds on output
     "q_session_window" ->

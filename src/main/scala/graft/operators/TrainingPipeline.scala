@@ -54,6 +54,31 @@ object TrainingPipeline {
         round(sum(col("keep")).cast("double") / count(lit(1)), 4).as("kept_frac"))
       .orderBy("lang")
 
+  /** Temperature-based language rebalancing (the multilingual
+    * pretraining mixture rule): keep rate ∝ share^(α−1) with α=0.5 —
+    * i.e. rate_l = sqrt(min_share / share_l), capped at 1, so the
+    * smallest language keeps everything and dominant languages are
+    * square-root downsampled. Membership is hash-deterministic; the
+    * rates derive from exact integer token counts, so both engines cut
+    * identically. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), nTokens(col("text")).as("ntok"))
+    val cnt = docs.groupBy("lang").agg(sum(col("ntok")).as("cnt"))
+    val withMin = cnt.crossJoin(broadcast(cnt.agg(min(col("cnt")).as("min_cnt"))))
+      .select(col("lang"),
+        least(lit(1.0), sqrt(col("min_cnt").cast("double") / col("cnt"))).as("rate"))
+    docs.join(broadcast(withMin), "lang")
+      .withColumn("keep",
+        (PortableHash.phash(col("doc_id"), 23) % 10000 <
+          floor(col("rate") * 10000)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+        round(max(col("rate")), 4).as("target_rate"),
+        round(sum(col("keep")).cast("double") / count(lit(1)), 4).as("actual_frac"))
+      .orderBy("lang")
+  }
+
   /** Sequence packing (concat-and-cut, budget 2048 tokens): documents
     * are hash-sharded (8 shards = "workers"), ordered by doc_id within
     * the shard, and a doc starts bin ⌊tokens-before/2048⌋ — the
@@ -98,6 +123,7 @@ object TrainingPipeline {
     "tp_hash_split" -> (hashSplit _),
     "tp_stratified_sample" -> (stratifiedSample _),
     "tp_pack_sequences" -> (packSequences _),
+    "tp_weighted_sample" -> (weightedSample _),
     "tp_token_budget" -> (tokenBudget _))
 
   val oracleSql: Map[String, String] = Map(
@@ -117,6 +143,23 @@ object TrainingPipeline {
          |  FROM documents)
          |SELECT lang, count(*) AS n_docs, sum(keep)::BIGINT AS n_kept,
          |  round(1e-9 + sum(keep)::DOUBLE / count(*), 4) AS kept_frac
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "tp_weighted_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, len($toksSql)::BIGINT AS ntok FROM documents),
+         |cnt AS (SELECT lang, sum(ntok)::BIGINT AS cnt FROM d GROUP BY lang),
+         |mn AS (SELECT min(cnt) AS min_cnt FROM cnt),
+         |r AS (
+         |  SELECT lang, least(1.0, sqrt(min_cnt::DOUBLE / cnt)) AS rate
+         |  FROM cnt, mn),
+         |k AS (
+         |  SELECT d.lang, rate,
+         |    CASE WHEN ${PortableHash.duckSql("d.doc_id::VARCHAR", 23)} % 10000 <
+         |      floor(rate * 10000) THEN 1 ELSE 0 END AS keep
+         |  FROM d JOIN r ON d.lang = r.lang)
+         |SELECT lang, count(*) AS n_docs, sum(keep)::BIGINT AS n_kept,
+         |  round(1e-9 + max(rate), 4) AS target_rate,
+         |  round(1e-9 + sum(keep)::DOUBLE / count(*), 4) AS actual_frac
          |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "tp_pack_sequences" ->
       s"""WITH t AS (
