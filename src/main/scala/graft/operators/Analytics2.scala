@@ -196,6 +196,32 @@ object Analytics2 {
       .orderBy("n_name", "l_year")
   }
 
+  /** PIVOT: event types to columns (wide activity matrix per user
+    * decile). Explicit value list keeps the output schema static —
+    * the distributed-safe form (an implicit pivot needs a distinct
+    * scan first). Oracle uses portable conditional aggregation. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("user_decile", (col("user_id") % 10).cast("long"))
+      .groupBy("user_decile")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .orderBy("user_decile")
+
+  /** Approximate sketches — the 100 TB substitutes for exact distinct
+    * and percentile: HLL++ approx_count_distinct and the GK-sketch
+    * approx_percentile next to their exact counterparts. Sketch
+    * internals are engine-specific, so this is rows-only; AnalyticsSpec
+    * bounds the approximation error against the exact values. */
+  def qApproxSketches(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        round(expr("percentile(value, 0.9)"), 4).as("exact_p90"),
+        round(expr("approx_percentile(value, 0.9, 1000)"), 4).as("approx_p90"))
+      .orderBy("event_type")
+
   /** Weekly cohort retention: of the users active in week w, how many
     * are active again in week w+1. One distinct (user, week) pass,
     * then a self equi-join on (user, week+7d) — no window, no
@@ -239,6 +265,8 @@ object Analytics2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
+    "q_pivot" -> (qPivot _),
+    "q_approx_sketches" -> (qApproxSketches _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q17_small_qty" -> (q17SmallQty _),
     "q_corr_above_avg" -> (qCorrAboveAvg _),
@@ -251,6 +279,14 @@ object Analytics2 {
     "q_yoy_growth" -> (qYoyGrowth _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT user_id % 10 AS user_decile,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wts FROM events)

@@ -81,6 +81,28 @@ object VectorSearch {
       .orderBy(col("vec_id"), col("rnk"))
   }
 
+  /** Filtered vector search — the attribute-constrained form every
+    * vector store must answer (Oracle: a WHERE clause next to
+    * VECTOR_DISTANCE). PRE-filter semantics: the metadata predicate
+    * (here: the matching document's language) restricts the candidate
+    * set BEFORE the top-k, so the result is exact within the filtered
+    * population — the correct choice when the filter is selective;
+    * the predicate and pruned columns push down to the scans and the
+    * dim join broadcasts. */
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val docs = Tables.documents(s, dir)
+      .filter(col("lang") === "fr").select(col("doc_id"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(docs), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+  }
+
   /** VECTOR_NORM / VECTOR_DIMENSION_COUNT / element + normalize ops. */
   def vectorOps(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -199,6 +221,7 @@ object VectorSearch {
     "vs_vector_ops" -> (vectorOps _),
     "vs_to_vector_roundtrip" -> (toVectorRoundtrip _),
     "vs_knn_int8" -> (knnInt8 _),
+    "vs_knn_filtered" -> (knnFiltered _),
     "vs_knn_join" -> (knnJoin _),
     "vs_knn_sql" -> (knnSql _))
 
@@ -229,6 +252,13 @@ object VectorSearch {
          |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, nid) AS rnk
          |FROM d QUALIFY rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
     "vs_knn_sql" -> knnSql(dCosine("embedding", "qv")),
+    "vs_knn_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(1e-9 + ${dCosine("embedding", "qv")}, 4) AS dist
+         |FROM embeddings
+         |  JOIN documents ON vec_id = doc_id AND lang = 'fr', q
+         |WHERE vec_id <> 0
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     "vs_knn_int8" ->
       s"""WITH base AS (
          |  SELECT vec_id, embedding,

@@ -103,6 +103,19 @@ class CoreSpec extends AnyFunSuite {
     assert(unionFind.nonEmpty)
   }
 
+  test("approx sketches stay within error bounds of exact") {
+    val rows = graft.operators.Analytics2.qApproxSketches(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, approx) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"HLL drift: exact=$exact approx=$approx")
+      val (p90, ap90) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(ap90 - p90) / math.max(math.abs(p90), 1e-9) <= 0.10,
+        s"percentile drift: exact=$p90 approx=$ap90")
+    }
+  }
+
   test("mmr rerank: top-1 fidelity, size, and diversity improvement") {
     import graft.operators.{HybridSearch, VectorSearch}
     val mmr = HybridSearch.mmrRerank(spark, sf).collect()
@@ -120,7 +133,7 @@ class CoreSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("vs_knn_ivf", "dedup_embedding_lsh", "mm_frame_sample",
       "stream_sessionize", "vs_to_vector_roundtrip", "model_registry",
-      "stream_index_upsert", "vs_mmr_rerank")
+      "stream_index_upsert", "vs_mmr_rerank", "q_approx_sketches")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }
