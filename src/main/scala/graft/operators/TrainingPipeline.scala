@@ -99,6 +99,27 @@ object TrainingPipeline {
       .orderBy("shard", "bin")
   }
 
+  /** Train/test contamination check — eval decontamination: an 8-gram
+    * of a test doc appearing in any train doc marks the test doc
+    * contaminated. The probe is a distinct-shingle equi-join (test
+    * shingles ⋈ train shingles — never doc×doc), reported per test
+    * doc with the hit count. Uses the tp_hash_split membership, so
+    * split and check compose. */
+  def contaminationCheck(s: SparkSession, dir: String): DataFrame = {
+    val withSplit = Tables.documents(s, dir)
+      .withColumn("bucket", PortableHash.phash(col("doc_id"), 7) % 100)
+    val shingled = withSplit
+      .select(col("doc_id"), col("bucket"),
+        explode(shingles(tokens(col("text")), 8)).as("sh"))
+      .distinct()
+    val train = shingled.filter(col("bucket") < 90).select(col("sh")).distinct()
+    val test = shingled.filter(col("bucket") >= 95)
+    test.join(train, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** Token-budget accounting: tokens per (lang, source) cell with its
     * corpus share and size rank — the report that decides what to
     * up/down-sample next. */
@@ -124,6 +145,7 @@ object TrainingPipeline {
     "tp_stratified_sample" -> (stratifiedSample _),
     "tp_pack_sequences" -> (packSequences _),
     "tp_weighted_sample" -> (weightedSample _),
+    "tp_contamination" -> (contaminationCheck _),
     "tp_token_budget" -> (tokenBudget _))
 
   val oracleSql: Map[String, String] = Map(
@@ -161,6 +183,26 @@ object TrainingPipeline {
          |  round(1e-9 + max(rate), 4) AS target_rate,
          |  round(1e-9 + sum(keep)::DOUBLE / count(*), 4) AS actual_frac
          |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "tp_contamination" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |    ${PortableHash.duckSql("doc_id::VARCHAR", 7)} % 100 AS bucket
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, bucket,
+         |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |                x -> length(x) > 0) AS toks
+         |  FROM b),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, bucket,
+         |    unnest([array_to_string(toks[i:i+7], ' ')
+         |            for i in generate_series(1, len(toks) - 7)]) AS sh
+         |  FROM t WHERE len(toks) >= 8),
+         |train AS (SELECT DISTINCT sh FROM sh WHERE bucket < 90),
+         |test AS (SELECT doc_id, sh FROM sh WHERE bucket >= 95)
+         |SELECT doc_id, count(*) AS n_hit_shingles
+         |FROM test WHERE sh IN (SELECT sh FROM train)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tp_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, ${PortableHash.duckSql("doc_id::VARCHAR", 13)} % 8 AS shard,

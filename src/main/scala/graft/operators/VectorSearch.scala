@@ -103,6 +103,29 @@ object VectorSearch {
       .limit(10)
   }
 
+  /** POST-filter counterpart of knnFiltered: over-fetch the global
+    * top-50, THEN apply the attribute predicate, keep 10. Cheaper when
+    * the filter is unselective (no join before the top-k) but recall
+    * is bounded by the over-fetch — results can differ from pre-filter
+    * by design. Both engines apply the identical over-fetch rule, so
+    * the (approximate) result is still hash-checked. */
+  def knnPostFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val docs = Tables.documents(s, dir)
+      .filter(col("lang") === "fr").select(col("doc_id"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(50)
+      .join(broadcast(docs), col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+  }
+
   /** VECTOR_NORM / VECTOR_DIMENSION_COUNT / element + normalize ops. */
   def vectorOps(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -222,6 +245,7 @@ object VectorSearch {
     "vs_to_vector_roundtrip" -> (toVectorRoundtrip _),
     "vs_knn_int8" -> (knnInt8 _),
     "vs_knn_filtered" -> (knnFiltered _),
+    "vs_knn_postfilter" -> (knnPostFiltered _),
     "vs_knn_join" -> (knnJoin _),
     "vs_knn_sql" -> (knnSql _))
 
@@ -252,6 +276,15 @@ object VectorSearch {
          |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, nid) AS rnk
          |FROM d QUALIFY rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
     "vs_knn_sql" -> knnSql(dCosine("embedding", "qv")),
+    "vs_knn_postfilter" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |over AS (
+         |  SELECT vec_id, round(1e-9 + ${dCosine("embedding", "qv")}, 4) AS dist
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY dist, vec_id LIMIT 50)
+         |SELECT vec_id, dist
+         |FROM over JOIN documents ON vec_id = doc_id AND lang = 'fr'
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     "vs_knn_filtered" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(1e-9 + ${dCosine("embedding", "qv")}, 4) AS dist
