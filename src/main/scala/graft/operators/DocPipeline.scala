@@ -198,6 +198,37 @@ object DocPipeline {
       .limit(10)
   }
 
+  /** Multi-vector (late-interaction / ColBERT-style) retrieval:
+    * score(doc) = Σ over query chunks of max over doc chunks of
+    * cosine — the MaxSim reduction. Query = doc 0's chunks. The
+    * chunk-pair sims flow through the same inverted-index bucket join
+    * as chunkKnn (query side is a handful of chunks → broadcast);
+    * max and sum are partial-aggregable, so the reduction is two
+    * narrow groupBys. Sims are rounded BEFORE max/sum so both engines
+    * reduce identical values. */
+  def maxSim(s: SparkSession, dir: String): DataFrame = {
+    val w = chunkWeights(s, dir)
+    val norms = w.groupBy("doc_id", "chunk_id")
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val qw = w.filter(col("doc_id") === 0)
+      .select(col("chunk_id").as("qc"), col("bucket"), col("w").as("wq"))
+    val qn = norms.filter(col("doc_id") === 0)
+      .select(col("chunk_id").as("qc"), col("nrm").as("qnrm"))
+    val dots = w.filter(col("doc_id") =!= 0)
+      .join(broadcast(qw), "bucket")
+      .groupBy(col("doc_id"), col("chunk_id"), col("qc"))
+      .agg(sum(col("w") * col("wq")).as("dot"))
+    val sims = dots
+      .join(norms, Seq("doc_id", "chunk_id"))
+      .join(broadcast(qn), "qc")
+      .select(col("doc_id"), col("qc"),
+        round(col("dot").cast("double") / (col("nrm") * col("qnrm")), 4).as("sim"))
+    sims.groupBy("doc_id", "qc").agg(max(col("sim")).as("maxsim"))
+      .groupBy("doc_id").agg(round(sum(col("maxsim")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   // ---- DuckDB oracle --------------------------------------------------
 
   /** Shared CTE prefix reproducing chunks + weights in DuckDB. */
@@ -235,7 +266,8 @@ object DocPipeline {
     "doc_chunk_sentence" -> (chunksBySentence _),
     "doc_embed_json_table" -> (embedJsonTable _),
     "doc_pipeline" -> (docPipeline _),
-    "vs_chunk_knn" -> (chunkKnn _))
+    "vs_chunk_knn" -> (chunkKnn _),
+    "vs_maxsim" -> (maxSim _))
 
   val oracleSql: Map[String, String] = Map(
     "doc_chunk" ->
@@ -298,6 +330,28 @@ object DocPipeline {
          |FROM chunks c LEFT JOIN stats s
          |  ON c.doc_id = s.doc_id AND c.chunk_id = s.chunk_id
          |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+    "vs_maxsim" ->
+      s"""$chunkCte,
+         |$weightCte,
+         |norms AS (
+         |  SELECT doc_id, chunk_id, sqrt(sum(w * w)::DOUBLE) AS nrm
+         |  FROM wnz GROUP BY 1, 2),
+         |qw AS (SELECT chunk_id AS qc, bucket, w AS wq FROM wnz WHERE doc_id = 0),
+         |qn AS (SELECT chunk_id AS qc, nrm AS qnrm FROM norms WHERE doc_id = 0),
+         |dots AS (
+         |  SELECT w.doc_id, w.chunk_id, q.qc, sum(w.w * q.wq) AS dot
+         |  FROM wnz w JOIN qw q ON w.bucket = q.bucket
+         |  WHERE w.doc_id <> 0 GROUP BY 1, 2, 3),
+         |sims AS (
+         |  SELECT d.doc_id, d.qc,
+         |    round(1e-9 + d.dot::DOUBLE / (n.nrm * qn.qnrm), 4) AS sim
+         |  FROM dots d
+         |    JOIN norms n ON d.doc_id = n.doc_id AND d.chunk_id = n.chunk_id
+         |    JOIN qn ON d.qc = qn.qc),
+         |ms AS (SELECT doc_id, qc, max(sim) AS maxsim FROM sims GROUP BY 1, 2)
+         |SELECT doc_id, round(1e-9 + sum(maxsim), 4) AS score
+         |FROM ms GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "vs_chunk_knn" ->
       s"""$chunkCte,
          |$weightCte,
