@@ -103,6 +103,30 @@ class CoreSpec extends AnyFunSuite {
     assert(unionFind.nonEmpty)
   }
 
+  test("syntax extensions mirror the underlying operators") {
+    import graft.syntax._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val nbr = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val viaSyntax = emb.knnJoin(nbr, "embedding", "nvec", k = 3)
+      .select("vec_id", "nid", "dist").collect().map(_.toSeq).toSet
+    val direct = graft.plans.KnnJoin(emb, nbr, "embedding", "nvec", k = 3)
+      .select("vec_id", "nid", "dist").collect().map(_.toSeq).toSet
+    assert(viaSyntax == direct && viaSyntax.nonEmpty)
+    // column ops
+    val d = Seq((Array(1f, 0f), Array(0f, 1f))).toDF("a", "b")
+      .select($"a".cosineTo($"b").as("c"), $"a".binarized.as("bv")).collect()(0)
+    assert(math.abs(d.getDouble(0) - 1.0) < 1e-12)
+    assert(d.getSeq[Long](1).head == 1L) // sign bit of (1,0) packs to 0b01
+    // bounded top-k per key
+    val scored = Seq((1L, 0.3, 10L), (1L, 0.1, 11L), (1L, 0.2, 12L), (2L, 0.5, 13L))
+      .toDF("k", "dist", "id")
+    val top = scored.topKPerKey($"k", $"dist", $"id", 2)
+      .orderBy("k", "rnk").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top == Seq((1L, 11L), (1L, 12L), (2L, 13L)))
+  }
+
   test("approx sketches stay within error bounds of exact") {
     val rows = graft.operators.Analytics2.qApproxSketches(spark, sf).collect()
     assert(rows.nonEmpty)
