@@ -196,6 +196,20 @@ object Analytics2 {
       .orderBy("n_name", "l_year")
   }
 
+  /** Set operations — EXCEPT and INTERSECT (both distinct-semantics):
+    * browsers who never bought, and buyers who also erred. Spark plans
+    * these as left-anti / left-semi over distinct inputs. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def users(t: String) = e.filter(col("event_type") === t).select("user_id")
+    val browsersNotBuyers = users("view").except(users("purchase"))
+      .select(col("user_id"), lit("view_no_purchase").as("cohort"))
+    val buyersWithErrors = users("purchase").intersect(users("error"))
+      .select(col("user_id"), lit("purchase_and_error").as("cohort"))
+    browsersNotBuyers.union(buyersWithErrors)
+      .orderBy("cohort", "user_id")
+  }
+
   /** PIVOT: event types to columns (wide activity matrix per user
     * decile). Explicit value list keeps the output schema static —
     * the distributed-safe form (an implicit pivot needs a distinct
@@ -266,6 +280,7 @@ object Analytics2 {
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
     "q_pivot" -> (qPivot _),
+    "q_set_ops" -> (qSetOps _),
     "q_approx_sketches" -> (qApproxSketches _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q17_small_qty" -> (q17SmallQty _),
@@ -279,6 +294,17 @@ object Analytics2 {
     "q_yoy_growth" -> (qYoyGrowth _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_set_ops" ->
+      """SELECT user_id, 'view_no_purchase' AS cohort FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'purchase_and_error' AS cohort FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |ORDER BY cohort, user_id""".stripMargin,
     "q_pivot" ->
       """SELECT user_id % 10 AS user_decile,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,

@@ -94,6 +94,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("filtered knn: metadata predicate pushes to the documents scan, dim broadcasts") {
+    val p = plan(VectorSearch.knnFiltered(spark, sf))
+    assert(p.contains("EqualTo(lang,fr)") || p.contains("PushedFilters: [IsNotNull(lang)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("fingerprint is shuffle-free up to the final sort") {
     val p = plan(TextAnalysis.fingerprint(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"), p)
