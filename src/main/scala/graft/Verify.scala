@@ -6,7 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default raised 4 → 8 in r2: the inventory grew to 86 queries
+    // (incl. k-means fits and streaming drains); 8 threads keeps the
+    // full dump comfortably inside any reasonable driver timeout.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
