@@ -114,6 +114,43 @@ object EmbeddingLsh {
       .limit(10)
   }
 
+  /** Batch ANN serving: a TABLE of query vectors (every 50th vector)
+    * against the band-sharded sketch layout — the bulk-serving
+    * topology: both sides explode to (band, bkey) keys, candidates
+    * come from the band equi-join (shuffle on uniformly-hashed band
+    * keys, never query×corpus), exact re-rank, bounded top-k agg per
+    * query. Pair volume ≈ queries × band-collision rate × corpus. */
+  def annServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val pl = planes(dim)
+    val sketches = emb.as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, v, sketch(v, pl)) })
+      .toDF("vec_id", "embedding", "sk")
+    def banded(df: DataFrame, idc: String, skc: String) =
+      df.select(col("*"), explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
+        .withColumn("bkey", expr(s"shiftrightunsigned($skc, band * $BandBits)") % (1 << BandBits))
+    val qside = banded(
+      sketches.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("sk").as("qsk")),
+      "qid", "qsk")
+    val iside = banded(sketches, "vec_id", "sk")
+    val cands = qside.join(iside, Seq("band", "bkey"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("qv"), col("embedding"))
+      .distinct()
+    cands
+      .select(col("qid"), col("vec_id"),
+        round(FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topkByDist(col("dist"), col("vec_id"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("vec_id"), col("col.dist").as("dist"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** DuckDB fragment: the 24-bit sketch of `vec` — identical plane
     * derivation (md5 first-byte parity) and identical left-to-right
     * double accumulation as the Scala `sketch`. */
@@ -134,8 +171,26 @@ object EmbeddingLsh {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding_lsh" -> (pairs _),
-    "vs_knn_lsh" -> (annSearch _))
+    "vs_knn_lsh" -> (annSearch _),
+    "vs_knn_lsh_batch" -> (annServe _))
   val oracleSql: Map[String, String] = Map(
+    "vs_knn_lsh_batch" ->
+      s"""WITH sk AS (
+         |  SELECT vec_id, embedding, ${skSql("embedding")} AS sk
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, s.vec_id, q.embedding AS qv, s.embedding
+         |  FROM sk q, sk s, generate_series(0, ${NumBands - 1}) t(band)
+         |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> s.vec_id
+         |    AND (q.sk // CAST(2 ** (band * $BandBits) AS BIGINT)) % ${1 << BandBits}
+         |      = (s.sk // CAST(2 ** (band * $BandBits) AS BIGINT)) % ${1 << BandBits}),
+         |d AS (
+         |  SELECT qid, vec_id,
+         |    round(1e-9 + ${dCosine("embedding", "qv")}, 4) AS dist
+         |  FROM cand)
+         |SELECT qid, vec_id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+         |FROM d QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "vs_knn_lsh" ->
       s"""WITH sk AS (
          |  SELECT vec_id, embedding, ${skSql("embedding")} AS sk
