@@ -25,6 +25,7 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracleSql),
       (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracleSql),
       (graft.streaming.IvfStream.queries, graft.streaming.IvfStream.oracleSql),
+      (graft.streaming.DedupStream.queries, graft.streaming.DedupStream.oracleSql),
       (IvfIndex.queries, IvfIndex.oracleSql),
       (HybridSearch.queries, HybridSearch.oracleSql),
       (Pipeline.queries, Pipeline.oracleSql),

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Dedup
+
+/** Incremental near-dup detection on a document STREAM — the dedup a
+  * continuously-ingesting pipeline actually runs: you cannot re-LSH
+  * the whole corpus per batch, so bucket membership lives in a STATE
+  * TABLE and each micro-batch only joins its own band keys against it.
+  *
+  * Per micro-batch (foreachBatch):
+  *  1. band keys of the new docs (the same md5 MinHash banding as the
+  *     batch operator — one narrow pass over the batch);
+  *  2. candidates = new-bands ⋈ state-table (new × old) plus the
+  *     in-batch self-join (new × new) — band equi-joins, never doc×doc;
+  *  3. append new bands to the state table, new candidates to the out
+  *     table.
+  * State is a parquet table partition-appended per batch — at 100 TB
+  * the state side is the only thing that grows, and each batch touches
+  * it with one shuffle on uniformly-hashed band keys. After the
+  * AvailableNow drain the emitted candidate set equals the batch
+  * operator's band-candidate set exactly (StreamingSpec asserts it).
+  */
+object DedupStream {
+
+  def candidates(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_dedup_stream").toString
+    val statePath = s"$root/state"
+    val outPath = s"$root/cands"
+    val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bands = Dedup.bandsOf(Dedup.minhashSigOf(Dedup.shingleSetOf(batch)))
+          .persist()
+        val priorExists = new java.io.File(statePath).exists()
+        val withinBatch = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val vsState =
+          if (!priorExists) withinBatch.limit(0)
+          else {
+            val prior = batch.sparkSession.read.parquet(statePath)
+            bands.as("n")
+              .join(prior.as("o"),
+                col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey") &&
+                  col("n.doc_id") =!= col("o.doc_id"))
+              .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+                greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+          }
+        withinBatch.union(vsState).distinct()
+          .write.mode("append").parquet(outPath)
+        bands.write.mode("append").parquet(statePath)
+        bands.unpersist()
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outPath).distinct().orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_minhash_cand" -> (candidates _))
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -50,6 +50,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 10)
   }
 
+  test("streaming minhash candidates equal the batch band-candidate set") {
+    val streamed = graft.streaming.DedupStream.candidates(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.bandCandidatesOf(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("mm_frame_sample is deterministic and bounded by n_frames") {
     val a = Multimodal.frameSample(spark, sf).collect().map(_.toSeq)
     val b = Multimodal.frameSample(spark, sf).collect().map(_.toSeq)
