@@ -101,6 +101,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("batch ann serving joins on band keys, never cross joins") {
+    val p = plan(EmbeddingLsh.annServe(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("fingerprint is shuffle-free up to the final sort") {
     val p = plan(TextAnalysis.fingerprint(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"), p)
