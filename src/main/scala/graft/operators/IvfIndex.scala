@@ -104,7 +104,55 @@ object IvfIndex {
     search(s, index.filter(col("vec_id") =!= 0), centroids, query, k = 10)
   }
 
+  /** Batch serving against the IVF layout: a TABLE of query vectors,
+    * each probing only its nprobe nearest centroids' partitions.
+    * Centroid ranking happens driver-side (queries × k centroids of
+    * floats — tiny); the data side is one equi-join of the (query,
+    * probed-centroid) pairs against the centroid-partitioned index —
+    * partition pruning expressed as a join key — then the exact kernel
+    * and a bounded top-k agg per query. Rows-only (k-means); AnnSpec
+    * asserts the full-probe form equals brute force per query. */
+  def searchBatch(s: SparkSession, index: DataFrame,
+      centroids: Array[Array[Double]],
+      queriesDf: DataFrame, k: Int, nprobe: Int = NumProbe): DataFrame = {
+    import s.implicits._
+    val qs = queriesDf.select(col("qid"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probePairs = qs.flatMap { case (qid, qv) =>
+      val q = qv.map(_.toDouble)
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, cosineDist(c, q)) }
+        .sortBy { case (i, d) => (d, i) }
+        .take(nprobe).map { case (cid, _) => (qid, cid) }
+    }.toSeq.toDF("qid", "centroid_id")
+    val qvs = qs.toSeq.toDF("qid", "qv")
+    index
+      .join(broadcast(probePairs), "centroid_id")
+      .join(broadcast(qvs), "qid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.SafeRound.round(
+          FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topkByDist(col("dist"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("vec_id"), col("col.dist").as("dist"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** vs_knn_ivf_batch: every 50th vector served against the IVF
+    * layout with nprobe pruning. */
+  def knnIvfBatch(s: SparkSession, dir: String): DataFrame = {
+    val (index, centroids) = build(s, dir)
+    val queriesDf = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    searchBatch(s, index, centroids, queriesDf, k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "vs_knn_ivf" -> (knnIvf _))
+    "vs_knn_ivf" -> (knnIvf _),
+    "vs_knn_ivf_batch" -> (knnIvfBatch _))
   val oracleSql: Map[String, String] = Map.empty
 }

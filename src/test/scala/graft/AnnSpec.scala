@@ -59,6 +59,36 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf batch serving: full probe equals brute force per query") {
+    import org.apache.spark.sql.functions._
+    val (index, centroids) = IvfIndex.build(spark, sf)
+    val queriesDf = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val full = IvfIndex.searchBatch(spark, index, centroids, queriesDf,
+        k = 5, nprobe = IvfIndex.NumCentroids)
+      .collect().map(_.toSeq).toSet
+    // brute force: the same top-k through the generic KnnJoin operator
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val brute = graft.plans.KnnJoin(
+        queriesDf, emb, "qv", "embedding", k = 6, metric = "cosine",
+        roundDp = 4, tieBreak = Some("vec_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("dist"), col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("qid", "vec_id", "dist", "rnk")
+      .collect().map(_.toSeq).toSet
+    assert(full == brute)
+    // partial probe keeps at least half the exact neighbors on average
+    val part = IvfIndex.searchBatch(spark, index, centroids, queriesDf, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = full.map(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long]))
+    assert((part & exactPairs).size * 2 >= exactPairs.size,
+      s"batch ivf recall collapsed: ${(part & exactPairs).size}/${exactPairs.size}")
+  }
+
   test("lsh ann probe: sound, deterministic, non-trivial recall") {
     val lsh = EmbeddingLsh.annSearch(spark, sf).collect()
     assert(lsh.length == 10)

@@ -158,7 +158,7 @@ class CoreSpec extends AnyFunSuite {
     val rowsOnly = Set("vs_knn_ivf", "dedup_embedding_lsh", "mm_frame_sample",
       "stream_sessionize", "vs_to_vector_roundtrip", "model_registry",
       "stream_index_upsert", "vs_mmr_rerank", "q_approx_sketches",
-      "stream_minhash_cand")
+      "stream_minhash_cand", "vs_knn_ivf_batch")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }
