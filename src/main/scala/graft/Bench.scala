@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+/** Benchmark runner. Prints ONE short JSON line to stdout and writes
+  * the full per-query JSON to `bench_full.json`.
+  *
+  * Why two outputs: the harness that captures stdout keeps only the
+  * last 2000 characters, and sbt appends a ~75-char `[success]` line
+  * after the fork exits. A flat map of all query names alone costs
+  * >1900 chars, so a single full-coverage line can never fit the
+  * window (this is why rounds 1 and 2 both recorded `parsed: null`).
+  * The stdout line therefore carries the total, the failed list, and
+  * the top-20 slowest queries (the ones perf judging cares about),
+  * plus a `queries_file` pointer to the complete per-query dump.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
     // shuffle partitions derived from input size (floored at cpus —
     // at local SFs that resolves to exactly `cpus`, at 100 TB it
     // resolves to bytes/128MiB; see GraftSession).
@@ -31,12 +47,20 @@ object Bench {
       // broken query can't masquerade as a fast one
       (name, if (failed) -times.min else times.min, failed)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failedNames = results.collect { case (k, _, true) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, false) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedNames,"sf":"$sfDir"}""")
+    def r3(v: Double): String = f"$v%.3f"
+    // full per-query dump (all queries, ms precision) → file
+    val fullQs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"failed":$failedNames,"sf":"$sfDir","n_queries":${results.size}}"""
+    Files.write(Paths.get(outFile), (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
+    // short stdout line: total + failed + top-20 slowest + file pointer
+    val top = results.filterNot(_._3).sortBy(-_._2).take(20)
+      .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"failed":$failedNames,"sf":"$sfDir","n_queries":${results.size},"queries_file":"$outFile","note":"stdout queries = top-20 slowest; full per-query JSON in queries_file"}""")
     spark.stop()
   }
 }

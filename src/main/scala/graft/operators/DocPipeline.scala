@@ -113,6 +113,48 @@ object DocPipeline {
       .orderBy("doc_id", "chunk_id")
   }
 
+  val RecMax = 200
+
+  /** UTL_TO_CHUNKS `split: "recursively"` — the reference's DEFAULT
+    * splitter (01_pdf_to_vector.sql:229-231): split on blank lines
+    * (paragraphs); any piece over the char budget falls back to
+    * newline (line) pieces; any line still over budget falls back to
+    * whitespace (word) pieces. The ordered leaf pieces are then packed
+    * into chunks by cumulative char budget — the same deterministic,
+    * SQL-expressible packing rule as the sentence splitter (no
+    * sequential greedy state, so it stays a window + groupBy and both
+    * engines agree exactly). Nested higher-order lambdas, no UDF; the
+    * per-doc window partitions on doc_id — parallel across docs.
+    * RecursiveSpec exercises the paragraph/newline fallback levels on
+    * synthetic multi-paragraph input (the corpus has no newlines). */
+  def chunksRecursive(s: SparkSession, dir: String): DataFrame =
+    chunksRecursiveOf(Tables.documents(s, dir))
+
+  def chunksRecursiveOf(docs: DataFrame): DataFrame = {
+    val leaves = expr(s"""
+      flatten(transform(
+        filter(split(lower(trim(text)), '\\\\n{2,}'), p -> length(p) > 0),
+        p -> CASE WHEN length(p) <= $RecMax THEN array(p)
+             ELSE flatten(transform(
+               filter(split(p, '\\\\n+'), l -> length(l) > 0),
+               l -> CASE WHEN length(l) <= $RecMax THEN array(l)
+                    ELSE filter(split(l, '\\\\s+'), w -> length(w) > 0) END))
+             END))""")
+    val pieces = docs
+      .select(col("doc_id"), posexplode(leaves))
+      .select(col("doc_id"), col("pos"), col("col").as("piece"),
+        length(col("col")).cast("long").as("nc"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pieces.withColumn("cum", sum(col("nc")).over(w))
+      .withColumn("chunk_id", expr(s"(cum - nc) div $RecMax") + 1)
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_pieces"), sum(col("nc")).as("n_chars"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("piece")))),
+          x => x.getField("piece")), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   private def bucketOf(token: Column): Column =
     pmod(PortableHash.phashWord(token, EmbedSeed, 0), lit(Dim))
   private def signOf(token: Column): Column =
@@ -264,6 +306,7 @@ object DocPipeline {
     "doc_chunk" -> (chunksOrdered _),
     "doc_chunk_chars" -> (chunksByChars _),
     "doc_chunk_sentence" -> (chunksBySentence _),
+    "doc_chunk_recursive" -> (chunksRecursive _),
     "doc_embed_json_table" -> (embedJsonTable _),
     "doc_pipeline" -> (docPipeline _),
     "vs_chunk_knn" -> (chunkKnn _),
@@ -301,6 +344,33 @@ object DocPipeline {
          |SELECT doc_id, ((cum - nw) // $SentMaxWords + 1)::BIGINT AS chunk_id,
          |  count(*) AS n_sentences, sum(nw)::BIGINT AS n_tokens,
          |  string_agg(sent, ' ' ORDER BY pos) AS chunk_text
+         |FROM c GROUP BY doc_id, chunk_id
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "doc_chunk_recursive" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lower(trim(text)) AS t FROM documents),
+         |leaves AS (
+         |  SELECT doc_id,
+         |    flatten(list_transform(
+         |      list_filter(regexp_split_to_array(t, '\\n{2,}'), p -> length(p) > 0),
+         |      p -> CASE WHEN length(p) <= $RecMax THEN [p]
+         |           ELSE flatten(list_transform(
+         |             list_filter(regexp_split_to_array(p, '\\n+'), l -> length(l) > 0),
+         |             l -> CASE WHEN length(l) <= $RecMax THEN [l]
+         |                  ELSE list_filter(regexp_split_to_array(l, '\\s+'),
+         |                       w -> length(w) > 0) END))
+         |           END)) AS ps
+         |  FROM t),
+         |p AS (
+         |  SELECT doc_id, i - 1 AS pos, ps[i] AS piece, length(ps[i])::BIGINT AS nc
+         |  FROM leaves, unnest(generate_series(1, len(ps))) AS u(i)),
+         |c AS (
+         |  SELECT *, sum(nc) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM p)
+         |SELECT doc_id, ((cum - nc) // $RecMax + 1)::BIGINT AS chunk_id,
+         |  count(*) AS n_pieces, sum(nc)::BIGINT AS n_chars,
+         |  string_agg(piece, ' ' ORDER BY pos) AS chunk_text
          |FROM c GROUP BY doc_id, chunk_id
          |ORDER BY doc_id, chunk_id""".stripMargin,
     "doc_chunk_chars" ->

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.SafeRound.round
 
@@ -106,29 +107,39 @@ object IvfIndex {
 
   /** Batch serving against the IVF layout: a TABLE of query vectors,
     * each probing only its nprobe nearest centroids' partitions.
-    * Centroid ranking happens driver-side (queries × k centroids of
-    * floats — tiny); the data side is one equi-join of the (query,
-    * probed-centroid) pairs against the centroid-partitioned index —
-    * partition pruning expressed as a join key — then the exact kernel
-    * and a bounded top-k agg per query. Rows-only (k-means); AnnSpec
-    * asserts the full-probe form equals brute force per query. */
+    * Fully distributed — the query table never touches the driver:
+    * the (tiny, k-row) centroid table is broadcast against the query
+    * table and a bounded top-nprobe agg picks each query's probe set
+    * (shuffle volume = queries × nprobe, i.e. the answer size, thanks
+    * to map-side partial aggregation in TopKByDist). The data side is
+    * one equi-join of the (query, probed-centroid) pairs against the
+    * centroid-partitioned index — partition pruning expressed as a
+    * join key — then the exact kernel and a bounded top-k agg per
+    * query. The qid→qv join is left un-hinted: AQE broadcasts it at
+    * local scale and falls back to a high-cardinality shuffle join on
+    * qid for a 100 TB-sized query table. The distributed centroid
+    * ranking is bit-identical to `search`'s driver-side ranking (same
+    * left-to-right double accumulation, same (dist, id) tie-break).
+    * Rows-only (k-means); AnnSpec asserts the full-probe form equals
+    * brute force per query. */
   def searchBatch(s: SparkSession, index: DataFrame,
       centroids: Array[Array[Double]],
       queriesDf: DataFrame, k: Int, nprobe: Int = NumProbe): DataFrame = {
     import s.implicits._
-    val qs = queriesDf.select(col("qid"), col("qv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probePairs = qs.flatMap { case (qid, qv) =>
-      val q = qv.map(_.toDouble)
-      centroids.zipWithIndex
-        .map { case (c, i) => (i, cosineDist(c, q)) }
-        .sortBy { case (i, d) => (d, i) }
-        .take(nprobe).map { case (cid, _) => (qid, cid) }
-    }.toSeq.toDF("qid", "centroid_id")
-    val qvs = qs.toSeq.toDF("qid", "qv")
+    val cdf = centroids.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("cid", "cvec")
+    val probePairs = queriesDf
+      .crossJoin(broadcast(cdf))
+      .select(col("qid"),
+        graft.functions.VectorFunctions.cosineDistance(col("qv"), col("cvec")).as("cdist"),
+        col("cid"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topkByDist(col("cdist"), col("cid"), nprobe).as("probes"))
+      .select(col("qid"), explode(col("probes.id")).as("cid"))
+      .select(col("qid"), col("cid").cast("int").as("centroid_id"))
     index
       .join(broadcast(probePairs), "centroid_id")
-      .join(broadcast(qvs), "qid")
+      .join(queriesDf.select(col("qid"), col("qv")), "qid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         graft.functions.SafeRound.round(
@@ -139,6 +150,71 @@ object IvfIndex {
       .select(col("qid"), col("col.id").as("vec_id"), col("col.dist").as("dist"),
         (col("pos") + 1).cast("long").as("rnk"))
       .orderBy("qid", "rnk")
+  }
+
+  /** TARGET ACCURACY → nprobe calibration — the reference's actual
+    * index-tuning interface (/root/reference/scripts/
+    * 01_pdf_to_vector.sql:97: `WITH TARGET ACCURACY 95`). At build
+    * time, measure recall on a deterministic query sample and return
+    * the smallest nprobe that meets the target. One exact pass over
+    * (sample × corpus) — the standard one-off calibration cost — then
+    * a closed form instead of per-nprobe re-probing: a true top-k
+    * neighbor is recovered at probe depth n iff its centroid ranks
+    * ≤ n in the query's centroid ordering, so recall(n) is a running
+    * cumulative count over centroid ranks. Everything distributed
+    * except the final ≤ NumCentroids rank histogram. */
+  def calibrateNprobe(s: SparkSession, index: DataFrame,
+      centroids: Array[Array[Double]], dir: String,
+      targetAccuracy: Double, k: Int = 10, sampleMod: Int = 50): Int = {
+    import s.implicits._
+    val sample = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // exact ground-truth top-k per sample query (broadcast the sample,
+    // bounded top-k agg — shuffle volume is the answer size)
+    val truth = index
+      .crossJoin(broadcast(sample))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        FloatVecDistance.cosine(col("embedding"), col("qv")).as("dist"),
+        col("vec_id"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topkByDist(col("dist"), col("vec_id"), k).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("vec_id"))
+      .join(index.select(col("vec_id"), col("centroid_id")), "vec_id")
+    // per-query centroid ranking: sample × NumCentroids rows, windowed
+    // per query — bounded work, parallel across queries
+    val cdf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("centroid_id", "cvec")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("centroid_id"))
+    val cranks = sample.crossJoin(broadcast(cdf))
+      .select(col("qid"), col("centroid_id"),
+        graft.functions.VectorFunctions.cosineDistance(col("qv"), col("cvec")).as("cdist"))
+      .withColumn("crank", row_number().over(w))
+      .select(col("qid"), col("centroid_id"), col("crank"))
+    val nQueries = sample.count()
+    val byRank = truth.join(cranks, Seq("qid", "centroid_id"))
+      .groupBy(col("crank")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val denom = (nQueries * k).toDouble
+    var cum = 0L
+    (1 to centroids.length).find { n =>
+      cum += byRank.getOrElse(n, 0L)
+      cum / denom >= targetAccuracy
+    }.getOrElse(centroids.length)
+  }
+
+  /** vs_knn_ivf_acc: the vs_knn_ivf probe with nprobe chosen by
+    * `TARGET ACCURACY 95` calibration instead of the fixed default.
+    * Rows-only (k-means); AnnSpec asserts the calibrated nprobe meets
+    * the target on the sample and that target=1.0 reproduces the
+    * exact result. */
+  def knnIvfAcc(s: SparkSession, dir: String): DataFrame = {
+    val (index, centroids) = build(s, dir)
+    val np = calibrateNprobe(s, index, centroids, dir, targetAccuracy = 0.95)
+    val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    search(s, index.filter(col("vec_id") =!= 0), centroids, query, k = 10, nprobe = np)
   }
 
   /** vs_knn_ivf_batch: every 50th vector served against the IVF
@@ -153,6 +229,7 @@ object IvfIndex {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vs_knn_ivf" -> (knnIvf _),
+    "vs_knn_ivf_acc" -> (knnIvfAcc _),
     "vs_knn_ivf_batch" -> (knnIvfBatch _))
   val oracleSql: Map[String, String] = Map.empty
 }

@@ -105,9 +105,25 @@ object Multimodal {
     "mm_frame_sample" -> (frameSample _),
     "mm_resize" -> (resizePlan _))
 
-  // mm_frame_sample is rows-only (Scala-side fingerprint mixing isn't
-  // worth re-expressing in SQL); its exactness is spec-tested.
   val oracleSql: Map[String, String] = Map(
+    // the stub's frame fingerprint is pure integer mixing on (doc_id,
+    // frame) — exactly reproducible with BIGINT arithmetic + bitwise
+    // AND in DuckDB, so the whole flatMap is oracle-checked.
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |meta AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n % 2 = 0 THEN 'img' ELSE 'vid' END AS fmt,
+        |    CASE WHEN n % 2 = 0 THEN 1 ELSE n % 24 + 1 END AS n_frames
+        |  FROM m),
+        |f AS (
+        |  SELECT doc_id, fmt, fr::BIGINT AS frame
+        |  FROM meta, unnest(generate_series(1, n_frames)) AS u(fr)
+        |  WHERE fr % 6 = 1)
+        |SELECT doc_id, fmt, frame,
+        |  ((doc_id * 1315423911 + frame * 2654435761) & 4294967295)::BIGINT AS frame_fp
+        |FROM f ORDER BY doc_id, frame""".stripMargin,
     "mm_decode_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

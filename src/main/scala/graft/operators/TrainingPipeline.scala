@@ -111,9 +111,13 @@ object TrainingPipeline {
     val shingled = withSplit
       .select(col("doc_id"), col("bucket"),
         explode(shingles(tokens(col("text")), 8)).as("sh"))
-      .distinct()
-    val train = shingled.filter(col("bucket") < 90).select(col("sh")).distinct()
+    // distinct only where semantics need it: the TEST side counts
+    // distinct shingles per doc (5% of rows — cheap); the train side
+    // feeds a left-semi join, which is duplicate-insensitive, so
+    // distinct-ing it would just add a full-corpus shuffle.
+    val train = shingled.filter(col("bucket") < 90).select(col("sh"))
     val test = shingled.filter(col("bucket") >= 95)
+      .select(col("doc_id"), col("sh")).distinct()
     test.join(train, Seq("sh"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_shingles"))

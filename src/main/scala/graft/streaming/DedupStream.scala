@@ -20,13 +20,34 @@ import graft.operators.Dedup
   *     in-batch self-join (new × new) — band equi-joins, never doc×doc;
   *  3. append new bands to the state table, new candidates to the out
   *     table.
-  * State is a parquet table partition-appended per batch — at 100 TB
-  * the state side is the only thing that grows, and each batch touches
-  * it with one shuffle on uniformly-hashed band keys. After the
-  * AvailableNow drain the emitted candidate set equals the batch
-  * operator's band-candidate set exactly (StreamingSpec asserts it).
+  * State is a parquet table PARTITIONED BY band and appended per
+  * batch — at 100 TB the state side is the only thing that grows, and
+  * the per-batch join never shuffles it: the scan prunes to the band
+  * partitions present in the micro-batch (PartitionFilters — asserted
+  * in StreamingSpec) and the (small) batch band set is broadcast, so
+  * each batch costs one pruned state scan + a broadcast hash join,
+  * zero state-side exchange. After the AvailableNow drain the emitted
+  * candidate set equals the batch operator's band-candidate set
+  * exactly (StreamingSpec asserts it).
   */
 object DedupStream {
+
+  /** New-vs-state candidates for one micro-batch: state scan pruned to
+    * the batch's band partitions, batch side broadcast. Factored out
+    * so its plan (PartitionFilters + BroadcastHashJoin, no state-side
+    * Exchange) is directly assertable in StreamingSpec. */
+  def stateCandidates(bands: DataFrame, statePath: String): DataFrame = {
+    val s = bands.sparkSession
+    // ≤ NumBands small ints — partition-pruning metadata, not data.
+    val batchBands = bands.select("band").distinct().collect().map(_.getInt(0))
+    s.read.parquet(statePath).as("o")
+      .filter(col("o.band").isin(batchBands.toIndexedSeq: _*))
+      .join(broadcast(bands).as("n"),
+        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+  }
 
   def candidates(s: SparkSession, dir: String): DataFrame = {
     val root = Files.createTempDirectory("graft_dedup_stream").toString
@@ -49,18 +70,10 @@ object DedupStream {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         val vsState =
           if (!priorExists) withinBatch.limit(0)
-          else {
-            val prior = batch.sparkSession.read.parquet(statePath)
-            bands.as("n")
-              .join(prior.as("o"),
-                col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey") &&
-                  col("n.doc_id") =!= col("o.doc_id"))
-              .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
-                greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
-          }
+          else stateCandidates(bands, statePath)
         withinBatch.union(vsState).distinct()
           .write.mode("append").parquet(outPath)
-        bands.write.mode("append").parquet(statePath)
+        bands.write.mode("append").partitionBy("band").parquet(statePath)
         bands.unpersist()
         ()
       }

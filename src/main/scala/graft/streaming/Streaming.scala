@@ -248,6 +248,26 @@ object Streaming {
       """SELECT event_type, count(*) AS n,
         |  round(1e-9 + sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The stream computes gaps in MILLISECONDS (java.sql.Timestamp
+    // .getTime on the µs-normalized ts = epoch_ns // 1e6 for positive
+    // epochs), so the oracle reproduces the ms grain exactly — NOT the
+    // second grain of q_events_sessionize. Output is (user_id,
+    // n_events, sum_value) per session; remaining ties after the
+    // 3-column order are identical rows, so the order is total.
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000000 AS ms
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e)),
+        |sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sess_id
+        |  FROM marked)
+        |SELECT user_id, count(*) AS n_events, round(1e-9 + sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, n_events, sum_value""".stripMargin,
     // comparisons run on µs-truncated timestamps (epoch_ns // 1000) to
     // match Spark's ns→µs normalization exactly; gaps on second grain.
     "stream_interval_join" ->

@@ -89,6 +89,45 @@ class AnnSpec extends AnyFunSuite {
       s"batch ivf recall collapsed: ${(part & exactPairs).size}/${exactPairs.size}")
   }
 
+  test("ivf batch probe ranking is distributed: broadcast centroids, bounded agg, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val (index, centroids) = IvfIndex.build(spark, sf)
+    val queriesDf = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val p = IvfIndex.searchBatch(spark, index, centroids, queriesDf, k = 5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the k-row centroid table is the broadcast side of the ranking
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // probe selection + final top-k both via the bounded heap agg
+    assert("topk_by_dist".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("target-accuracy calibration: nprobe meets target; target 1.0 reproduces exact") {
+    import org.apache.spark.sql.functions._
+    val (index, centroids) = IvfIndex.build(spark, sf)
+    val np95 = IvfIndex.calibrateNprobe(spark, index, centroids, sf, targetAccuracy = 0.95)
+    val np100 = IvfIndex.calibrateNprobe(spark, index, centroids, sf, targetAccuracy = 1.0)
+    assert(np95 >= 1 && np95 <= np100 && np100 <= IvfIndex.NumCentroids,
+      s"np95=$np95 np100=$np100")
+    val queriesDf = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairsAt(np: Int): Set[(Long, Long)] =
+      IvfIndex.searchBatch(spark, index, centroids, queriesDf, k = 10, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsAt(IvfIndex.NumCentroids)
+    // target 1.0: every true neighbor's centroid is probed → exact result
+    assert(pairsAt(np100) == exact, "target 1.0 nprobe must recover the exact result")
+    // target 0.95: measured recall on the calibration sample meets the
+    // target (0.9 asserted: rounded-tie flips at the k boundary can
+    // shave a pair vs the closed-form count)
+    val recall = (pairsAt(np95) & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"measured recall $recall at calibrated nprobe=$np95")
+  }
+
   test("lsh ann probe: sound, deterministic, non-trivial recall") {
     val lsh = EmbeddingLsh.annSearch(spark, sf).collect()
     assert(lsh.length == 10)

@@ -153,12 +153,36 @@ class CoreSpec extends AnyFunSuite {
     assert(mmr.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("recursive chunker falls back paragraph → newline → whitespace") {
+    import spark.implicits._
+    import graft.operators.DocPipeline
+    val longLine = (1 to 60).map(i => f"w$i%03d").mkString(" ")   // 300 chars, no newline
+    val docs = Seq(
+      (1L, "aaa bbb\n\nccc ddd"),                 // two short paragraphs: kept whole
+      (2L, ("x" * 150) + "\n" + ("y" * 150)),     // long paragraph: split at the newline
+      (3L, longLine)                              // long single line: split at whitespace
+    ).toDF("doc_id", "text")
+    val out = DocPipeline.chunksRecursiveOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length == 1 && d1(0)._3 == 2 && d1(0)._5 == "aaa bbb ccc ddd",
+      s"paragraph level: ${d1.toSeq}")
+    val d2 = out.filter(_._1 == 2L)
+    // two LINE pieces (not 300 word pieces), packed by char budget
+    assert(d2.map(_._3).sum == 2 && d2.flatMap(_._5.split(" ")).toSet ==
+      Set("x" * 150, "y" * 150), s"newline level: ${d2.toSeq}")
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.map(_._3).sum == 60 && d3.length == 2, s"whitespace level: ${d3.toSeq}")
+    // budget packing: every chunk's char sum stays within max + one piece
+    assert(d3.forall(_._4 <= DocPipeline.RecMax + 4), s"overpacked: ${d3.toSeq}")
+  }
+
   test("every query has oracle sql or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val rowsOnly = Set("vs_knn_ivf", "dedup_embedding_lsh", "mm_frame_sample",
-      "stream_sessionize", "vs_to_vector_roundtrip", "model_registry",
+    val rowsOnly = Set("vs_knn_ivf", "dedup_embedding_lsh",
+      "vs_to_vector_roundtrip",
       "stream_index_upsert", "vs_mmr_rerank", "q_approx_sketches",
-      "stream_minhash_cand", "vs_knn_ivf_batch")
+      "stream_minhash_cand", "vs_knn_ivf_batch", "vs_knn_ivf_acc")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }

@@ -59,6 +59,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("dedup stream state join: pruned partitioned scan + broadcast batch, equals batch set") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val half0 = docs.filter(col("doc_id") % 2 === 0)
+    val half1 = docs.filter(col("doc_id") % 2 === 1)
+    def bandsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.bandsOf(Dedup.minhashSigOf(Dedup.shingleSetOf(d)))
+    val statePath = java.nio.file.Files.createTempDirectory("graft_state").toString + "/state"
+    bandsOf(half0).write.partitionBy("band").parquet(statePath)
+    val vs = graft.streaming.DedupStream.stateCandidates(bandsOf(half1), statePath)
+    val p = vs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the state scan prunes to the batch's band partitions and the
+    // batch side is broadcast — no state-side exchange
+    assert(p.contains("PartitionFilters: [") && p.contains("band"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    // cross-half ∪ within-half candidates == the batch operator's set
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pairs(vs.distinct()) ++
+      pairs(Dedup.bandCandidatesOf(half0)) ++ pairs(Dedup.bandCandidatesOf(half1))
+    assert(all == pairs(Dedup.bandCandidatesOf(docs)))
+  }
+
   test("mm_frame_sample is deterministic and bounded by n_frames") {
     val a = Multimodal.frameSample(spark, sf).collect().map(_.toSeq)
     val b = Multimodal.frameSample(spark, sf).collect().map(_.toSeq)
