@@ -140,8 +140,45 @@ object DocPipeline {
                l -> CASE WHEN length(l) <= $RecMax THEN array(l)
                     ELSE filter(split(l, '\\\\s+'), w -> length(w) > 0) END))
              END))""")
-    val pieces = docs
-      .select(col("doc_id"), posexplode(leaves))
+    packPieces(docs.select(col("doc_id"), posexplode(leaves)))
+  }
+
+  /** Nested fallback-split SQL: try each separator regex in order;
+    * any piece still over `max` chars falls through to the next level,
+    * ending at whitespace words. Shared by the custom-list splitter
+    * (and mirrors the hand-written recursive splitter's shape). */
+  private def leavesSql(input: String, seps: List[String], max: Int,
+      depth: Int = 0): String = seps match {
+    case Nil => s"filter(split($input, '\\\\s+'), w$depth -> length(w$depth) > 0)"
+    case s0 :: rest =>
+      val v = s"p$depth"
+      s"""flatten(transform(
+         |  filter(split($input, '$s0'), $v -> length($v) > 0),
+         |  $v -> CASE WHEN length($v) <= $max THEN array($v)
+         |       ELSE ${leavesSql(v, rest, max, depth + 1)} END))""".stripMargin
+  }
+
+  /** The custom separator list: sentence-period, then comma (the
+    * corpus has no markup; for HTML-ish corpora this would be e.g.
+    * `<p>`, `<section>` as in the reference's example). */
+  val CustomSeps: List[String] = List("\\\\.\\\\s+", ",\\\\s+")
+
+  /** UTL_TO_CHUNKS `split: "custom"` (reference's documented
+    * alternative D at 01_pdf_to_vector.sql:233-236: a user-defined
+    * separator list). Separators are tried in order as fallback
+    * levels for oversize pieces — same topology as the recursive
+    * splitter, parameterized by the list — then packed by char
+    * budget. */
+  def chunksCustom(s: SparkSession, dir: String): DataFrame =
+    packPieces(Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(expr(leavesSql("lower(trim(text))", CustomSeps, RecMax)))))
+
+  /** Shared char-budget packing of ordered leaf pieces:
+    * (doc_id, pos, piece) → (doc_id, chunk_id, n_pieces, n_chars,
+    * chunk_text). */
+  private def packPieces(exploded: DataFrame): DataFrame = {
+    val pieces = exploded
       .select(col("doc_id"), col("pos"), col("col").as("piece"),
         length(col("col")).cast("long").as("nc"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -152,6 +189,39 @@ object DocPipeline {
       .agg(count(lit(1)).as("n_pieces"), sum(col("nc")).as("n_chars"),
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("piece")))),
           x => x.getField("piece")), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val VocabSize = 100
+  val VocabMax = 50
+
+  /** UTL_TO_CHUNKS `by: "vocabulary"` (reference's documented
+    * alternative B at 01_pdf_to_vector.sql:224-227): chunk budget
+    * measured in TOKENIZER VOCABULARY tokens, not words — the mode
+    * that aligns chunk sizes with a model tokenizer. The vocabulary
+    * is the corpus top-100 tokens (built distributed, broadcast back);
+    * an in-vocab word costs 1 token, an OOV word costs its BPE-ish
+    * subword count ceil(len/4). Words are never split; packing is the
+    * same deterministic cumulative-budget rule. */
+  def chunksByVocab(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(VocabSize)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    val costed = toks.join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("vt",
+        when(col("in_vocab").isNotNull, lit(1L))
+          .otherwise(ceil(length(col("token")) / lit(4.0)).cast("long")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    costed.withColumn("cum", sum(col("vt")).over(w))
+      .withColumn("chunk_id", expr(s"(cum - vt) div $VocabMax") + 1)
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("vt")).as("n_vtokens"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("chunk_text"))
       .orderBy("doc_id", "chunk_id")
   }
 
@@ -307,6 +377,8 @@ object DocPipeline {
     "doc_chunk_chars" -> (chunksByChars _),
     "doc_chunk_sentence" -> (chunksBySentence _),
     "doc_chunk_recursive" -> (chunksRecursive _),
+    "doc_chunk_custom" -> (chunksCustom _),
+    "doc_chunk_vocab" -> (chunksByVocab _),
     "doc_embed_json_table" -> (embedJsonTable _),
     "doc_pipeline" -> (docPipeline _),
     "vs_chunk_knn" -> (chunkKnn _),
@@ -371,6 +443,57 @@ object DocPipeline {
          |SELECT doc_id, ((cum - nc) // $RecMax + 1)::BIGINT AS chunk_id,
          |  count(*) AS n_pieces, sum(nc)::BIGINT AS n_chars,
          |  string_agg(piece, ' ' ORDER BY pos) AS chunk_text
+         |FROM c GROUP BY doc_id, chunk_id
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "doc_chunk_custom" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lower(trim(text)) AS t FROM documents),
+         |leaves AS (
+         |  SELECT doc_id,
+         |    flatten(list_transform(
+         |      list_filter(regexp_split_to_array(t, '\\.\\s+'), p -> length(p) > 0),
+         |      p -> CASE WHEN length(p) <= $RecMax THEN [p]
+         |           ELSE flatten(list_transform(
+         |             list_filter(regexp_split_to_array(p, ',\\s+'), l -> length(l) > 0),
+         |             l -> CASE WHEN length(l) <= $RecMax THEN [l]
+         |                  ELSE list_filter(regexp_split_to_array(l, '\\s+'),
+         |                       w -> length(w) > 0) END))
+         |           END)) AS ps
+         |  FROM t),
+         |p AS (
+         |  SELECT doc_id, i - 1 AS pos, ps[i] AS piece, length(ps[i])::BIGINT AS nc
+         |  FROM leaves, unnest(generate_series(1, len(ps))) AS u(i)),
+         |c AS (
+         |  SELECT *, sum(nc) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM p)
+         |SELECT doc_id, ((cum - nc) // $RecMax + 1)::BIGINT AS chunk_id,
+         |  count(*) AS n_pieces, sum(nc)::BIGINT AS n_chars,
+         |  string_agg(piece, ' ' ORDER BY pos) AS chunk_text
+         |FROM c GROUP BY doc_id, chunk_id
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "doc_chunk_vocab" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, i - 1 AS pos, t[i] AS token FROM (
+         |    SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |      x -> length(x) > 0) AS t FROM documents) s,
+         |    unnest(generate_series(1, len(t))) AS u(i)),
+         |vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+         |    ORDER BY cnt DESC, token LIMIT $VocabSize)),
+         |costed AS (
+         |  SELECT k.doc_id, k.pos, k.token,
+         |    CASE WHEN v.token IS NOT NULL THEN 1
+         |         ELSE CAST(ceil(length(k.token) / 4.0) AS BIGINT) END AS vt
+         |  FROM toks k LEFT JOIN vocab v ON k.token = v.token),
+         |c AS (
+         |  SELECT *, sum(vt) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM costed)
+         |SELECT doc_id, ((cum - vt) // $VocabMax + 1)::BIGINT AS chunk_id,
+         |  count(*) AS n_words, sum(vt)::BIGINT AS n_vtokens,
+         |  string_agg(token, ' ' ORDER BY pos) AS chunk_text
          |FROM c GROUP BY doc_id, chunk_id
          |ORDER BY doc_id, chunk_id""".stripMargin,
     "doc_chunk_chars" ->

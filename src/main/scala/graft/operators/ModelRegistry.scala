@@ -23,14 +23,32 @@ import graft.functions.PortableHash
   */
 object ModelRegistry {
 
-  final case class EmbedModel(name: String, dim: Int, seed: Int)
+  /** Registry record — mirrors the models.json entry shape
+    * (models/models.json: id / name / description / output /
+    * db_model_name; the download URL is deliberately not modeled). */
+  final case class EmbedModel(name: String, dim: Int, seed: Int,
+      id: String = "", description: String = "", file: String = "")
 
   /** Default catalog — mirrors models/models.json (one all-MiniLM
     * entry, 384-dim); a second smaller model exercises multi-model
     * management. */
   val catalog: Seq[EmbedModel] = Seq(
-    EmbedModel("ALL_MINILM_L12_V2", 384, 101),
-    EmbedModel("MINI_HASH_64", 64, 303))
+    EmbedModel("ALL_MINILM_L12_V2", 384, 101,
+      id = "all-minilm", description = "general-purpose text embedding (384-dim)",
+      file = "all_MiniLM_L12_v2.onnx"),
+    EmbedModel("MINI_HASH_64", 64, 303,
+      id = "mini-hash", description = "compact 64-dim hashing-trick embedder",
+      file = "mini_hash_64.onnx"))
+
+  /** model_catalog query: the registry metadata itself as a relation —
+    * the models.json record shape (id, db model name, dim, artifact
+    * file, description) that load_models.py prints and keys on. */
+  def catalogReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    catalog.map(m => (m.id, m.name, m.dim.toLong, m.file, m.description))
+      .toDF("model_id", "db_model_name", "dim", "file", "description")
+      .orderBy("model_id")
+  }
 
   private val loaded = TrieMap.empty[String, EmbedModel]
 
@@ -152,7 +170,13 @@ object ModelRegistry {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "model_registry" -> (registryReport _),
+    "model_catalog" -> (catalogReport _),
     "model_ab_overlap" -> (abOverlap _))
+
+  private def catalogRowSql(m: EmbedModel): String =
+    s"""SELECT '${m.id}' AS model_id, '${m.name}' AS db_model_name,
+       |  CAST(${m.dim} AS BIGINT) AS dim, '${m.file}' AS file,
+       |  '${m.description}' AS description""".stripMargin
 
   private def modelSql(m: EmbedModel): String =
     s"""SELECT '${m.name}' AS model, CAST(${m.dim} AS BIGINT) AS dim,
@@ -206,6 +230,9 @@ object ModelRegistry {
        |  WHERE rnk <= 3)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "model_catalog" ->
+      catalog.sortBy(_.id).map(catalogRowSql)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY model_id"),
     "model_registry" ->
       catalog.sortBy(_.name).map(modelSql)
         .mkString("", "\nUNION ALL\n", "\nORDER BY model"),
