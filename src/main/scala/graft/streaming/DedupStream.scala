@@ -73,7 +73,11 @@ object DedupStream {
           else stateCandidates(bands, statePath)
         withinBatch.union(vsState).distinct()
           .write.mode("append").parquet(outPath)
-        bands.write.mode("append").partitionBy("band").parquet(statePath)
+        // repartition on the partition column first: one file per band
+        // per batch, not (shuffle partitions × bands) small files —
+        // state-table file count stays linear in batches.
+        bands.repartition(col("band"))
+          .write.mode("append").partitionBy("band").parquet(statePath)
         bands.unpersist()
         ()
       }

@@ -75,6 +75,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition\n   +- Window"), p)
   }
 
+  test("vocab chunker broadcasts the vocabulary and shards its window by doc") {
+    val p = plan(DocPipeline.chunksByVocab(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"vocab lookup must broadcast\n$p")
+    assert(p.contains("hashpartitioning(doc_id"), s"window must partition by doc_id\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("df-capped ngram dedup: candidate joins are equi-joins, no cartesian") {
+    val p = plan(Dedup.ngramJaccardCapped(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q22 anti-join: NOT EXISTS plans as LeftAnti, scalar avg broadcasts") {
     val p = plan(Analytics2.q22LostCustomers(spark, sf))
     assert(p.contains("LeftAnti"), p)
