@@ -36,7 +36,12 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // min of two timed runs per query: the host is a shared box and a
     // single run can absorb an order-of-magnitude noise spike.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated filter for focused profiling runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
