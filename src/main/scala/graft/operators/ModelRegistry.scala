@@ -80,13 +80,15 @@ object ModelRegistry {
     * same digest) — materialized in a child projection so the hash
     * isn't computed twice. */
   def embed(s: SparkSession, dir: String, m: EmbedModel): DataFrame =
-    tokenStream(s, dir)
-      .select(col("doc_id"),
-        md5(concat(lit(s"${m.seed}:"), col("token"))).as("dg"))
-      .groupBy(col("doc_id"),
-        pmod(conv(substring(col("dg"), 1, 8), 16, 10).cast("long"), lit(m.dim)).as("bucket"))
-      .agg(sum(conv(substring(col("dg"), 9, 8), 16, 10).cast("long") % 2 * 2 - 1).as("w"))
-      .filter(col("w") =!= 0)
+    graft.functions.DfCache.getOrElseUpdate(s, s"modelEmbed:$dir:${m.name}:${m.dim}:${m.seed}") {
+      tokenStream(s, dir)
+        .select(col("doc_id"),
+          md5(concat(lit(s"${m.seed}:"), col("token"))).as("dg"))
+        .groupBy(col("doc_id"),
+          pmod(conv(substring(col("dg"), 1, 8), 16, 10).cast("long"), lit(m.dim)).as("bucket"))
+        .agg(sum(conv(substring(col("dg"), 9, 8), 16, 10).cast("long") % 2 * 2 - 1).as("w"))
+        .filter(col("w") =!= 0)
+    }
 
   /** model_registry query: load the catalog, embed the corpus under
     * every loaded model, report per-model stats. */
@@ -122,13 +124,19 @@ object ModelRegistry {
     val w = embed(s, dir, m)
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
-    val dense = w
-      .groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(
-        struct(col("bucket").cast("int"), col("w").cast("float")))).as("wm"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(m.dim - 1)),
-          i => coalesce(element_at(col("wm"), i), lit(0f))).as("dv"))
+    // Persisted: without a materialization boundary, CollapseProject
+    // inlines the O(dim × nnz) transform/element_at vector build into
+    // the cross-join projection, re-running it per scored PAIR (≈6 s
+    // at sf0.1) instead of once per doc. The cached frame also hands
+    // the join flat UnsafeArrayData floats (bulk-copy toFloatArray).
+    val dense = graft.functions.DfCache.getOrElseUpdate(s, s"modelDense:$dir:${m.name}") {
+      w.groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(
+          struct(col("bucket").cast("int"), col("w").cast("float")))).as("wm"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(m.dim - 1)),
+            i => coalesce(element_at(col("wm"), i), lit(0f))).as("dv"))
+    }
     val q = dense.filter(inSample(col("doc_id")))
       .select(col("doc_id").as("da"), col("dv").as("qv"))
     val dots = dense.select(col("doc_id").as("db"), col("dv"))
