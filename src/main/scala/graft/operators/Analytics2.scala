@@ -276,9 +276,78 @@ object Analytics2 {
       .withColumn("full_rate", round(col("n_full").cast("double") / col("n_users"), 4))
   }
 
+  /** Q10-style returned-item report: revenue lost to returns per
+    * customer over one quarter, top 20 by revenue. Fact-side filters
+    * (returnflag, order date) reach the scans; dims broadcast; final
+    * top-20 is a TakeOrderedAndProject on the rounded value. */
+  def q10Returned(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val c = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q14-style promo effect: share of one month's revenue from PROMO
+    * parts — one fact-scan month filter, part dim broadcast, a single
+    * conditional aggregate (no second pass for the denominator). */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = Tables.part(s, dir).select("p_partkey", "p_type")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)), 2)
+          .as("promo_revenue"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      .select(
+        round(col("promo_revenue") * 100.0 / col("total_revenue"), 4).as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"))
+  }
+
+  /** Q19-style disjunctive predicate pushdown: three OR'd
+    * (brand, size-range, quantity-range) clauses — the classic test
+    * that a disjunction of conjunctions still prunes at the scan
+    * (partial pushdown of the common p_size bound) instead of
+    * degenerating into a post-join filter. */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 50) &&
+          col("l_quantity").between(20, 30)))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
+    "q10_returned" -> (q10Returned _),
+    "q14_promo" -> (q14Promo _),
+    "q19_disjunctive" -> (q19Disjunctive _),
     "q_pivot" -> (qPivot _),
     "q_set_ops" -> (qSetOps _),
     "q_approx_sketches" -> (qApproxSketches _),
@@ -294,6 +363,43 @@ object Analytics2 {
     "q_yoy_growth" -> (qYoyGrowth _))
 
   val oracleSql: Map[String, String] = Map(
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, round(1e-9 + c_acctbal, 2) AS c_acctbal, n_name,
+        |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo" ->
+      """WITH m AS (
+        |  SELECT p_type, l_extendedprice * (1 - l_discount) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'),
+        |agg AS (
+        |  SELECT round(1e-9 + sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END), 2) AS promo_revenue,
+        |    round(1e-9 + sum(rev), 2) AS total_revenue
+        |  FROM m)
+        |SELECT round(1e-9 + promo_revenue * 100.0 / total_revenue, 4) AS promo_pct,
+        |  promo_revenue, total_revenue
+        |FROM agg""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT p_brand,
+        |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+        |       AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_set_ops" ->
       """SELECT user_id, 'view_no_purchase' AS cohort FROM (
         |  SELECT user_id FROM events WHERE event_type = 'view'

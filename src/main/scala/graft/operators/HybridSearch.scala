@@ -43,7 +43,10 @@ object HybridSearch {
       .groupBy(_._1).map { case (b, ws) => (b, ws.map(_._2).sum) }
       .filter(_._2 != 0L).toSeq
 
-  def search(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc (kw_score, vec_score) pairs — the shared candidate-scoring
+    * stage both fusion modes (min-max and RRF) consume. Cached: it
+    * feeds two branches inside `search` and a second query. */
+  private def scoredDf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val toks = Tables.documents(s, dir)
@@ -70,10 +73,7 @@ object HybridSearch {
       .join(norms, "doc_id")
       .select(col("doc_id"), (col("dot") / (col("nrm") * lit(qnorm))).as("vec_raw"))
 
-    // ---- min-max score fusion ------------------------------------------
-    // scored feeds two branches (global bounds + final projection) —
-    // materialize once like the other multi-consumer intermediates.
-    val scored = graft.functions.DfCache.getOrElseUpdate(s, s"hybridScored:$dir") {
+    graft.functions.DfCache.getOrElseUpdate(s, s"hybridScored:$dir") {
       docs
         .join(kw, Seq("doc_id"), "left")
         .join(vec, Seq("doc_id"), "left")
@@ -81,6 +81,11 @@ object HybridSearch {
           round(coalesce(col("kw_raw"), lit(0.0)), 4).as("kw_score"),
           round(coalesce(col("vec_raw"), lit(0.0)), 4).as("vec_score"))
     }
+  }
+
+  def search(s: SparkSession, dir: String): DataFrame = {
+    // ---- min-max score fusion ------------------------------------------
+    val scored = scoredDf(s, dir)
     val bounds = scored.agg(
       min("kw_score").as("kmin"), max("kw_score").as("kmax"),
       min("vec_score").as("vmin"), max("vec_score").as("vmax"))
@@ -91,6 +96,85 @@ object HybridSearch {
             (col("vec_score") - col("vmin")) / greatest(col("vmax") - col("vmin"), lit(1e-12)) * 0.5,
           4).as("fused"))
       .orderBy(col("fused").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
+  /** RRF candidate-list depth and the standard rank-smoothing constant. */
+  val RrfTopN = 50
+  val RrfK = 60
+
+  /** Reciprocal-rank fusion: fuse the keyword and vector TOP-LISTS by
+    * rank instead of score — RRF(d) = Σ_sys 1/(k + rank_sys(d)), the
+    * scale-free fusion that needs no score normalization.
+    *
+    * Scale shape: a global rank over the corpus would be a global
+    * sort, but RRF's contribution decays as 1/rank, so real engines
+    * fuse bounded top-N lists per system. Each list here is a
+    * TakeOrderedAndProject (top-50 on the rounded score, id
+    * tie-break); the rank window then runs over 50 rows, and the
+    * full-outer fusion join is trivially small. Docs outside a
+    * system's top-N contribute 0 from that system (rank 0 = absent). */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredDf(s, dir)
+    def topRanks(scoreCol: String, rankName: String): DataFrame =
+      scored.orderBy(col(scoreCol).desc, col("doc_id")).limit(RrfTopN)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col(scoreCol).desc, col("doc_id")))
+            .cast("long").as(rankName))
+    val ka = topRanks("kw_score", "kw_rank")
+    val kv = topRanks("vec_score", "vec_rank")
+    ka.join(kv, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("kw_rank"), lit(0L)).as("kw_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .withColumn("rrf_score", round(
+        when(col("kw_rank") > 0, lit(1.0) / (lit(RrfK) + col("kw_rank"))).otherwise(0.0) +
+          when(col("vec_rank") > 0, lit(1.0) / (lit(RrfK) + col("vec_rank"))).otherwise(0.0),
+        6))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
+  /** BM25 parameters (the universal defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 keyword retrieval over the query terms — the
+    * length-normalized, saturating upgrade of the TF-IDF branch:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Scale shape: tf and df are partial-agg groupBys over the
+    * query-term token subset (the inverted-list slice), doc length is
+    * a full-corpus groupBy that any real deployment materializes once,
+    * avgdl/N is one broadcast scalar row, and the final top-k is a
+    * TakeOrderedAndProject. avgdl is defined as Σdl / N so documents
+    * with no tokens count as length 0. */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val stats = dl.agg(sum(col("dl")).as("toktot"))
+      .crossJoin(nDocs)
+      .select(col("n"), (col("toktot").cast("double") / col("n")).as("avgdl"))
+    val qtoks = toks.filter(col("token").isInCollection(QueryTerms))
+    val tf = qtoks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dft = qtoks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          .as("contrib"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
       .limit(TopK)
   }
 
@@ -143,49 +227,56 @@ object HybridSearch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vs_mmr_rerank" -> (mmrRerank _),
-    "vs_hybrid_search" -> (search _))
+    "vs_hybrid_search" -> (search _),
+    "vs_rrf_fusion" -> (rrfFusion _),
+    "text_bm25" -> (bm25 _))
 
   private val qTermsSql = QueryTerms.map(t => s"('$t')").mkString(", ")
 
+  /** The shared candidate-scoring CTE chain (through `scored`) — the
+    * oracle twin of `scoredDf`. */
+  private val scoredCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    t -> length(t) > 0)) AS token
+       |  FROM documents),
+       |qt AS (SELECT doc_id, token FROM tok WHERE token IN (SELECT t FROM (VALUES $qTermsSql) v(t))),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2),
+       |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+       |nd AS (SELECT count(*) AS n FROM documents),
+       |kw AS (
+       |  SELECT doc_id, sum(tf * ln(n::DOUBLE / df)) AS kw_raw
+       |  FROM tf JOIN dft USING (token), nd GROUP BY doc_id),
+       |wt AS (
+       |  SELECT doc_id,
+       |    CAST(${PortableHash.duckSqlWord("token", EmbedSeed, 0)} % $Dim AS BIGINT) AS bucket,
+       |    sum(CAST(${PortableHash.duckSqlWord("token", EmbedSeed, 1)} % 2 AS BIGINT) * 2 - 1) AS w
+       |  FROM tok GROUP BY 1, 2),
+       |wnz AS (SELECT * FROM wt WHERE w <> 0),
+       |norms AS (SELECT doc_id, sqrt(sum(w * w)::DOUBLE) AS nrm FROM wnz GROUP BY 1),
+       |qw AS (
+       |  SELECT CAST(${PortableHash.duckSqlWord("t", EmbedSeed, 0)} % $Dim AS BIGINT) AS bucket,
+       |    sum(CAST(${PortableHash.duckSqlWord("t", EmbedSeed, 1)} % 2 AS BIGINT) * 2 - 1) AS wq
+       |  FROM (VALUES $qTermsSql) v(t) GROUP BY 1),
+       |qwnz AS (SELECT * FROM qw WHERE wq <> 0),
+       |qn AS (SELECT sqrt(sum(wq * wq)::DOUBLE) AS qnrm FROM qwnz),
+       |vec AS (
+       |  SELECT w.doc_id, sum(w.w * q.wq)::DOUBLE / (any_value(n.nrm) * any_value(qn.qnrm)) AS vec_raw
+       |  FROM wnz w JOIN qwnz q USING (bucket)
+       |    JOIN norms n ON w.doc_id = n.doc_id, qn
+       |  GROUP BY w.doc_id),
+       |scored AS (
+       |  SELECT d.doc_id,
+       |    round(1e-9 + coalesce(kw.kw_raw, 0.0), 4) AS kw_score,
+       |    round(1e-9 + coalesce(vec.vec_raw, 0.0), 4) AS vec_score
+       |  FROM documents d
+       |    LEFT JOIN kw ON d.doc_id = kw.doc_id
+       |    LEFT JOIN vec ON d.doc_id = vec.doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "vs_hybrid_search" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(list_filter(
-         |    regexp_split_to_array(lower(trim(text)), '\\s+'),
-         |    t -> length(t) > 0)) AS token
-         |  FROM documents),
-         |qt AS (SELECT doc_id, token FROM tok WHERE token IN (SELECT t FROM (VALUES $qTermsSql) v(t))),
-         |tf AS (SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2),
-         |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
-         |nd AS (SELECT count(*) AS n FROM documents),
-         |kw AS (
-         |  SELECT doc_id, sum(tf * ln(n::DOUBLE / df)) AS kw_raw
-         |  FROM tf JOIN dft USING (token), nd GROUP BY doc_id),
-         |wt AS (
-         |  SELECT doc_id,
-         |    CAST(${PortableHash.duckSqlWord("token", EmbedSeed, 0)} % $Dim AS BIGINT) AS bucket,
-         |    sum(CAST(${PortableHash.duckSqlWord("token", EmbedSeed, 1)} % 2 AS BIGINT) * 2 - 1) AS w
-         |  FROM tok GROUP BY 1, 2),
-         |wnz AS (SELECT * FROM wt WHERE w <> 0),
-         |norms AS (SELECT doc_id, sqrt(sum(w * w)::DOUBLE) AS nrm FROM wnz GROUP BY 1),
-         |qw AS (
-         |  SELECT CAST(${PortableHash.duckSqlWord("t", EmbedSeed, 0)} % $Dim AS BIGINT) AS bucket,
-         |    sum(CAST(${PortableHash.duckSqlWord("t", EmbedSeed, 1)} % 2 AS BIGINT) * 2 - 1) AS wq
-         |  FROM (VALUES $qTermsSql) v(t) GROUP BY 1),
-         |qwnz AS (SELECT * FROM qw WHERE wq <> 0),
-         |qn AS (SELECT sqrt(sum(wq * wq)::DOUBLE) AS qnrm FROM qwnz),
-         |vec AS (
-         |  SELECT w.doc_id, sum(w.w * q.wq)::DOUBLE / (any_value(n.nrm) * any_value(qn.qnrm)) AS vec_raw
-         |  FROM wnz w JOIN qwnz q USING (bucket)
-         |    JOIN norms n ON w.doc_id = n.doc_id, qn
-         |  GROUP BY w.doc_id),
-         |scored AS (
-         |  SELECT d.doc_id,
-         |    round(1e-9 + coalesce(kw.kw_raw, 0.0), 4) AS kw_score,
-         |    round(1e-9 + coalesce(vec.vec_raw, 0.0), 4) AS vec_score
-         |  FROM documents d
-         |    LEFT JOIN kw ON d.doc_id = kw.doc_id
-         |    LEFT JOIN vec ON d.doc_id = vec.doc_id),
+      s"""WITH $scoredCtes,
          |bounds AS (
          |  SELECT min(kw_score) kmin, max(kw_score) kmax,
          |         min(vec_score) vmin, max(vec_score) vmax
@@ -195,5 +286,42 @@ object HybridSearch {
          |    (kw_score - kmin) / greatest(kmax - kmin, 1e-12) * 0.5 +
          |    (vec_score - vmin) / greatest(vmax - vmin, 1e-12) * 0.5, 4) AS fused
          |FROM scored, bounds
-         |ORDER BY fused DESC, doc_id LIMIT $TopK""".stripMargin)
+         |ORDER BY fused DESC, doc_id LIMIT $TopK""".stripMargin,
+    "vs_rrf_fusion" ->
+      s"""WITH $scoredCtes,
+         |ka AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank
+         |  FROM scored ORDER BY kw_score DESC, doc_id LIMIT $RrfTopN),
+         |kv AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY vec_score DESC, doc_id) AS vec_rank
+         |  FROM scored ORDER BY vec_score DESC, doc_id LIMIT $RrfTopN)
+         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |  coalesce(a.kw_rank, 0) AS kw_rank,
+         |  coalesce(b.vec_rank, 0) AS vec_rank,
+         |  round(1e-9 +
+         |    CASE WHEN a.kw_rank > 0 THEN 1.0 / ($RrfK + a.kw_rank) ELSE 0 END +
+         |    CASE WHEN b.vec_rank > 0 THEN 1.0 / ($RrfK + b.vec_rank) ELSE 0 END, 6) AS rrf_score
+         |FROM ka a FULL JOIN kv b ON a.doc_id = b.doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT $TopK""".stripMargin,
+    "text_bm25" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    t -> length(t) > 0)) AS token
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |stats AS (
+         |  SELECT n, toktot::DOUBLE / n AS avgdl
+         |  FROM (SELECT sum(dl) AS toktot FROM dl),
+         |       (SELECT count(*) AS n FROM documents)),
+         |qt AS (SELECT doc_id, token FROM tok WHERE token IN (SELECT t FROM (VALUES $qTermsSql) v(t))),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2),
+         |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1)
+         |SELECT doc_id, round(1e-9 + sum(
+         |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+         |    (tf * ($Bm25K1 + 1.0)) /
+         |    (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl / avgdl))), 4) AS bm25
+         |FROM tf JOIN dft USING (token) JOIN dl USING (doc_id), stats
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT $TopK""".stripMargin)
 }

@@ -141,6 +141,44 @@ object TrainingPipeline {
       .orderBy("rnk")
   }
 
+  /** Domain-mixture sampling: fill a per-source token budget from
+    * target mixture weights — the "data recipe" step that turns a
+    * mixture spec (web 40%, code 30%, …) into a concrete deterministic
+    * doc selection. Weights here derive from the source index
+    * ((idx mod 4)+1)/50, summing to 1 over the 20 sources); the global
+    * budget is half the corpus' tokens.
+    *
+    * Scale shape: one broadcast scalar (total tokens), one window per
+    * source partition (cumulative tokens in hash order — each domain
+    * sorts only its own slice, the tp_pack_sequences sharding
+    * argument), membership = pure function of (doc_id, corpus totals),
+    * so backfills land identically. A doc is kept while the tokens
+    * BEFORE it fit the domain budget — so each domain overshoots by at
+    * most one doc and underfills only when the domain runs dry
+    * (fill_frac < 1 flags an infeasible recipe line). */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), nTokens(col("text")).as("ntok"))
+    val tot = docs.agg(sum(col("ntok")).as("toktot"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs
+      .withColumn("h", PortableHash.phash(col("doc_id"), 31) % 10000)
+      .withColumn("wgt",
+        (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("double") / 50.0)
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("keep",
+        (col("cum") - col("ntok") < col("wgt") * col("toktot") * 0.5).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+        sum(when(col("keep") === 1, col("ntok")).otherwise(0L)).as("tok_kept"),
+        round(max(col("wgt")), 4).as("target_wgt"),
+        round(sum(when(col("keep") === 1, col("ntok")).otherwise(0L)).cast("double") /
+          (max(col("wgt")) * max(col("toktot")) * 0.5), 4).as("fill_frac"))
+      .orderBy("source")
+  }
+
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> length(tok) > 0)"
 
@@ -150,6 +188,7 @@ object TrainingPipeline {
     "tp_pack_sequences" -> (packSequences _),
     "tp_weighted_sample" -> (weightedSample _),
     "tp_contamination" -> (contaminationCheck _),
+    "tp_domain_mix" -> (domainMix _),
     "tp_token_budget" -> (tokenBudget _))
 
   val oracleSql: Map[String, String] = Map(
@@ -220,6 +259,28 @@ object TrainingPipeline {
          |SELECT shard::BIGINT AS shard, ((cum - ntok) // 2048)::BIGINT AS bin,
          |  count(*) AS n_docs, sum(ntok)::BIGINT AS sum_tokens
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "tp_domain_mix" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, len($toksSql)::BIGINT AS ntok,
+         |    ${PortableHash.duckSql("doc_id::VARCHAR", 31)} % 10000 AS h,
+         |    (CAST(substring(source, 4) AS INT) % 4 + 1)::DOUBLE / 50.0 AS wgt
+         |  FROM documents),
+         |tot AS (SELECT sum(ntok)::BIGINT AS toktot FROM d),
+         |c AS (
+         |  SELECT source, ntok, wgt,
+         |    sum(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d),
+         |k AS (
+         |  SELECT source, ntok, wgt, toktot,
+         |    CASE WHEN cum - ntok < wgt * toktot * 0.5 THEN 1 ELSE 0 END AS keep
+         |  FROM c, tot)
+         |SELECT source, count(*) AS n_docs, sum(keep)::BIGINT AS n_kept,
+         |  sum(CASE WHEN keep = 1 THEN ntok ELSE 0 END)::BIGINT AS tok_kept,
+         |  round(1e-9 + max(wgt), 4) AS target_wgt,
+         |  round(1e-9 + sum(CASE WHEN keep = 1 THEN ntok ELSE 0 END)::DOUBLE /
+         |    (max(wgt) * max(toktot) * 0.5), 4) AS fill_frac
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "tp_token_budget" ->
       s"""WITH cell AS (
          |  SELECT lang, source, count(*) AS n_docs,

@@ -125,4 +125,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q10 returned-item report: dims broadcast, top-20 is TakeOrderedAndProject") {
+    val p = plan(Analytics2.q10Returned(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // returnflag filter must reach the lineitem scan
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q19 disjunctive predicates: part dim broadcasts, no cartesian") {
+    val p = plan(Analytics2.q19Disjunctive(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rrf fusion: both rank lists are bounded TakeOrderedAndProject, fusion join is tiny") {
+    val p = plan(HybridSearch.rrfFusion(spark, sf))
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"both top-N lists must be TakeOrderedAndProject\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bm25: df and corpus stats broadcast, final top-k is TakeOrderedAndProject") {
+    val p = plan(HybridSearch.bm25(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("containment dedup: shared-shingle equi-join, never cartesian") {
+    val p = plan(Dedup.containment(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("domain mix: cumulative window partitions by source, total is a broadcast scalar") {
+    val p = plan(TrainingPipeline.domainMix(spark, sf))
+    assert(p.contains("hashpartitioning(source"), s"window must partition by source\n$p")
+    assert(!p.contains("SinglePartition\n   +- Window"), p)
+  }
 }
