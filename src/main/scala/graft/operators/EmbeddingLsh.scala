@@ -174,6 +174,26 @@ object EmbeddingLsh {
     "vs_knn_lsh" -> (annSearch _),
     "vs_knn_lsh_batch" -> (annServe _))
   val oracleSql: Map[String, String] = Map(
+    // the sketch is a pure md5 function, so the banded candidate set —
+    // and therefore the whole verified pair list — is reproducible in
+    // SQL; promoted from rows-only (the spec keeps the recall check).
+    "dedup_embedding_lsh" ->
+      s"""WITH sk AS (
+         |  SELECT vec_id, embedding, ${skSql("embedding")} AS sk
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    a.embedding AS ea, b.embedding AS eb
+         |  FROM sk a, sk b, generate_series(0, ${NumBands - 1}) t(band)
+         |  WHERE a.vec_id < b.vec_id
+         |    AND (a.sk // CAST(2 ** (band * $BandBits) AS BIGINT)) % ${1 << BandBits}
+         |      = (b.sk // CAST(2 ** (band * $BandBits) AS BIGINT)) % ${1 << BandBits}),
+         |d AS (
+         |  SELECT vec_a, vec_b,
+         |    round(1e-9 + ${dCosine("ea", "eb")}, 4) AS dist
+         |  FROM cand)
+         |SELECT vec_a, vec_b, dist FROM d
+         |WHERE dist <= $Radius ORDER BY vec_a, vec_b""".stripMargin,
     "vs_knn_lsh_batch" ->
       s"""WITH sk AS (
          |  SELECT vec_id, embedding, ${skSql("embedding")} AS sk

@@ -90,5 +90,14 @@ object DedupStream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_minhash_cand" -> (candidates _))
-  val oracleSql: Map[String, String] = Map.empty
+
+  /** The drained candidate set is deterministic and equals the batch
+    * band-candidate set (every (new×old ∪ new×new) union over batches
+    * = all band-colliding pairs), so the batch MinHash-LSH candidate
+    * CTE chain is its exact oracle — promoted from rows-only. */
+  val oracleSql: Map[String, String] = Map(
+    "stream_minhash_cand" ->
+      s"""WITH ${Dedup.shingleCte},
+         |${Dedup.minhashCandCte}
+         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin)
 }

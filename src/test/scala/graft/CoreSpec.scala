@@ -179,10 +179,10 @@ class CoreSpec extends AnyFunSuite {
 
   test("every query has oracle sql or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val rowsOnly = Set("vs_knn_ivf", "dedup_embedding_lsh",
+    val rowsOnly = Set("vs_knn_ivf",
       "vs_to_vector_roundtrip",
       "stream_index_upsert", "vs_mmr_rerank", "q_approx_sketches",
-      "stream_minhash_cand", "vs_knn_ivf_batch", "vs_knn_ivf_acc")
+      "vs_knn_ivf_batch", "vs_knn_ivf_acc")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }
