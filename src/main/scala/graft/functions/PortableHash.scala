@@ -63,4 +63,17 @@ object PortableHash {
 
   def duckSqlWord(expr: String, seed: Int, word: Int): String =
     s"CAST(('0x' || substr(md5('$seed' || ':' || ($expr)), ${word * 8 + 1}, 8)) AS UBIGINT)"
+
+  /** 64-bit portable hash for JOIN/DISTINCT keys that never appear in
+    * results: digest words 0 and 1 packed as word0·2³² + word1. Spark
+    * wraps mod 2⁶⁴ into a signed long while DuckDB keeps the unsigned
+    * value — a bijection, so equality (and therefore every collision)
+    * agrees across engines even though the representations differ.
+    * 32-bit `phash` collides at ~2¹⁶ keys (birthday); shuffling
+    * billions of shingles needs the 64-bit form. */
+  def phash64(c: Column, seed: Int): Column =
+    shiftleft(phashWord(c, seed, 0), 32).bitwiseOR(phashWord(c, seed, 1))
+
+  def duckSql64(expr: String, seed: Int): String =
+    s"(${duckSqlWord(expr, seed, 0)} * 4294967296 + ${duckSqlWord(expr, seed, 1)})"
 }

@@ -342,7 +342,47 @@ object Analytics2 {
       .orderBy("p_brand")
   }
 
+  /** Q18-style large-volume orders: orders whose total lineitem
+    * quantity exceeds a threshold, with customer context — the
+    * HAVING-subquery pattern planned as aggregate → filter →
+    * broadcast-dim joins; top-50 via TakeOrderedAndProject. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+    qty.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  /** Statistical moments per brand: sample stddev, Pearson correlation
+    * and sample covariance of (quantity, price) — the one-pass
+    * co-moment aggregates (all partial-aggregable; no per-group sort
+    * or second pass anywhere). */
+  def qStatsMoments(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q_stats_moments" -> (qStatsMoments _),
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
     "q10_returned" -> (q10Returned _),
@@ -363,6 +403,24 @@ object Analytics2 {
     "q_yoy_growth" -> (qYoyGrowth _))
 
   val oracleSql: Map[String, String] = Map(
+    "q18_large_orders" ->
+      """WITH qty AS (
+        |  SELECT l_orderkey, round(1e-9 + sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING round(1e-9 + sum(l_quantity), 2) > 250.0)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  round(1e-9 + o_totalprice, 2) AS o_totalprice, sum_qty
+        |FROM qty
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q_stats_moments" ->
+      """SELECT p_brand, count(*) AS n,
+        |  round(1e-9 + stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(1e-9 + corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(1e-9 + covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_returned" ->
       """SELECT c_custkey, c_name, round(1e-9 + c_acctbal, 2) AS c_acctbal, n_name,
         |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -108,9 +108,17 @@ object TrainingPipeline {
   def contaminationCheck(s: SparkSession, dir: String): DataFrame = {
     val withSplit = Tables.documents(s, dir)
       .withColumn("bucket", PortableHash.phash(col("doc_id"), 7) % 100)
+    // the join runs on a 64-bit portable hash of the 8-gram, not the
+    // string: the distinct + semi-join shuffles then carry 8-byte
+    // longs instead of ~50-byte phrases — at 100 TB the probe is
+    // shuffle-bound and this is a ~6× byte reduction. The oracle
+    // hashes identically, so the (cosmically rare) collision flips
+    // BOTH engines the same way and the hash check is unaffected.
     val shingled = withSplit
       .select(col("doc_id"), col("bucket"),
-        explode(shingles(tokens(col("text")), 8)).as("sh"))
+        explode(shingles(tokens(col("text")), 8)).as("shs"))
+      .select(col("doc_id"), col("bucket"),
+        PortableHash.phash64(col("shs"), 41).as("sh"))
     // distinct only where semantics need it: the TEST side counts
     // distinct shingles per doc (5% of rows — cheap); the train side
     // feeds a left-semi join, which is duplicate-insensitive, so
@@ -236,13 +244,14 @@ object TrainingPipeline {
          |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
          |                x -> length(x) > 0) AS toks
          |  FROM b),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, bucket,
+         |shs AS (
+         |  SELECT doc_id, bucket,
          |    unnest([array_to_string(toks[i:i+7], ' ')
-         |            for i in generate_series(1, len(toks) - 7)]) AS sh
+         |            for i in generate_series(1, len(toks) - 7)]) AS shs
          |  FROM t WHERE len(toks) >= 8),
+         |sh AS (SELECT doc_id, bucket, ${PortableHash.duckSql64("shs", 41)} AS sh FROM shs),
          |train AS (SELECT DISTINCT sh FROM sh WHERE bucket < 90),
-         |test AS (SELECT doc_id, sh FROM sh WHERE bucket >= 95)
+         |test AS (SELECT DISTINCT doc_id, sh FROM sh WHERE bucket >= 95)
          |SELECT doc_id, count(*) AS n_hit_shingles
          |FROM test WHERE sh IN (SELECT sh FROM train)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
