@@ -100,9 +100,43 @@ object Multimodal {
         greatest(lit(1L), floor(col("height") * col("scale")).cast("long")).as("out_h"))
       .orderBy("doc_id")
 
+  /** Audio stub parameters: 16 kHz mono, 10 s windows with 1 s
+    * overlap (the Whisper-style chunking recipe). The fake decode
+    * maps each payload byte to 2048 samples so the synthetic corpus
+    * spans a realistic few-windows-per-doc range. */
+  val SampleRate = 16000
+  val AudioWinMs = 10000L
+  val AudioHopMs = 9000L
+
+  /** Audio window planning: treat each payload as a decoded waveform
+    * (length from the stub, like width/height for images) and emit the
+    * fixed-length overlapping windows an ASR/audio-embedding model
+    * consumes. Same topology as frameSample: a partition-preserving
+    * typed flatMap, fan-out bounded by duration/hop, no shuffle before
+    * the final sort; the window arithmetic is exact integers, so the
+    * whole plan is oracle-checked. */
+  def audioChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nSamples = bytes.length.toLong * 2048L
+        val durMs = nSamples * 1000L / SampleRate
+        Iterator.iterate(0L)(_ + AudioHopMs)
+          .takeWhile(_ < durMs)
+          .map { start =>
+            val end = math.min(start + AudioWinMs, durMs)
+            (id, start / AudioHopMs, start, end, (end - start) * SampleRate / 1000L)
+          }.toSeq
+      }
+      .toDF("doc_id", "chunk_idx", "start_ms", "end_ms", "n_samples")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> (decodeMeta _),
     "mm_frame_sample" -> (frameSample _),
+    "mm_audio_chunks" -> (audioChunks _),
     "mm_resize" -> (resizePlan _))
 
   val oracleSql: Map[String, String] = Map(
@@ -138,6 +172,19 @@ object Multimodal {
         |  round(1e-9 + avg(width), 4) AS avg_width, round(1e-9 + avg(height), 4) AS avg_height,
         |  sum(n_frames)::BIGINT AS total_frames
         |FROM meta GROUP BY fmt ORDER BY fmt""".stripMargin,
+    "mm_audio_chunks" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    octet_length(encode(text))::BIGINT * 2048 * 1000 // $SampleRate AS dur_ms
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, k::BIGINT * $AudioHopMs AS start_ms, dur_ms
+         |  FROM m, unnest(generate_series(0, ((dur_ms - 1) // $AudioHopMs)::INT)) u(k)
+         |  WHERE dur_ms > 0)
+         |SELECT doc_id, start_ms // $AudioHopMs AS chunk_idx, start_ms,
+         |  least(start_ms + $AudioWinMs, dur_ms) AS end_ms,
+         |  (least(start_ms + $AudioWinMs, dur_ms) - start_ms) * $SampleRate // 1000 AS n_samples
+         |FROM w ORDER BY doc_id, chunk_idx""".stripMargin,
     "mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

@@ -177,7 +177,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Top-3 TF-IDF keywords per document — the per-doc summarization /
+    * tagging primitive. df comes from one distinct pass; the (bounded-
+    * vocabulary) df table broadcasts, scoring is a narrow map, and the
+    * per-doc rank window partitions by doc_id — no global sort, no
+    * unbounded state. Ties break on the ROUNDED score then token, in
+    * both engines. */
+  def keywordExtract(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfT = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(dfT), "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keyword_extract" -> (keywordExtract _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
@@ -190,6 +215,19 @@ object TextAnalysis {
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> length(tok) > 0)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_keyword_extract" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, token,
+         |    round(1e-9 + tf * ln(n::DOUBLE / df), 4) AS score
+         |  FROM tf JOIN dft USING (token), nd)
+         |SELECT doc_id, token, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+         |FROM scored QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "text_unigram_logprob" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
