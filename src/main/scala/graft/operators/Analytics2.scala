@@ -380,7 +380,53 @@ object Analytics2 {
       .orderBy("p_brand")
   }
 
+  /** Q6-style forecast revenue: single-scan conditional aggregate with
+    * every predicate (year, discount band, quantity cap) pushed to the
+    * parquet scan — the canonical pushdown showcase. */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Q8-style national market share: NATION_3 suppliers' slice of
+    * ASIA-region PROMO-part revenue by order year — numerator and
+    * denominator in one conditional aggregate over a single five-way
+    * broadcast-dim join tree (no second pass, no self-join). */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val cn = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cnk"), col("n_regionkey"))
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      .select("r_regionkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val sn = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val p = Tables.part(s, dir).filter(col("p_type") === "PROMO").select("p_partkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("snk"))
+      .withColumn("rev", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_3", col("rev")).otherwise(0.0)) /
+          sum(col("rev")), 4).as("mkt_share"),
+        round(sum(col("rev")), 2).as("total_rev"))
+      .orderBy("o_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> (q6Forecast _),
+    "q8_market_share" -> (q8MarketShare _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_retention" -> (qRetention _),
@@ -403,6 +449,32 @@ object Analytics2 {
     "q_yoy_growth" -> (qYoyGrowth _))
 
   val oracleSql: Map[String, String] = Map(
+    "q6_forecast" ->
+      """SELECT round(1e-9 + sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      """WITH rev AS (
+        |  SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+        |    l_extendedprice * (1 - l_discount) AS rev
+        |  FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN part ON l_partkey = p_partkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |    JOIN region ON n1.n_regionkey = r_regionkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+        |SELECT o_year,
+        |  round(1e-9 + sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) /
+        |    sum(rev), 4) AS mkt_share,
+        |  round(1e-9 + sum(rev), 2) AS total_rev
+        |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_large_orders" ->
       """WITH qty AS (
         |  SELECT l_orderkey, round(1e-9 + sum(l_quantity), 2) AS sum_qty

@@ -160,6 +160,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q6 pushes every predicate (date range, discount band, quantity cap) to the scan") {
+    val p = plan(Analytics2.q6Forecast(spark, sf))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("LessThan(l_quantity,24"), pushed)
+  }
+
+  test("q8 market share: all six dims broadcast over one fact pass, no cartesian") {
+    val p = plan(Analytics2.q8MarketShare(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 6, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("keyword extract: df broadcasts, rank window partitions by doc_id") {
+    val p = plan(TextAnalysis.keywordExtract(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("hashpartitioning(doc_id"), s"window must partition by doc_id\n$p")
+    assert(!p.contains("SinglePartition\n   +- Window"), p)
+  }
+
+  test("audio chunks: partition-preserving flatMap, no shuffle before the final sort") {
+    val p = plan(Multimodal.audioChunks(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("domain mix: cumulative window partitions by source, total is a broadcast scalar") {
     val p = plan(TrainingPipeline.domainMix(spark, sf))
     assert(p.contains("hashpartitioning(source"), s"window must partition by source\n$p")
