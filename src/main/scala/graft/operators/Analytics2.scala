@@ -424,7 +424,28 @@ object Analytics2 {
       .orderBy("o_year")
   }
 
+  /** Per-user value-anomaly screen: the largest |z|-score among a
+    * user's event values, computed in ONE aggregate pass — max|z| =
+    * max(max−μ, μ−min)/σ, all four moments from the same partial-agg
+    * groupBy, so there is no join-back of per-event z-scores and no
+    * second shuffle. Flags users whose extreme value sits ≥ 2.5σ out. */
+  def qAnomalyZscore(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        avg(col("value")).as("mu"),
+        stddev_samp(col("value")).as("sd"),
+        max(col("value")).as("mx"),
+        min(col("value")).as("mn"))
+      .filter(col("sd") > 0)
+      .select(col("user_id"), col("n_events"),
+        round(greatest(col("mx") - col("mu"), col("mu") - col("mn")) / col("sd"), 4)
+          .as("max_abs_z"))
+      .filter(col("max_abs_z") >= 2.5)
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q6_forecast" -> (q6Forecast _),
     "q8_market_share" -> (q8MarketShare _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -449,6 +470,16 @@ object Analytics2 {
     "q_yoy_growth" -> (qYoyGrowth _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_anomaly_zscore" ->
+      """WITH m AS (
+        |  SELECT user_id, count(*) AS n_events, avg(value) AS mu,
+        |    stddev_samp(value) AS sd, max(value) AS mx, min(value) AS mn
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  round(1e-9 + greatest(mx - mu, mu - mn) / sd, 4) AS max_abs_z
+        |FROM m WHERE sd > 0
+        |  AND round(1e-9 + greatest(mx - mu, mu - mn) / sd, 4) >= 2.5
+        |ORDER BY user_id""".stripMargin,
     "q6_forecast" ->
       """SELECT round(1e-9 + sum(l_extendedprice * l_discount), 2) AS revenue,
         |  count(*) AS n_lines
