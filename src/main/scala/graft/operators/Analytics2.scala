@@ -444,7 +444,28 @@ object Analytics2 {
       .filter(col("max_abs_z") >= 2.5)
       .orderBy("user_id")
 
+  /** Q15-style top supplier: suppliers achieving the MAXIMUM quarterly
+    * revenue (the argmax-over-aggregate pattern): per-supplier agg →
+    * one broadcast scalar max → filter on the ROUNDED value in both
+    * engines — no window over the full aggregate, no self-join. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_top_supplier" -> (q15TopSupplier _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q6_forecast" -> (q6Forecast _),
     "q8_market_share" -> (q8MarketShare _),
@@ -470,6 +491,19 @@ object Analytics2 {
     "q_yoy_growth" -> (qYoyGrowth _))
 
   val oracleSql: Map[String, String] = Map(
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(total_rev) AS max_rev FROM rev)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey, mx
+        |WHERE total_rev = max_rev
+        |ORDER BY s_suppkey""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH m AS (
         |  SELECT user_id, count(*) AS n_events, avg(value) AS mu,

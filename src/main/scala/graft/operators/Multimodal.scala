@@ -133,10 +133,44 @@ object Multimodal {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Scene-cut detection over EVERY frame's fingerprint: a cut is a
+    * frame whose fingerprint differs from its predecessor by more than
+    * the threshold (here on the stub's 32-bit fingerprint space; with
+    * a real decoder the same dataflow compares perceptual hashes).
+    * The lag window partitions by doc_id — each video compares only
+    * its own frames, no cross-video shuffle beyond the doc key; the
+    * report is one partial-agg groupBy. */
+  val SceneCutThreshold = 2000000000L
+
+  def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frames = decoded(s, dir)
+      .filter(col("fmt") === "vid")
+      .as[MediaMeta]
+      .flatMap { m =>
+        (1L to m.n_frames).map { f =>
+          (m.doc_id, f, (m.doc_id * 1315423911L + f * 2654435761L) & 0xFFFFFFFFL)
+        }
+      }
+      .toDF("doc_id", "frame", "fp")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+    frames
+      .withColumn("prev_fp", lag(col("fp"), 1).over(w))
+      .withColumn("cut",
+        (col("prev_fp").isNotNull &&
+          abs(col("fp") - col("prev_fp")) > SceneCutThreshold).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("cut")).as("n_cuts"),
+        (sum(col("cut")) + 1).as("n_scenes"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> (decodeMeta _),
     "mm_frame_sample" -> (frameSample _),
     "mm_audio_chunks" -> (audioChunks _),
+    "mm_scene_cuts" -> (sceneCuts _),
     "mm_resize" -> (resizePlan _))
 
   val oracleSql: Map[String, String] = Map(
@@ -172,6 +206,26 @@ object Multimodal {
         |  round(1e-9 + avg(width), 4) AS avg_width, round(1e-9 + avg(height), 4) AS avg_height,
         |  sum(n_frames)::BIGINT AS total_frames
         |FROM meta GROUP BY fmt ORDER BY fmt""".stripMargin,
+    "mm_scene_cuts" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+         |meta AS (
+         |  SELECT doc_id, n % 24 + 1 AS n_frames
+         |  FROM m WHERE n % 2 = 1),
+         |f AS (
+         |  SELECT doc_id, fr::BIGINT AS frame,
+         |    ((doc_id * 1315423911 + fr * 2654435761) & 4294967295)::BIGINT AS fp
+         |  FROM meta, unnest(generate_series(1, n_frames)) u(fr)),
+         |c AS (
+         |  SELECT doc_id, frame, fp,
+         |    lag(fp) OVER (PARTITION BY doc_id ORDER BY frame) AS prev_fp
+         |  FROM f)
+         |SELECT doc_id, count(*) AS n_frames,
+         |  sum(CASE WHEN prev_fp IS NOT NULL AND abs(fp - prev_fp) > $SceneCutThreshold
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+         |  (sum(CASE WHEN prev_fp IS NOT NULL AND abs(fp - prev_fp) > $SceneCutThreshold
+         |      THEN 1 ELSE 0 END) + 1)::BIGINT AS n_scenes
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_audio_chunks" ->
       s"""WITH m AS (
          |  SELECT doc_id,

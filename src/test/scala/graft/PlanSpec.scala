@@ -186,6 +186,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("scene cuts: lag window partitions by doc_id (no cross-video shuffle)") {
+    val p = plan(Multimodal.sceneCuts(spark, sf))
+    assert(p.contains("hashpartitioning(doc_id"), s"window must partition by doc_id\n$p")
+    assert(!p.contains("SinglePartition\n   +- Window"), p)
+  }
+
+  test("q15 argmax: scalar max broadcasts, supplier dim broadcasts, no self-join of the agg") {
+    val p = plan(Analytics2.q15TopSupplier(spark, sf))
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("domain mix: cumulative window partitions by source, total is a broadcast scalar") {
     val p = plan(TrainingPipeline.domainMix(spark, sf))
     assert(p.contains("hashpartitioning(source"), s"window must partition by source\n$p")
