@@ -344,7 +344,7 @@ object DocPipeline {
   // ---- DuckDB oracle --------------------------------------------------
 
   /** Shared CTE prefix reproducing chunks + weights in DuckDB. */
-  private val chunkCte: String =
+  private[graft] val chunkCte: String =
     s"""WITH t AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),

@@ -46,7 +46,13 @@ object TextAnalysis {
 
   /** Per-doc quality score from stopword/punct/digit/repetition
     * ratios — the standard pre-training corpus filters. */
-  def quality(s: SparkSession, dir: String): DataFrame = {
+  def quality(s: SparkSession, dir: String): DataFrame =
+    qualityOf(Tables.documents(s, dir))
+
+  /** Quality scores of any documents-shaped frame (works on a
+    * micro-batch inside foreachBatch — the streaming router reuses
+    * this exact scoring). */
+  def qualityOf(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
@@ -54,7 +60,7 @@ object TextAnalysis {
     val chars = length(col("text")).cast("double")
     val punct = strippedLen(col("text"), "[a-z0-9\\s]+").cast("double")
     val digits = strippedLen(col("text"), "[^0-9]+").cast("double")
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"),
         round(nStop / nTok, 4).as("stopword_ratio"),
         round(punct / chars, 4).as("punct_ratio"),
@@ -214,6 +220,27 @@ object TextAnalysis {
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> length(tok) > 0)"
 
+  /** The per-doc quality scoring as one self-contained SELECT (no
+    * trailing ORDER BY) — the oracle twin of `qualityOf`; the
+    * streaming quality router embeds it as a subquery. */
+  private[graft] val qualityPerDocSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    round(1e-9 + len(list_filter(toks, tok -> tok IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+       |      / len(toks), 4) AS stopword_ratio,
+       |    round(1e-9 + length(regexp_replace(text, '[a-z0-9\\s]+', '', 'g'))::DOUBLE
+       |      / length(text), 4) AS punct_ratio,
+       |    round(1e-9 + length(regexp_replace(text, '[^0-9]+', '', 'g'))::DOUBLE
+       |      / length(text), 4) AS digit_ratio,
+       |    round(1e-9 + 1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 4) AS repetition_ratio
+       |  FROM t)
+       |SELECT doc_id, stopword_ratio, punct_ratio, digit_ratio, repetition_ratio,
+       |  round(1e-9 + 1.0 - greatest(0.0, 0.3 - stopword_ratio) - punct_ratio - digit_ratio
+       |    - repetition_ratio * 0.4, 4) AS quality
+       |FROM r""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_keyword_extract" ->
       s"""WITH tok AS (
@@ -248,23 +275,7 @@ object TextAnalysis {
          |  round(1e-9 + avg(n_chars), 4) AS avg_chars,
          |  round(1e-9 + sum(tok_chars)::DOUBLE / sum(n_tokens), 4) AS mean_word_len
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
-    "text_quality" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |r AS (
-         |  SELECT doc_id,
-         |    round(1e-9 + len(list_filter(toks, tok -> tok IN ('the','a','of','and','to','in','is','it')))::DOUBLE
-         |      / len(toks), 4) AS stopword_ratio,
-         |    round(1e-9 + length(regexp_replace(text, '[a-z0-9\\s]+', '', 'g'))::DOUBLE
-         |      / length(text), 4) AS punct_ratio,
-         |    round(1e-9 + length(regexp_replace(text, '[^0-9]+', '', 'g'))::DOUBLE
-         |      / length(text), 4) AS digit_ratio,
-         |    round(1e-9 + 1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 4) AS repetition_ratio
-         |  FROM t)
-         |SELECT doc_id, stopword_ratio, punct_ratio, digit_ratio, repetition_ratio,
-         |  round(1e-9 + 1.0 - greatest(0.0, 0.3 - stopword_ratio) - punct_ratio - digit_ratio
-         |    - repetition_ratio * 0.4, 4) AS quality
-         |FROM r ORDER BY doc_id""".stripMargin,
+    "text_quality" -> s"$qualityPerDocSql\nORDER BY doc_id",
     "text_langid" -> {
       val scoreCols = langMarkers.map { case (l, ms) =>
         val set = ms.map(m => s"'$m'").mkString(", ")

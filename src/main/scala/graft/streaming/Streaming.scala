@@ -229,10 +229,62 @@ object Streaming {
     "stream_enrich" -> (enrich _),
     "stream_sessionize" -> (sessionize _),
     "stream_interval_join" -> (intervalJoin _),
+    "stream_quality_route" -> (qualityRoute _),
     "stream_dedup" -> (dedupStream _))
+
+  /** Quality threshold for the streaming router (the corpus median, so
+    * both routes stay populated). Routing compares the ROUNDED score —
+    * the same boundary in both engines. */
+  val QualityThreshold = 0.55
+
+  /** Streaming quality router: score each micro-batch of documents
+    * with the BATCH quality operator (the same code — `TextAnalysis
+    * .qualityOf` runs unchanged inside foreachBatch) and route rows to
+    * accept/reject sinks — the filter-and-fork topology of a live
+    * ingestion pipeline. Per batch: one narrow scoring map + two
+    * filtered appends; no state, no shuffle. The drained per-route
+    * report equals the batch quality aggregation, which is the oracle. */
+  def qualityRoute(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_qroute").toString
+    val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = graft.operators.TextAnalysis.qualityOf(batch)
+          .select(col("doc_id"), col("quality")).persist()
+        scored.filter(col("quality") >= QualityThreshold)
+          .write.mode("append").parquet(s"$root/accept")
+        scored.filter(col("quality") < QualityThreshold)
+          .write.mode("append").parquet(s"$root/reject")
+        scored.unpersist()
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def routeOf(name: String): DataFrame = {
+      val p = new java.io.File(s"$root/$name")
+      if (!p.exists()) s.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0.0).as("quality")).limit(0)
+        .select(lit(name).as("route"), col("doc_id"), col("quality"))
+      else s.read.parquet(p.toString).select(lit(name).as("route"), col("doc_id"), col("quality"))
+    }
+    routeOf("accept").unionByName(routeOf("reject"))
+      .groupBy(col("route"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy("route")
+  }
 
   // stream_hourly/stream_enrich are held to the batch oracles.
   val oracleSql: Map[String, String] = Map(
+    "stream_quality_route" ->
+      s"""SELECT CASE WHEN quality >= $QualityThreshold THEN 'accept' ELSE 'reject' END AS route,
+         |  count(*) AS n_docs, round(1e-9 + avg(quality), 4) AS avg_quality
+         |FROM (${graft.operators.TextAnalysis.qualityPerDocSql})
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_enrich" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
         |  round(1e-9 + sum(value), 2) AS sum_value
