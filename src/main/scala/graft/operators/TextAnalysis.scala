@@ -183,6 +183,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1): per doc,
+    * the fraction of characters covered by the most repeated 2/3/4-gram
+    * (count × gram chars / total token chars), and a keep flag at the
+    * published thresholds (0.20 / 0.18 / 0.16). "Most repeated" is made
+    * deterministic by maximizing the PRODUCT count × chars rather than
+    * count alone (no gram tie-break needed in either engine).
+    *
+    * Scale: one explode → (doc, n, gram) partial-agg count → one
+    * per-doc agg; no window, no join — linear in corpus size. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val emptyGrams = array().cast("array<struct<n:int,gram:string>>")
+    val gramsFor = (n: Int) =>
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(col("toks"), i + 1, lit(n))).as("gram"))))
+        .otherwise(emptyGrams)
+    val counts = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("tok_chars"),
+        explode(concat(gramsFor(2), gramsFor(3), gramsFor(4))).as("g"))
+      .groupBy(col("doc_id"), col("tok_chars"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("c"))
+    // top-chars per n folded into ONE per-doc aggregate (no pivot, no
+    // per-(doc,n) intermediate shuffle)
+    def top(n: Int) = max(when(col("n") === n,
+      col("c") * (length(col("gram")) - (n - 1)))).as(s"t$n")
+    counts.groupBy(col("doc_id"), col("tok_chars"))
+      .agg(top(2), top(3), top(4))
+      .select(col("doc_id"),
+        round(coalesce(col("t2"), lit(0L)).cast("double") / col("tok_chars"), 4).as("top2_frac"),
+        round(coalesce(col("t3"), lit(0L)).cast("double") / col("tok_chars"), 4).as("top3_frac"),
+        round(coalesce(col("t4"), lit(0L)).cast("double") / col("tok_chars"), 4).as("top4_frac"))
+      .withColumn("keep",
+        col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 && col("top4_frac") <= 0.16)
+      .orderBy("doc_id")
+  }
+
   /** Top-3 TF-IDF keywords per document — the per-doc summarization /
     * tagging primitive. df comes from one distinct pass; the (bounded-
     * vocabulary) df table broadcasts, scoring is a narrow map, and the
@@ -209,6 +248,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_keyword_extract" -> (keywordExtract _),
+    "text_repetition" -> (repetition _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
@@ -242,6 +282,32 @@ object TextAnalysis {
        |FROM r""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (
+         |  SELECT doc_id, list_sum([length(x)::BIGINT for x in toks]) AS tok_chars, toks
+         |  FROM t),
+         |g AS (
+         |  SELECT doc_id, tok_chars, n, array_to_string(toks[i:i+n-1], ' ') AS gram
+         |  FROM d, unnest([2, 3, 4]) AS nn(n),
+         |    unnest(generate_series(1, len(toks) - n + 1)) AS u(i)),
+         |c AS (
+         |  SELECT doc_id, tok_chars, n, gram, count(*) AS c FROM g GROUP BY ALL),
+         |p AS (
+         |  SELECT doc_id, tok_chars,
+         |    max(CASE WHEN n = 2 THEN c * (length(gram) - 1) END) AS t2,
+         |    max(CASE WHEN n = 3 THEN c * (length(gram) - 2) END) AS t3,
+         |    max(CASE WHEN n = 4 THEN c * (length(gram) - 3) END) AS t4
+         |  FROM c GROUP BY ALL),
+         |f AS (
+         |  SELECT doc_id,
+         |    round(1e-9 + coalesce(t2, 0)::DOUBLE / tok_chars, 4) AS top2_frac,
+         |    round(1e-9 + coalesce(t3, 0)::DOUBLE / tok_chars, 4) AS top3_frac,
+         |    round(1e-9 + coalesce(t4, 0)::DOUBLE / tok_chars, 4) AS top4_frac
+         |  FROM p)
+         |SELECT *, (top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
     "text_keyword_extract" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
