@@ -101,6 +101,36 @@ object Streaming {
     drainMemorySink(s, name).orderBy("hour", "event_type")
   }
 
+  /** Streaming trending top-k: per tumbling hour, the 5 most active
+    * users. The STREAMING stage is the windowed count — state bounded
+    * by #windows × #users, partial-agg upstream of the shuffle; the
+    * top-k rank runs on the drained (already tiny, one row per
+    * window×user) aggregate, exactly where a production job would put
+    * it (per-trigger foreachBatch rank over updated windows — window
+    * functions are not available inside a streaming plan by design).
+    * Ties break on user_id in both engines. */
+  def trending(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = eventStream(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("user_id"), col("n"))
+    val name = s"stream_trending_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = Window.partitionBy(col("hour")).orderBy(col("n").desc, col("user_id"))
+    drainMemorySink(s, name)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy("hour", "rnk")
+  }
+
   /** Stream-static enrichment join: the event stream joined to a
     * broadcast dimension (customer segment), then aggregated — the
     * standard streaming-enrichment topology (dim broadcast per
@@ -226,6 +256,7 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly" -> (hourly _),
+    "stream_trending" -> (trending _),
     "stream_enrich" -> (enrich _),
     "stream_sessionize" -> (sessionize _),
     "stream_interval_join" -> (intervalJoin _),
@@ -280,6 +311,14 @@ object Streaming {
 
   // stream_hourly/stream_enrich are held to the batch oracles.
   val oracleSql: Map[String, String] = Map(
+    "stream_trending" ->
+      """WITH h AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |    user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour, user_id, n,
+        |  row_number() OVER (PARTITION BY hour ORDER BY n DESC, user_id) AS rnk
+        |FROM h QUALIFY rnk <= 5 ORDER BY hour, rnk""".stripMargin,
     "stream_quality_route" ->
       s"""SELECT CASE WHEN quality >= $QualityThreshold THEN 'accept' ELSE 'reject' END AS route,
          |  count(*) AS n_docs, round(1e-9 + avg(quality), 4) AS avg_quality
