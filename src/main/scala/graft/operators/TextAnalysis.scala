@@ -51,8 +51,10 @@ object TextAnalysis {
 
   /** Quality scores of any documents-shaped frame (works on a
     * micro-batch inside foreachBatch — the streaming router reuses
-    * this exact scoring). */
-  def qualityOf(docs: DataFrame): DataFrame = {
+    * this exact scoring). `carry` names input columns to keep beside
+    * the scores (so composing operators stay one pass — no join-back
+    * of the scored frame onto its own input). */
+  def qualityOf(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
@@ -61,11 +63,11 @@ object TextAnalysis {
     val punct = strippedLen(col("text"), "[a-z0-9\\s]+").cast("double")
     val digits = strippedLen(col("text"), "[^0-9]+").cast("double")
     docs
-      .select(col("doc_id"),
-        round(nStop / nTok, 4).as("stopword_ratio"),
-        round(punct / chars, 4).as("punct_ratio"),
-        round(digits / chars, 4).as("digit_ratio"),
-        round(lit(1.0) - nDistinct / nTok, 4).as("repetition_ratio"))
+      .select(col("doc_id") +: carry.map(col) :+
+        round(nStop / nTok, 4).as("stopword_ratio") :+
+        round(punct / chars, 4).as("punct_ratio") :+
+        round(digits / chars, 4).as("digit_ratio") :+
+        round(lit(1.0) - nDistinct / nTok, 4).as("repetition_ratio"): _*)
       .withColumn("quality",
         round(lit(1.0)
           - greatest(lit(0.0), lit(0.3) - col("stopword_ratio"))

@@ -187,6 +187,30 @@ object TrainingPipeline {
       .orderBy("source")
   }
 
+  /** Dataset card: the per-(split, lang) summary a release ships with —
+    * doc counts, token totals, mean quality score, and the fraction
+    * passing the quality gate (the stream_quality_route threshold).
+    * Composes tp_hash_split membership with the text_quality scorer in
+    * ONE pass over the corpus (`qualityOf(_, carry = …)` keeps the
+    * grouping columns beside the scores — no join-back), then one
+    * partial-agg groupBy on a handful of cells. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val qThresh = graft.streaming.Streaming.QualityThreshold
+    val docs = Tables.documents(s, dir)
+      .withColumn("bucket", PortableHash.phash(col("doc_id"), 7) % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .withColumn("ntok", nTokens(col("text")))
+    TextAnalysis.qualityOf(docs, carry = Seq("split", "lang", "ntok"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("total_tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        round(sum(when(col("quality") >= qThresh, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("accept_frac"))
+      .orderBy("split", "lang")
+  }
+
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> length(tok) > 0)"
 
@@ -197,6 +221,7 @@ object TrainingPipeline {
     "tp_weighted_sample" -> (weightedSample _),
     "tp_contamination" -> (contaminationCheck _),
     "tp_domain_mix" -> (domainMix _),
+    "tp_dataset_card" -> (datasetCard _),
     "tp_token_budget" -> (tokenBudget _))
 
   val oracleSql: Map[String, String] = Map(
@@ -290,6 +315,22 @@ object TrainingPipeline {
          |  round(1e-9 + sum(CASE WHEN keep = 1 THEN ntok ELSE 0 END)::DOUBLE /
          |    (max(wgt) * max(toktot) * 0.5), 4) AS fill_frac
          |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "tp_dataset_card" ->
+      s"""WITH q AS (${TextAnalysis.qualityPerDocSql}),
+         |d AS (
+         |  SELECT doc_id, lang, len($toksSql)::BIGINT AS ntok,
+         |    ${PortableHash.duckSql("doc_id::VARCHAR", 7)} % 100 AS bucket
+         |  FROM documents),
+         |j AS (
+         |  SELECT CASE WHEN bucket < 90 THEN 'train'
+         |              WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         |    lang, ntok, quality
+         |  FROM d JOIN q USING (doc_id))
+         |SELECT split, lang, count(*) AS n_docs, sum(ntok)::BIGINT AS total_tokens,
+         |  round(1e-9 + avg(quality), 4) AS avg_quality,
+         |  round(1e-9 + sum(CASE WHEN quality >= ${graft.streaming.Streaming.QualityThreshold} THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 4) AS accept_frac
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "tp_token_budget" ->
       s"""WITH cell AS (
          |  SELECT lang, source, count(*) AS n_docs,
