@@ -27,6 +27,7 @@ object SparkEntry {
       (graft.streaming.IvfStream.queries, graft.streaming.IvfStream.oracleSql),
       (graft.streaming.DedupStream.queries, graft.streaming.DedupStream.oracleSql),
       (IvfIndex.queries, IvfIndex.oracleSql),
+      (PqIndex.queries, PqIndex.oracleSql),
       (HybridSearch.queries, HybridSearch.oracleSql),
       (Pipeline.queries, Pipeline.oracleSql),
       (TrainingPipeline.queries, TrainingPipeline.oracleSql),

@@ -43,6 +43,9 @@ object VectorSearch {
   }
 
   def knnCosine(s: SparkSession, dir: String): DataFrame = knn(s, dir, FloatVecDistance.cosine)
+  /** Exact cosine top-k at caller-chosen depth (spec ground truth). */
+  def knnCosineK(s: SparkSession, dir: String, k: Int): DataFrame =
+    knn(s, dir, FloatVecDistance.cosine, k)
   def knnL2(s: SparkSession, dir: String): DataFrame = knn(s, dir, FloatVecDistance.l2)
   def knnDot(s: SparkSession, dir: String): DataFrame = knn(s, dir, FloatVecDistance.dot)
   def knnManhattan(s: SparkSession, dir: String): DataFrame = knn(s, dir, FloatVecDistance.manhattan)

@@ -143,6 +143,31 @@ class AnnSpec extends AnyFunSuite {
     assert(lsh.map(_.getLong(0)).toSeq == again)
   }
 
+  test("pq: codes are one int per vector, re-ranked recall, exact shortlist dists") {
+    import org.apache.spark.sql.functions.col
+    val (codes, codebooks) = graft.operators.PqIndex.build(spark, sf)
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(codes.count() == n, "one code per vector")
+    assert(codes.schema("code").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(codebooks.length == graft.operators.PqIndex.NumSubspaces &&
+      codebooks.forall(_.length == graft.operators.PqIndex.NumCodewords))
+    val pq = graft.operators.PqIndex.knnPq(spark, sf).collect()
+    assert(pq.length == 10)
+    // re-rank computes TRUE cosine: every returned (id, dist) must match
+    // the exact operator's distance for that id
+    val exactAll = VectorSearch.knnCosineK(spark, sf, k = 499).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pq.foreach(r => assert(exactAll(r.getLong(0)) == r.getDouble(1),
+      s"shortlist re-rank distance drifted for ${r.getLong(0)}"))
+    // near-uniform synthetic space is PQ's hard case; pin a recall floor
+    val exact = VectorSearch.knnCosine(spark, sf).collect().map(_.getLong(0)).toSet
+    val got = pq.map(_.getLong(0)).toSet
+    assert((got & exact).size >= 5, s"pq recall collapsed: ${(got & exact).size}/10")
+    // determinism across runs (memoized build + deterministic ADC)
+    val again = graft.operators.PqIndex.knnPq(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(pq.map(_.getLong(0)).toSeq == again)
+  }
+
   test("model registry load/list/drop surface") {
     ModelRegistry.catalog.foreach(m => ModelRegistry.load(m, force = true))
     assert(ModelRegistry.list().contains("ALL_MINILM_L12_V2"))

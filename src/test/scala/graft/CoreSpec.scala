@@ -182,7 +182,7 @@ class CoreSpec extends AnyFunSuite {
     val rowsOnly = Set("vs_knn_ivf",
       "vs_to_vector_roundtrip",
       "stream_index_upsert", "vs_mmr_rerank", "q_approx_sketches",
-      "vs_knn_ivf_batch", "vs_knn_ivf_acc")
+      "vs_knn_ivf_batch", "vs_knn_ivf_acc", "vs_knn_pq")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }
