@@ -166,7 +166,40 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Contrastive hard-negative mining for (media, text) pair training
+    * (the CLIP data-prep step): for each anchor document, the 3
+    * nearest embeddings whose document comes from a DIFFERENT source —
+    * nearest wrong-source items are the hardest negatives, and the
+    * same-source mask suppresses false negatives (near-duplicate
+    * boilerplate from one crawl domain). Same broadcast nested-loop +
+    * bounded top-k topology as vs_knn_batch (shuffle volume = anchors
+    * × 3, the answer size); the source mask is evaluated INSIDE the
+    * scoring join, before the top-k — never a post-filter that would
+    * shrink k. At 100 TB the anchor×corpus product swaps to the
+    * LSH/IVF-blocked layouts like every other serving op. */
+  def pairMining(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val anchors = Tables.embeddings(s, dir)
+      .join(src, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("source"))
+    val nbr = broadcast(Tables.embeddings(s, dir)
+      .join(src, col("vec_id") === col("doc_id"))
+      .select(col("vec_id").as("neg_id"), col("embedding").as("nvec"),
+        col("source").as("neg_source")))
+    anchors.crossJoin(nbr)
+      .filter(col("vec_id") =!= col("neg_id") && col("source") =!= col("neg_source"))
+      .select(col("vec_id"), col("neg_id"),
+        round(graft.functions.FloatVecDistance.cosine(col("embedding"), col("nvec")), 4).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKAgg.topkByDist(col("dist"), col("neg_id"), 3).as("top"))
+      .select(col("vec_id").as("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), col("col.id").as("neg_id"), col("col.dist").as("dist"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pair_mining" -> (pairMining _),
     "mm_decode_meta" -> (decodeMeta _),
     "mm_frame_sample" -> (frameSample _),
     "mm_audio_chunks" -> (audioChunks _),
@@ -174,6 +207,16 @@ object Multimodal {
     "mm_resize" -> (resizePlan _))
 
   val oracleSql: Map[String, String] = Map(
+    "mm_pair_mining" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS doc_id, b.vec_id AS neg_id,
+         |    round(1e-9 + ${VectorSearch.dCosine("a.embedding", "b.embedding")}, 4) AS dist
+         |  FROM embeddings a JOIN documents sa ON a.vec_id = sa.doc_id,
+         |       embeddings b JOIN documents sb ON b.vec_id = sb.doc_id
+         |  WHERE a.vec_id <> b.vec_id AND sa.source <> sb.source)
+         |SELECT doc_id, neg_id, dist,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY dist, neg_id) AS rnk
+         |FROM p QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     // the stub's frame fingerprint is pure integer mixing on (doc_id,
     // frame) — exactly reproducible with BIGINT arithmetic + bitwise
     // AND in DuckDB, so the whole flatMap is oracle-checked.

@@ -220,11 +220,11 @@ object VectorSearch {
   // ---- DuckDB oracle fragments ----------------------------------------
 
   /** Σ a[i]·b[i] in double, left-to-right — matches zip_with+aggregate. */
-  private def dDot(a: String, b: String): String =
+  private[operators] def dDot(a: String, b: String): String =
     s"list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in generate_series(1, len($a))])"
-  private def dNorm(a: String): String =
+  private[operators] def dNorm(a: String): String =
     s"sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE for i in generate_series(1, len($a))]))"
-  private def dCosine(a: String, b: String): String =
+  private[operators] def dCosine(a: String, b: String): String =
     s"1 - ${dDot(a, b)} / (${dNorm(a)} * ${dNorm(b)})"
   private def dL2(a: String, b: String): String =
     s"sqrt(list_sum([($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE) for i in generate_series(1, len($a))]))"
