@@ -32,7 +32,8 @@ object SparkEntry {
       (Pipeline.queries, Pipeline.oracleSql),
       (TrainingPipeline.queries, TrainingPipeline.oracleSql),
       (EmbeddingLsh.queries, EmbeddingLsh.oracleSql),
-      (ModelRegistry.queries, ModelRegistry.oracleSql))
+      (ModelRegistry.queries, ModelRegistry.oracleSql),
+      (graft.sources.Interchange.queries, graft.sources.Interchange.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The reference's headline flow end-to-end: documents →

@@ -464,7 +464,36 @@ object Analytics2 {
       .orderBy("s_suppkey")
   }
 
+  /** Incremental aggregate maintenance — the partial-merge pattern
+    * every incremental ETL at 100 TB is built on: yesterday's state is
+    * a MATERIALIZED table of mergeable partials (count, raw sum —
+    * never the rounded average, which does not merge), today's delta
+    * scans ONLY the new time slice (at scale: one date partition, via
+    * partition pruning), and the refreshed result is a re-aggregation
+    * of state ∪ delta. History is never rescanned. The oracle is the
+    * full recompute — merge-equals-recompute is the correctness
+    * property of the commutative-monoid partials. */
+  def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-02-01").cast("timestamp")
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    // state: aggregated once, persisted in its at-rest form
+    val statePath = java.nio.file.Files.createTempDirectory("graft_incr").toString + "/state"
+    partials(Tables.events(s, dir).filter(col("ts") < cutoff))
+      .write.mode("overwrite").parquet(statePath)
+    val delta = partials(Tables.events(s, dir).filter(col("ts") >= cutoff))
+    s.read.parquet(statePath).unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+      .select(col("event_type"), col("n"),
+        round(col("sv"), 2).as("sum_value"),
+        round(col("sv") / col("n"), 4).as("avg_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_agg" -> (qIncrementalAgg _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q6_forecast" -> (q6Forecast _),
@@ -491,6 +520,11 @@ object Analytics2 {
     "q_yoy_growth" -> (qYoyGrowth _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(1e-9 + sum(value), 2) AS sum_value,
+        |  round(1e-9 + sum(value) / count(*), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

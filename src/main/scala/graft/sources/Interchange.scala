@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableHash
+
+/** Interchange-format coverage: JSONL, the lingua franca of LLM
+  * training-data exchange (one JSON object per line — what every
+  * open-data corpus and filtering toolchain emits).
+  *
+  * Spark's native `json` source/sink IS line-delimited JSON, reads
+  * with partition-parallel line splitting, and takes an explicit
+  * schema (never infer on a 100 TB corpus — inference is a full extra
+  * pass). The round-trip query proves the sink+source pair lossless
+  * with a per-language CONTENT CHECKSUM (order-insensitive sum of
+  * 64-bit text hashes), not just row counts — the oracle computes the
+  * same checksum over the original parquet, so any corruption,
+  * reordering-with-loss, or encoding drift fails the hash gate.
+  */
+object Interchange {
+
+  /** documents → JSONL → back, summarized per lang with a content
+    * checksum. The temp dir is per-call; the write is the sink under
+    * test, the schema-given read is the source under test. */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    docs.write.mode("overwrite").json(out)
+    s.read.schema(docs.schema).json(out)
+      .withColumn("h", PortableHash.phash64(col("text"), 17))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("bit_xor(h)").as("text_checksum"))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_jsonl_roundtrip" -> (jsonlRoundtrip _))
+
+  val oracleSql: Map[String, String] = Map(
+    "src_jsonl_roundtrip" ->
+      s"""WITH x AS (
+         |  SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+         |    bit_xor(${PortableHash.duckSql64("text", 17)}) AS ux
+         |  FROM documents GROUP BY lang)
+         |SELECT lang, n_docs, sum_chars,
+         |  -- DuckDB xors the UNSIGNED hash representation; Spark's is
+         |  -- signed. Same 64 bits — shift the unsigned value back into
+         |  -- the signed range (mod-2^64 bijection).
+         |  (CASE WHEN ux >= 9223372036854775808
+         |    THEN ux::HUGEINT - 18446744073709551616 ELSE ux::HUGEINT END)::BIGINT
+         |    AS text_checksum
+         |FROM x ORDER BY lang""".stripMargin)
+}
