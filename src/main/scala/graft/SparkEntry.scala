@@ -17,6 +17,7 @@ object SparkEntry {
     Seq(
       (Analytics.queries, Analytics.oracleSql),
       (Analytics2.queries, Analytics2.oracleSql),
+      (Analytics3.queries, Analytics3.oracleSql),
       (VectorSearch.queries, VectorSearch.oracleSql),
       (BinaryVector.queries, BinaryVector.oracleSql),
       (DocPipeline.queries, DocPipeline.oracleSql),

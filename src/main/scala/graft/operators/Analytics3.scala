@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.SafeRound.round
+
+import graft.Tables
+
+/** Third analytics wave: the TPC-H shapes the testdata schema can
+  * still express without `partsupp` (Q2's per-group argmin with
+  * join-back, Q11's HAVING-against-global-scalar) plus the ranking
+  * window functions (ntile / percent_rank / cume_dist) not yet
+  * covered by q_topk_per_group (row_number) and q_yoy_growth (lag).
+  *
+  * Scale notes (100 TB):
+  *  - argmin-per-group is agg → broadcast-join-back → agg, never a
+  *    per-group sort: both aggregates are partial-agg friendly and the
+  *    join-back key (partkey) is the same shuffle key as the first
+  *    aggregate, so AQE reuses the exchange.
+  *  - the Q11 global scalar is one row — broadcast against the
+  *    per-group aggregate, not recomputed per row.
+  *  - every float that feeds a comparison is ROUNDED first (min of
+  *    rounded unit prices, rounded revenue share) so the boundary cut
+  *    is accumulation-order independent and both engines agree.
+  *  - the ranking windows shard by o_orderpriority; within a shard the
+  *    ordering key (totalprice, orderkey) is unique, so every rank
+  *    function is deterministic.
+  */
+object Analytics3 {
+
+  /** Q2-style minimum-cost supplier: for each part, the supplier
+    * observed at the lowest unit price (reference shape: Q2's
+    * correlated `ps_supplycost = (SELECT min ...)`; lineitem stands in
+    * for partsupp — the testdata has no partsupp table). Decorrelated:
+    * per-(part, supplier) MIN of the ROUNDED unit price (min∘round is
+    * accumulation-order independent, unlike avg), per-part min, then
+    * join-back on the rounded equality with min-suppkey tie-break. */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val unit = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(round(col("l_extendedprice") / col("l_quantity"), 4)).as("unit_cost"))
+    val best = unit.groupBy(col("l_partkey").as("pk"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+    unit.join(best, col("l_partkey") === col("pk") && col("unit_cost") === col("min_cost"))
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_suppkey")).as("s_suppkey"), min(col("unit_cost")).as("min_cost"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("min_cost"))
+      .orderBy("p_partkey")
+  }
+
+  /** Q11-style important parts: parts whose revenue share exceeds a
+    * floor fraction of GLOBAL revenue — the HAVING-vs-global-scalar
+    * pattern. One per-part aggregate, one single-row global aggregate
+    * broadcast against it, share compared on the rounded value. */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("value"))
+    val total = rev.agg(sum(col("value")).as("total"))
+    rev.crossJoin(broadcast(total))
+      .withColumn("share", round(col("value") / col("total"), 6))
+      .filter(col("share") > 0.0008)
+      .select(col("l_partkey"), col("value"), col("share"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** Ranking-window coverage: revenue quartiles per order priority via
+    * ntile(4), with percent_rank / cume_dist boundaries per quartile.
+    * The window shards by priority; (totalprice, orderkey) makes the
+    * in-shard order total, so ntile boundaries are deterministic. */
+  def qNtileWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        round(min(col("pr")), 6).as("min_pct_rank"),
+        round(max(col("cd")), 6).as("max_cume_dist"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q_ntile_window" -> (qNtileWindow _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      """WITH unit AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(round(1e-9 + l_extendedprice / l_quantity, 4)) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (
+        |  SELECT l_partkey AS pk, min(unit_cost) AS min_cost
+        |  FROM unit GROUP BY 1),
+        |pick AS (
+        |  SELECT l_partkey, min(l_suppkey) AS s_suppkey, min(unit_cost) AS min_cost
+        |  FROM unit JOIN best ON l_partkey = pk AND unit_cost = best.min_cost
+        |  GROUP BY 1)
+        |SELECT p_partkey, p_brand, s_suppkey, pick.min_cost
+        |FROM pick JOIN part ON l_partkey = p_partkey
+        |ORDER BY p_partkey""".stripMargin,
+    "q11_important_parts" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS value
+        |  FROM lineitem GROUP BY 1),
+        |total AS (SELECT sum(value) AS total FROM rev)
+        |SELECT l_partkey, value, round(1e-9 + value / total, 6) AS share
+        |FROM rev, total
+        |WHERE round(1e-9 + value / total, 6) > 0.0008
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q_ntile_window" ->
+      """WITH w AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(4) OVER win AS quartile,
+        |    percent_rank() OVER win AS pr,
+        |    cume_dist() OVER win AS cd
+        |  FROM orders
+        |  WINDOW win AS (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice, o_orderkey))
+        |SELECT o_orderpriority, quartile::BIGINT AS quartile,
+        |  count(*) AS n_orders,
+        |  round(1e-9 + min(o_totalprice), 2) AS min_price,
+        |  round(1e-9 + max(o_totalprice), 2) AS max_price,
+        |  round(1e-9 + min(pr), 6) AS min_pct_rank,
+        |  round(1e-9 + max(cd), 6) AS max_cume_dist
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -248,7 +248,60 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  // PII patterns shared by the scrubber and its oracle — Java regex and
+  // RE2 agree on this subset (character classes, bounded repeats, \b).
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{3}-[0-9]{4}\\b"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrubbing — the redaction pass every released training corpus
+    * runs (emails / phone numbers / IP addresses → typed placeholder
+    * tokens). The synthetic corpus carries no PII, so the query first
+    * INJECTS it deterministically from doc_id (both engines build the
+    * identical dirty text — the component under test is the scrubber,
+    * exactly like the multimodal stub decode). Per-doc counts plus a
+    * 64-bit content hash of the scrubbed text prove the redaction
+    * byte-exact, not just counted.
+    *
+    * Scale: pure per-row map work (regex count + replace), no shuffle
+    * at all before the final dump ordering — the embarrassingly
+    * parallel shape; the chained replaces are one codegen'd projection. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") * 13 % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") * 3 % 256).cast("string"),
+          lit("."), (col("doc_id") * 5 % 256).cast("string")))
+        .otherwise(lit("")))
+    // email first (its local part may contain digits), then phone, then
+    // IP; the placeholders themselves contain no scrubbable characters
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), injected.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(EmailRe)).as("n_email"),
+        regexp_count(col("raw"), lit(PhoneRe)).as("n_phone"),
+        regexp_count(col("raw"), lit(Ipv4Re)).as("n_ip"),
+        length(clean).cast("long").as("n_chars_clean"),
+        PortableHash.phash(clean, 23).as("scrub_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> (piiScrub _),
     "text_keyword_extract" -> (keywordExtract _),
     "text_repetition" -> (repetition _),
     "text_unigram_logprob" -> (unigramLogprob _),
@@ -262,13 +315,14 @@ object TextAnalysis {
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> length(tok) > 0)"
 
-  /** The per-doc quality scoring as one self-contained SELECT (no
-    * trailing ORDER BY) — the oracle twin of `qualityOf`; the
-    * streaming quality router embeds it as a subquery. */
-  private[graft] val qualityPerDocSql: String =
-    s"""WITH t AS (
+  /** The per-doc quality scoring as a reusable CTE chain ending in
+    * `qdoc` (qt/qr names chosen to never collide with the Dedup oracle
+    * fragments this composes with — dedup_keep_best splices it into the
+    * component-clustering WITH chain). */
+  private[graft] val qualityCtes: String =
+    s"""qt AS (
        |  SELECT doc_id, text, $toksSql AS toks FROM documents),
-       |r AS (
+       |qr AS (
        |  SELECT doc_id,
        |    round(1e-9 + len(list_filter(toks, tok -> tok IN ('the','a','of','and','to','in','is','it')))::DOUBLE
        |      / len(toks), 4) AS stopword_ratio,
@@ -277,13 +331,54 @@ object TextAnalysis {
        |    round(1e-9 + length(regexp_replace(text, '[^0-9]+', '', 'g'))::DOUBLE
        |      / length(text), 4) AS digit_ratio,
        |    round(1e-9 + 1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 4) AS repetition_ratio
-       |  FROM t)
-       |SELECT doc_id, stopword_ratio, punct_ratio, digit_ratio, repetition_ratio,
-       |  round(1e-9 + 1.0 - greatest(0.0, 0.3 - stopword_ratio) - punct_ratio - digit_ratio
-       |    - repetition_ratio * 0.4, 4) AS quality
-       |FROM r""".stripMargin
+       |  FROM qt),
+       |qdoc AS (
+       |  SELECT doc_id, stopword_ratio, punct_ratio, digit_ratio, repetition_ratio,
+       |    round(1e-9 + 1.0 - greatest(0.0, 0.3 - stopword_ratio) - punct_ratio - digit_ratio
+       |      - repetition_ratio * 0.4, 4) AS quality
+       |  FROM qr)""".stripMargin
+
+  /** The per-doc quality scoring as one self-contained SELECT (no
+    * trailing ORDER BY) — the oracle twin of `qualityOf`; the
+    * streaming quality router embeds it as a subquery. */
+  private[graft] val qualityPerDocSql: String =
+    s"WITH $qualityCtes\nSELECT * FROM qdoc"
+
+  // RE2 string-literal forms of the shared PII patterns (single-quoted
+  // SQL: backslashes pass through unescaped)
+  private val EmailReSql = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneReSql = "\\b555-[0-9]{3}-[0-9]{4}\\b"
+  private val Ipv4ReSql = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   val oracleSql: Map[String, String] = Map(
+    "text_pii_scrub" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN ' call 555-' || lpad(((doc_id * 7) % 1000)::VARCHAR, 3, '0')
+         |        || '-' || lpad(((doc_id * 13) % 10000)::VARCHAR, 4, '0')
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0
+         |      THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256)
+         |        || '.' || ((doc_id * 5) % 256)
+         |      ELSE '' END AS raw
+         |  FROM documents),
+         |scrub AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(raw, '$EmailReSql'))::INT AS n_email,
+         |    len(regexp_extract_all(raw, '$PhoneReSql'))::INT AS n_phone,
+         |    len(regexp_extract_all(raw, '$Ipv4ReSql'))::INT AS n_ip,
+         |    regexp_replace(regexp_replace(regexp_replace(raw,
+         |      '$EmailReSql', '<EMAIL>', 'g'),
+         |      '$PhoneReSql', '<PHONE>', 'g'),
+         |      '$Ipv4ReSql', '<IP>', 'g') AS clean
+         |  FROM raw)
+         |SELECT doc_id, n_email, n_phone, n_ip,
+         |  length(clean)::BIGINT AS n_chars_clean,
+         |  ${PortableHash.duckSql("clean", 23)}::BIGINT AS scrub_hash
+         |FROM scrub ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents),

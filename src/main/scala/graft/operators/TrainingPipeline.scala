@@ -214,7 +214,36 @@ object TrainingPipeline {
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> length(tok) > 0)"
 
+  /** Deterministic per-epoch reshuffle — the data-loader order for
+    * multi-epoch training, reproducible from (seed=epoch, doc_id)
+    * alone: each epoch re-shards every doc by a seeded hash and orders
+    * docs within the shard by a second hash word. No global sort
+    * exists anywhere — the only window partitions by (epoch, shard),
+    * i.e. bounded shards that scale out with the corpus, and a resumed
+    * job recomputes the identical order from the epoch number (the
+    * property checkpointed loaders rely on).
+    *
+    * Output is the per-doc (epoch, shard, position) assignment on a
+    * deterministic sample — small enough to hash-check while pinning
+    * the full permutation logic. */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val epochs = 2
+    val shards = 8
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("shard", PortableHash.phash(col("doc_id"), col("epoch") + 200) % shards)
+      .withColumn("ord", PortableHash.phash(col("doc_id"), col("epoch") + 100))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("epoch"), col("doc_id"), col("shard"), col("pos"))
+      .orderBy("epoch", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tp_epoch_shuffle" -> (epochShuffle _),
     "tp_hash_split" -> (hashSplit _),
     "tp_stratified_sample" -> (stratifiedSample _),
     "tp_pack_sequences" -> (packSequences _),
@@ -225,6 +254,20 @@ object TrainingPipeline {
     "tp_token_budget" -> (tokenBudget _))
 
   val oracleSql: Map[String, String] = Map(
+    "tp_epoch_shuffle" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, epoch FROM documents, unnest([0, 1]) AS u(epoch)),
+         |h AS (
+         |  SELECT doc_id, epoch,
+         |    ${PortableHash.duckSqlDynSeed("doc_id::VARCHAR", "epoch + 200")} % 8 AS shard,
+         |    ${PortableHash.duckSqlDynSeed("doc_id::VARCHAR", "epoch + 100")} AS ord
+         |  FROM e),
+         |p AS (
+         |  SELECT epoch, doc_id, shard,
+         |    row_number() OVER (PARTITION BY epoch, shard ORDER BY ord, doc_id) AS pos
+         |  FROM h)
+         |SELECT epoch::BIGINT AS epoch, doc_id, shard::BIGINT AS shard, pos
+         |FROM p WHERE doc_id % 5 = 0 ORDER BY epoch, doc_id""".stripMargin,
     "tp_hash_split" ->
       s"""WITH b AS (
          |  SELECT n_chars, ${PortableHash.duckSql("doc_id::VARCHAR", 7)} % 100 AS bucket

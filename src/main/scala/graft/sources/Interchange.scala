@@ -37,21 +37,47 @@ object Interchange {
       .orderBy("lang")
   }
 
+  /** documents → CSV → back, same per-lang content-checksum gate as
+    * the JSONL round-trip (seed 19 so the two checksums can never be
+    * confused). CSV stays line-splittable — and therefore
+    * partition-parallel readable — only while records are single-line;
+    * this corpus has no control chars in `text`, and Spark's writer
+    * quotes embedded separators/quotes, so the default (multiLine off,
+    * the scalable path) reads it back exactly. A corpus WITH embedded
+    * newlines must escape them before the sink (multiLine=true reads
+    * are not splittable — each file becomes one task). */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/docs"
+    docs.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(docs.schema).option("header", "true").csv(out)
+      .withColumn("h", PortableHash.phash64(col("text"), 19))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("bit_xor(h)").as("text_checksum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "src_jsonl_roundtrip" -> (jsonlRoundtrip _))
+    "src_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "src_csv_roundtrip" -> (csvRoundtrip _))
+
+  private def checksumSql(seed: Int): String =
+    s"""WITH x AS (
+       |  SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       |    bit_xor(${PortableHash.duckSql64("text", seed)}) AS ux
+       |  FROM documents GROUP BY lang)
+       |SELECT lang, n_docs, sum_chars,
+       |  -- DuckDB xors the UNSIGNED hash representation; Spark's is
+       |  -- signed. Same 64 bits — shift the unsigned value back into
+       |  -- the signed range (mod-2^64 bijection).
+       |  (CASE WHEN ux >= 9223372036854775808
+       |    THEN ux::HUGEINT - 18446744073709551616 ELSE ux::HUGEINT END)::BIGINT
+       |    AS text_checksum
+       |FROM x ORDER BY lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    "src_jsonl_roundtrip" ->
-      s"""WITH x AS (
-         |  SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
-         |    bit_xor(${PortableHash.duckSql64("text", 17)}) AS ux
-         |  FROM documents GROUP BY lang)
-         |SELECT lang, n_docs, sum_chars,
-         |  -- DuckDB xors the UNSIGNED hash representation; Spark's is
-         |  -- signed. Same 64 bits — shift the unsigned value back into
-         |  -- the signed range (mod-2^64 bijection).
-         |  (CASE WHEN ux >= 9223372036854775808
-         |    THEN ux::HUGEINT - 18446744073709551616 ELSE ux::HUGEINT END)::BIGINT
-         |    AS text_checksum
-         |FROM x ORDER BY lang""".stripMargin)
+    "src_csv_roundtrip" -> checksumSql(19),
+    "src_jsonl_roundtrip" -> checksumSql(17))
 }
