@@ -177,6 +177,41 @@ class CoreSpec extends AnyFunSuite {
     assert(d3.forall(_._4 <= DocPipeline.RecMax + 4), s"overpacked: ${d3.toSeq}")
   }
 
+  test("epoch shuffle: same docs, different order per epoch, deterministic") {
+    import graft.operators.TrainingPipeline
+    val rows = TrainingPipeline.epochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    // both epochs cover the identical sampled doc set
+    assert(byEpoch(0L).map(_._2).toSet == byEpoch(1L).map(_._2).toSet)
+    // the reshuffle actually moves things: some doc changes shard or position
+    val m0 = byEpoch(0L).map(t => t._2 -> (t._3, t._4)).toMap
+    assert(byEpoch(1L).exists(t => m0(t._2) != ((t._3, t._4))))
+    assert(rows.forall(t => t._3 >= 0 && t._3 < 8 && t._4 >= 1))
+    // pure function of (epoch, doc_id): a second run is bit-identical
+    val again = TrainingPipeline.epochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("keep-best dedup: one keeper per cluster, keeper has max quality") {
+    import graft.operators.Dedup
+    val rows = Dedup.keepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.count(_._5 == 1L) == 1, s"cluster $c keeper count")
+      assert(members.forall(_._3 == members.length), s"cluster $c size mismatch")
+      val keeper = members.find(_._5 == 1L).get
+      assert(members.forall(_._4 <= keeper._4), s"cluster $c keeper not max-quality")
+      // tie-break: min doc_id among max-quality members
+      assert(keeper._1 == members.filter(_._4 == keeper._4).map(_._1).min)
+    }
+    // every document appears exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
   test("every query has oracle sql or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("vs_knn_ivf",
