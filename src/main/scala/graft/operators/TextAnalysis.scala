@@ -185,6 +185,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    * language, split the corpus into head / middle / tail thirds by
+    * language-model score (here the corpus-unigram cross-entropy) —
+    * the standard quality-tiering step before mixture weighting.
+    * Buckets are RANK terciles ((rank−1)·3 div n), pure integer
+    * arithmetic on a total (xent, doc_id) order — deterministic in
+    * both engines, no percentile interpolation to disagree over.
+    *
+    * Scale: the per-lang rank is a sort within each language shard —
+    * at 100 TB CCNet derives the two cutoffs from a SAMPLED quantile
+    * sketch instead and buckets with a broadcast compare; the exact
+    * rank here is the oracle-checkable equivalent on the same total
+    * order. */
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("t"))
+    val scored = toks.join(broadcast(freq), "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(avg(-log(col("c").cast("double") / col("t"))), 4).as("xent"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("xent"), col("doc_id"))
+    val nw = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("nl", count(lit(1)).over(nw))
+      .withColumn("tercile", expr("((rnk - 1) * 3) div nl"))
+      .withColumn("bucket",
+        when(col("tercile") === 0, "head")
+          .when(col("tercile") === 1, "middle").otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("xent")), 4).as("avg_xent"),
+        min(col("xent")).as("min_xent"),
+        max(col("xent")).as("max_xent"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Gopher-style repetition filters (Rae et al. 2021 §A1.1): per doc,
     * the fraction of characters covered by the most repeated 2/3/4-gram
     * (count × gram chars / total token chars), and a keep flag at the
@@ -301,6 +340,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity_buckets" -> (perplexityBuckets _),
     "text_pii_scrub" -> (piiScrub _),
     "text_keyword_extract" -> (keywordExtract _),
     "text_repetition" -> (repetition _),
@@ -351,6 +391,30 @@ object TextAnalysis {
   private val Ipv4ReSql = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   val oracleSql: Map[String, String] = Map(
+    "text_perplexity_buckets" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest($toksSql) AS token FROM documents),
+         |freq AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(c) AS t FROM freq),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    round(1e-9 + avg(-ln(c::DOUBLE / t)), 4) AS xent
+         |  FROM tok JOIN freq USING (token), tot
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT lang, xent,
+         |    row_number() OVER (PARTITION BY lang ORDER BY xent, doc_id) AS rnk,
+         |    count(*) OVER (PARTITION BY lang) AS nl
+         |  FROM scored),
+         |b AS (
+         |  SELECT lang, xent,
+         |    CASE (rnk - 1) * 3 // nl WHEN 0 THEN 'head'
+         |      WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |  FROM ranked)
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  round(1e-9 + avg(xent), 4) AS avg_xent,
+         |  min(xent) AS min_xent, max(xent) AS max_xent
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_pii_scrub" ->
       s"""WITH raw AS (
          |  SELECT doc_id, text ||

@@ -242,7 +242,40 @@ object TrainingPipeline {
       .orderBy("epoch", "doc_id")
   }
 
+  /** Release-shard manifest — the artifact a corpus release actually
+    * ships next to its data files: docs are hash-assigned to shards,
+    * WRITTEN as a shard-partitioned parquet layout (the real sink),
+    * and the manifest is computed from the READ-BACK files — so the
+    * checksum row covers the round trip through the at-rest layout,
+    * not just the in-memory frame. Per shard: doc count, token total,
+    * id range, and an order-insensitive 32-bit content checksum
+    * (bit_xor of portable text hashes) the oracle reproduces from the
+    * source table — any doc lost, duplicated, or mutated by the
+    * write/read fails the hash gate.
+    *
+    * Scale: assignment is a pure hash map (no shuffle beyond the
+    * partitioned write's own fan-out); the manifest is one partial-agg
+    * groupBy over #shards rows of state. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    val shards = 16
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/docs"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), nTokens(col("text")).as("ntok"),
+        (PortableHash.phash(col("doc_id"), 41) % shards).as("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    s.read.parquet(out)
+      .withColumn("h", PortableHash.phash(col("text"), 41))
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("sum_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(h)").as("checksum"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tp_shard_manifest" -> (shardManifest _),
     "tp_epoch_shuffle" -> (epochShuffle _),
     "tp_hash_split" -> (hashSplit _),
     "tp_stratified_sample" -> (stratifiedSample _),
@@ -254,6 +287,18 @@ object TrainingPipeline {
     "tp_token_budget" -> (tokenBudget _))
 
   val oracleSql: Map[String, String] = Map(
+    "tp_shard_manifest" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, text,
+         |    len($toksSql)::BIGINT AS ntok,
+         |    ${PortableHash.duckSql("doc_id::VARCHAR", 41)} % 16 AS shard,
+         |    ${PortableHash.duckSql("text", 41)} AS h
+         |  FROM documents)
+         |SELECT shard::BIGINT AS shard, count(*) AS n_docs,
+         |  sum(ntok)::BIGINT AS sum_tokens,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |  bit_xor(h)::BIGINT AS checksum
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "tp_epoch_shuffle" ->
       s"""WITH e AS (
          |  SELECT doc_id, epoch FROM documents, unnest([0, 1]) AS u(epoch)),
