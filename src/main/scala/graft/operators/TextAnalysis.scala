@@ -234,30 +234,38 @@ object TextAnalysis {
     * Scale: one explode → (doc, n, gram) partial-agg count → one
     * per-doc agg; no window, no join — linear in corpus size. */
   def repetition(s: SparkSession, dir: String): DataFrame = {
-    val emptyGrams = array().cast("array<struct<n:int,gram:string>>")
-    val gramsFor = (n: Int) =>
-      when(size(col("toks")) >= n,
+    // max over distinct grams of count × gram-chars, computed PER DOC
+    // as a run-length fold over the SORTED gram array — the gram
+    // stream never leaves its row, so there is no explode and no
+    // shuffle anywhere (r3 rewrite: the exploded (doc, n, gram)
+    // partial-agg shape shuffled ~3×|tokens| rows and was the 2nd
+    // slowest bench query at 7 s; this form is pure narrow map work,
+    // the same shuffle-free shape as text_fingerprint).
+    def best(n: Int): Column = {
+      val grams = when(size(col("toks")) >= n,
         transform(sequence(lit(0), size(col("toks")) - n),
-          i => struct(lit(n).as("n"),
-            concat_ws(" ", slice(col("toks"), i + 1, lit(n))).as("gram"))))
-        .otherwise(emptyGrams)
-    val counts = Tables.documents(s, dir)
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      aggregate(array_sort(grams),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (st, x) => {
+          val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(st.getField("best"),
+              run * (length(x) - (n - 1)).cast("long")).as("best"))
+        },
+        st => st.getField("best"))
+    }
+    Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("tok_chars"),
-        explode(concat(gramsFor(2), gramsFor(3), gramsFor(4))).as("g"))
-      .groupBy(col("doc_id"), col("tok_chars"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("c"))
-    // top-chars per n folded into ONE per-doc aggregate (no pivot, no
-    // per-(doc,n) intermediate shuffle)
-    def top(n: Int) = max(when(col("n") === n,
-      col("c") * (length(col("gram")) - (n - 1)))).as(s"t$n")
-    counts.groupBy(col("doc_id"), col("tok_chars"))
-      .agg(top(2), top(3), top(4))
+        best(2).as("t2"), best(3).as("t3"), best(4).as("t4"))
       .select(col("doc_id"),
-        round(coalesce(col("t2"), lit(0L)).cast("double") / col("tok_chars"), 4).as("top2_frac"),
-        round(coalesce(col("t3"), lit(0L)).cast("double") / col("tok_chars"), 4).as("top3_frac"),
-        round(coalesce(col("t4"), lit(0L)).cast("double") / col("tok_chars"), 4).as("top4_frac"))
+        round(col("t2").cast("double") / col("tok_chars"), 4).as("top2_frac"),
+        round(col("t3").cast("double") / col("tok_chars"), 4).as("top3_frac"),
+        round(col("t4").cast("double") / col("tok_chars"), 4).as("top4_frac"))
       .withColumn("keep",
         col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 && col("top4_frac") <= 0.16)
       .orderBy("doc_id")
