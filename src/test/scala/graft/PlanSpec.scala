@@ -204,4 +204,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(source"), s"window must partition by source\n$p")
     assert(!p.contains("SinglePartition\n   +- Window"), p)
   }
+
+  test("repetition filters are shuffle-free up to the final sort") {
+    val p = plan(TextAnalysis.repetition(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Generate explode"), p)
+  }
+
+  test("q2 argmin supplier: agg and join-back share the partkey shuffle key") {
+    val p = plan(Analytics3.q2MinCostSupplier(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // part dim broadcasts; the join-back on (partkey, rounded cost) is
+    // an equi-join, never a nested loop
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("perplexity buckets: rank window shards by lang, freq table broadcasts") {
+    val p = plan(TextAnalysis.perplexityBuckets(spark, sf))
+    assert(p.contains("hashpartitioning(lang"), s"window must partition by lang\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
