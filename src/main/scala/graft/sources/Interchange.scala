@@ -59,9 +59,38 @@ object Interchange {
       .orderBy("lang")
   }
 
+  /** Schema evolution across producer versions — the lake-drift case
+    * every long-lived corpus hits: a v1 producer wrote five columns,
+    * a v2 producer adds `n_tokens`, both batches land in ONE parquet
+    * directory. The consumer reads with `mergeSchema` (an explicit
+    * opt-in — schema merging is a footer-union pass you pay once, not
+    * something to leave on by default at 100 TB); v1 rows surface the
+    * new column as null, and the aggregate proves both cohorts
+    * survived with a corpus-wide content checksum plus null-aware
+    * token accounting (count(col) skips the backfilled nulls). */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/docs"
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(out)
+    docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("n_tokens",
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .write.mode("append").parquet(out)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .withColumn("h", PortableHash.phash(col("text"), 29))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_tokens")).as("n_v2_docs"),
+        sum(coalesce(col("n_tokens"), lit(0L))).as("sum_tokens"),
+        expr("bit_xor(h)").as("text_checksum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jsonl_roundtrip" -> (jsonlRoundtrip _),
-    "src_csv_roundtrip" -> (csvRoundtrip _))
+    "src_csv_roundtrip" -> (csvRoundtrip _),
+    "src_schema_evolution" -> (schemaEvolution _))
 
   private def checksumSql(seed: Int): String =
     s"""WITH x AS (
@@ -78,6 +107,17 @@ object Interchange {
        |FROM x ORDER BY lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "src_schema_evolution" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |        tok -> length(tok) > 0))::BIGINT AS ntok
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_v2_docs,
+         |  sum(CASE WHEN doc_id % 2 = 1 THEN ntok ELSE 0 END)::BIGINT AS sum_tokens,
+         |  bit_xor(${PortableHash.duckSql("text", 29)})::BIGINT AS text_checksum
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_csv_roundtrip" -> checksumSql(19),
     "src_jsonl_roundtrip" -> checksumSql(17))
 }
