@@ -274,7 +274,38 @@ object TrainingPipeline {
       .orderBy("shard")
   }
 
+  /** Release-to-release dataset diff — what a curation team reviews
+    * before shipping corpus vN+1: per language, how many docs were
+    * added, removed, changed, or untouched relative to the previous
+    * release. The two releases are simulated deterministically from
+    * doc_id (old = id%17≠0, new = id%13≠0, with id%11=0 docs edited),
+    * identically in both engines — the component under test is the
+    * diff itself: a FULL OUTER join on the doc key with per-side
+    * content hashes, null-side → added/removed, hash mismatch →
+    * changed. One shuffle on doc_id, hash compare instead of text
+    * compare (bytes never cross the join). */
+  def releaseDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val prev = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        PortableHash.phash(col("text"), 53).as("h_old"))
+    val next = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), col("lang").as("lang_new"),
+        PortableHash.phash(
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")), 53).as("h_new"))
+    prev.join(next, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("lang"), col("lang_new")).as("lang"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("lang", "status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tp_release_diff" -> (releaseDiff _),
     "tp_shard_manifest" -> (shardManifest _),
     "tp_epoch_shuffle" -> (epochShuffle _),
     "tp_hash_split" -> (hashSplit _),
@@ -287,6 +318,23 @@ object TrainingPipeline {
     "tp_token_budget" -> (tokenBudget _))
 
   val oracleSql: Map[String, String] = Map(
+    "tp_release_diff" ->
+      s"""WITH o AS (
+         |  SELECT doc_id, lang, ${PortableHash.duckSql("text", 53)} AS h_old
+         |  FROM documents WHERE doc_id % 17 <> 0),
+         |n AS (
+         |  SELECT doc_id, lang AS lang_new,
+         |    ${PortableHash.duckSql(
+               "CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END", 53)} AS h_new
+         |  FROM documents WHERE doc_id % 13 <> 0)
+         |SELECT coalesce(o.lang, n.lang_new) AS lang,
+         |  CASE WHEN h_old IS NULL THEN 'added'
+         |       WHEN h_new IS NULL THEN 'removed'
+         |       WHEN h_old <> h_new THEN 'changed'
+         |       ELSE 'unchanged' END AS status,
+         |  count(*) AS n_docs
+         |FROM o FULL OUTER JOIN n USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "tp_shard_manifest" ->
       s"""WITH a AS (
          |  SELECT doc_id, text,
