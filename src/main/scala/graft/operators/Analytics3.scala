@@ -54,15 +54,18 @@ object Analytics3 {
   /** Q11-style important parts: parts whose revenue share exceeds a
     * floor fraction of GLOBAL revenue — the HAVING-vs-global-scalar
     * pattern. One per-part aggregate, one single-row global aggregate
-    * broadcast against it, share compared on the rounded value. */
+    * broadcast against it, share compared on the rounded value. The
+    * floor is RELATIVE (1.5× the mean per-part share), so the query
+    * returns a meaningful head at every scale factor — a fixed
+    * absolute share would go empty as the part count grows. */
   def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("value"))
-    val total = rev.agg(sum(col("value")).as("total"))
+    val total = rev.agg(sum(col("value")).as("total"), count(lit(1)).as("n_parts"))
     rev.crossJoin(broadcast(total))
       .withColumn("share", round(col("value") / col("total"), 6))
-      .filter(col("share") > 0.0008)
+      .filter(col("share") > round(lit(1.5) / col("n_parts"), 6))
       .select(col("l_partkey"), col("value"), col("share"))
       .orderBy(col("value").desc, col("l_partkey"))
   }
@@ -114,10 +117,10 @@ object Analytics3 {
         |  SELECT l_partkey,
         |    round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS value
         |  FROM lineitem GROUP BY 1),
-        |total AS (SELECT sum(value) AS total FROM rev)
+        |total AS (SELECT sum(value) AS total, count(*) AS n_parts FROM rev)
         |SELECT l_partkey, value, round(1e-9 + value / total, 6) AS share
         |FROM rev, total
-        |WHERE round(1e-9 + value / total, 6) > 0.0008
+        |WHERE round(1e-9 + value / total, 6) > round(1e-9 + 1.5 / n_parts, 6)
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q_ntile_window" ->
       """WITH w AS (
