@@ -151,6 +151,41 @@ object EmbeddingLsh {
       .orderBy("qid", "rnk")
   }
 
+  /** ANN recall report — the evaluation every production ANN deploy
+    * runs before flipping traffic: recall@5 of the banded-LSH serving
+    * path against the exact brute-force top-5, on the same every-50th
+    * query sample, summarized (mean / worst / perfect-query count).
+    * Both sides are deterministic (rounded distances, (dist, id)
+    * tie-break), so unlike most ANN metrics this one is exactly
+    * reproducible — and hash-checked against an oracle that composes
+    * the two SQL chains.
+    *
+    * Scale: the exact side is the one-off ground-truth pass (same
+    * broadcast + bounded top-k shape as vs_knn_batch, run on the
+    * query SAMPLE only); the comparison is an answer-sized equi-join. */
+  def recallReport(s: SparkSession, dir: String): DataFrame = {
+    val ann = annServe(s, dir).select(col("qid"), col("vec_id"))
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topkByDist(col("dist"), col("vec_id"), 5).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("vec_id"))
+    val hits = exact.join(ann, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("n_hit").cast("double") / col("n_exact")), 4).as("avg_recall"),
+        round(min(col("n_hit").cast("double") / col("n_exact")), 4).as("min_recall"),
+        sum(when(col("n_hit") === col("n_exact"), 1L).otherwise(0L)).as("n_perfect"))
+  }
+
   /** DuckDB fragment: the 24-bit sketch of `vec` — identical plane
     * derivation (md5 first-byte parity) and identical left-to-right
     * double accumulation as the Scala `sketch`. */
@@ -172,7 +207,8 @@ object EmbeddingLsh {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding_lsh" -> (pairs _),
     "vs_knn_lsh" -> (annSearch _),
-    "vs_knn_lsh_batch" -> (annServe _))
+    "vs_knn_lsh_batch" -> (annServe _),
+    "vs_recall_report" -> (recallReport _))
   val oracleSql: Map[String, String] = Map(
     // the sketch is a pure md5 function, so the banded candidate set —
     // and therefore the whole verified pair list — is reproducible in
@@ -211,6 +247,39 @@ object EmbeddingLsh {
          |SELECT qid, vec_id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
          |FROM d QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "vs_recall_report" ->
+      s"""WITH sk AS (
+         |  SELECT vec_id, embedding, ${skSql("embedding")} AS sk
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, s.vec_id, q.embedding AS qv, s.embedding
+         |  FROM sk q, sk s, generate_series(0, ${NumBands - 1}) t(band)
+         |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> s.vec_id
+         |    AND (q.sk // CAST(2 ** (band * $BandBits) AS BIGINT)) % ${1 << BandBits}
+         |      = (s.sk // CAST(2 ** (band * $BandBits) AS BIGINT)) % ${1 << BandBits}),
+         |ad AS (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      round(1e-9 + ${dCosine("embedding", "qv")}, 4), vec_id) AS rnk
+         |  FROM cand),
+         |ann AS (SELECT qid, vec_id FROM ad WHERE rnk <= 5),
+         |ed AS (
+         |  SELECT q.vec_id AS qid, s.vec_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      round(1e-9 + ${dCosine("s.embedding", "q.embedding")}, 4), s.vec_id) AS rnk
+         |  FROM embeddings q, embeddings s
+         |  WHERE q.vec_id % 50 = 0 AND s.vec_id <> q.vec_id),
+         |exact AS (SELECT qid, vec_id FROM ed WHERE rnk <= 5),
+         |per AS (
+         |  SELECT e.qid, count(*) AS n_exact,
+         |    sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |  FROM exact e LEFT JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
+         |  GROUP BY 1)
+         |SELECT count(*) AS n_queries,
+         |  round(1e-9 + avg(n_hit::DOUBLE / n_exact), 4) AS avg_recall,
+         |  round(1e-9 + min(n_hit::DOUBLE / n_exact), 4) AS min_recall,
+         |  sum(CASE WHEN n_hit = n_exact THEN 1 ELSE 0 END)::BIGINT AS n_perfect
+         |FROM per""".stripMargin,
     "vs_knn_lsh" ->
       s"""WITH sk AS (
          |  SELECT vec_id, embedding, ${skSql("embedding")} AS sk
