@@ -217,6 +217,42 @@ object VectorSearch {
       ORDER BY dist, vec_id LIMIT 10""")
   }
 
+  /** Embedding-space diagnostics per class label — the dataset-health
+    * report run before training a classifier / probing retrieval
+    * quality: per label, the centroid (element-wise mean, ROUNDED to
+    * 6 dp so both engines square identical inputs) and the spread of
+    * member distances to it (compact tight classes vs diffuse ones).
+    *
+    * Scale shape: the centroid build is the only fan-out — one
+    * posexplode to (label, dim) partial-agg means (N×dim rows through
+    * map-side combine, #labels×dim out); the rebuilt centroid arrays
+    * (#labels rows) BROADCAST back against the embeddings and every
+    * distance is a narrow zip_with fold — no N×dim shuffle, no join
+    * bigger than the answer. */
+  def labelDiagnostics(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+    val means = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("m"))
+    val centroids = means
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), x => x.getField("m")).as("cent"))
+    emb.join(broadcast(centroids), "label")
+      .select(col("label"),
+        sqrt(aggregate(
+          zip_with(col("embedding"), col("cent"),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x)).as("dist"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("dist")), 4).as("avg_dist"),
+        round(min(col("dist")), 4).as("min_dist"),
+        round(max(col("dist")), 4).as("max_dist"))
+      .orderBy("label")
+  }
+
   // ---- DuckDB oracle fragments ----------------------------------------
 
   /** Σ a[i]·b[i] in double, left-to-right — matches zip_with+aggregate. */
@@ -245,6 +281,7 @@ object VectorSearch {
     "vs_range_search" -> (rangeSearch _),
     "vs_knn_batch" -> (knnBatch _),
     "vs_vector_ops" -> (vectorOps _),
+    "vs_label_diagnostics" -> (labelDiagnostics _),
     "vs_to_vector_roundtrip" -> (toVectorRoundtrip _),
     "vs_knn_int8" -> (knnInt8 _),
     "vs_knn_filtered" -> (knnFiltered _),
@@ -253,6 +290,25 @@ object VectorSearch {
     "vs_knn_sql" -> (knnSql _))
 
   val oracleSql: Map[String, String] = Map(
+    "vs_label_diagnostics" ->
+      """WITH x AS (
+        |  SELECT label, i, avg(embedding[i]::DOUBLE) AS m_raw
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT label, list(round(1e-9 + m_raw, 6) ORDER BY i) AS cent
+        |  FROM x GROUP BY 1),
+        |d AS (
+        |  SELECT e.label,
+        |    sqrt(list_sum([(e.embedding[i]::DOUBLE - c.cent[i])
+        |                   * (e.embedding[i]::DOUBLE - c.cent[i])
+        |                   for i in generate_series(1, len(e.embedding))])) AS dist
+        |  FROM embeddings e JOIN c USING (label))
+        |SELECT label, count(*) AS n_vecs,
+        |  round(1e-9 + avg(dist), 4) AS avg_dist,
+        |  round(1e-9 + min(dist), 4) AS min_dist,
+        |  round(1e-9 + max(dist), 4) AS max_dist
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "vs_knn_cosine" -> knnSql(dCosine("embedding", "qv")),
     "vs_knn_l2" -> knnSql(dL2("embedding", "qv")),
     "vs_knn_dot" -> knnSql(s"-(${dDot("embedding", "qv")})"),
