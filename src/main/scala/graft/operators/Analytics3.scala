@@ -91,12 +91,48 @@ object Analytics3 {
       .orderBy("o_orderpriority", "quartile")
   }
 
+  /** Q9-style product-type profit: per supplier nation and order year,
+    * revenue minus supply cost (p_retailprice × 0.6 × quantity stands
+    * in for ps_supplycost — the testdata has no partsupp). The Q9
+    * plan shape: one fact pass, part/supplier/nation dims broadcast,
+    * orders joined for the year, a single derived-measure aggregate. */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+    val p = Tables.part(s, dir).select("p_partkey", "p_retailprice")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("p_retailprice") * 0.6 * col("l_quantity")), 2).as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q9_profit" -> (q9Profit _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q11_important_parts" -> (q11ImportantParts _),
     "q_ntile_window" -> (qNtileWindow _))
 
   val oracleSql: Map[String, String] = Map(
+    "q9_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)
+        |    - p_retailprice * 0.6 * l_quantity), 2) AS profit,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     "q2_min_cost_supplier" ->
       """WITH unit AS (
         |  SELECT l_partkey, l_suppkey,
