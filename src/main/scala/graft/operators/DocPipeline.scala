@@ -310,6 +310,32 @@ object DocPipeline {
       .limit(10)
   }
 
+  /** RAG context assembly — the step between retrieval and the prompt:
+    * the top-k retrieved chunks are packed into the model's context
+    * window in relevance order until the token budget is exhausted
+    * (whole chunks only — the standard greedy rule). Emits ALL top-k
+    * rows with the running token total and an in_context flag, so the
+    * report shows both what made the cut and what was dropped.
+    *
+    * Scale note: the pack window runs over the ALREADY-REDUCED top-k
+    * answer set (k rows, one partition by construction) — the
+    * retrieval underneath is the distributed part; packing k rows is
+    * inherently serial and answer-sized. */
+  def contextPack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 120L
+    val ord = Window.orderBy(col("sim").desc, col("doc_id"), col("chunk_id"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, 0)
+    chunkKnn(s, dir)
+      .join(chunks(s, dir).select(col("doc_id"), col("chunk_id"), col("n_tokens")),
+        Seq("doc_id", "chunk_id"))
+      .withColumn("rnk", row_number().over(ord).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+      .withColumn("in_context", (col("cum_tokens") <= budget).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("chunk_id"), col("sim"),
+        col("n_tokens"), col("cum_tokens"), col("in_context"))
+      .orderBy("rnk")
+  }
+
   /** Multi-vector (late-interaction / ColBERT-style) retrieval:
     * score(doc) = Σ over query chunks of max over doc chunks of
     * cosine — the MaxSim reduction. Query = doc 0's chunks. The
@@ -382,6 +408,7 @@ object DocPipeline {
     "doc_embed_json_table" -> (embedJsonTable _),
     "doc_pipeline" -> (docPipeline _),
     "vs_chunk_knn" -> (chunkKnn _),
+    "vs_context_pack" -> (contextPack _),
     "vs_maxsim" -> (maxSim _))
 
   val oracleSql: Map[String, String] = Map(
@@ -545,6 +572,34 @@ object DocPipeline {
          |SELECT doc_id, round(1e-9 + sum(maxsim), 4) AS score
          |FROM ms GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "vs_context_pack" ->
+      s"""$chunkCte,
+         |$weightCte,
+         |norms AS (
+         |  SELECT doc_id, chunk_id, sqrt(sum(w * w)::DOUBLE) AS nrm
+         |  FROM wnz GROUP BY 1, 2),
+         |q AS (SELECT bucket, w AS wq FROM wnz WHERE doc_id = 0 AND chunk_id = 1),
+         |qn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = 0 AND chunk_id = 1),
+         |dots AS (
+         |  SELECT w.doc_id, w.chunk_id, sum(w.w * q.wq) AS dot
+         |  FROM wnz w JOIN q ON w.bucket = q.bucket GROUP BY 1, 2),
+         |topk AS (
+         |  SELECT d.doc_id, CAST(d.chunk_id AS BIGINT) AS chunk_id,
+         |    round(1e-9 + d.dot / (n.nrm * qn.qnrm), 4) AS sim
+         |  FROM dots d JOIN norms n ON d.doc_id = n.doc_id AND d.chunk_id = n.chunk_id, qn
+         |  WHERE NOT (d.doc_id = 0 AND d.chunk_id = 1)
+         |  ORDER BY sim DESC, d.doc_id, d.chunk_id LIMIT 10),
+         |packed AS (
+         |  SELECT t.doc_id, t.chunk_id, t.sim, c.n_tokens::BIGINT AS n_tokens,
+         |    row_number() OVER (ORDER BY t.sim DESC, t.doc_id, t.chunk_id) AS rnk,
+         |    sum(c.n_tokens::BIGINT) OVER (
+         |      ORDER BY t.sim DESC, t.doc_id, t.chunk_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM topk t JOIN chunks c
+         |    ON t.doc_id = c.doc_id AND t.chunk_id = c.chunk_id)
+         |SELECT rnk, doc_id, chunk_id, sim, n_tokens, cum_tokens,
+         |  (CASE WHEN cum_tokens <= 120 THEN 1 ELSE 0 END)::BIGINT AS in_context
+         |FROM packed ORDER BY rnk""".stripMargin,
     "vs_chunk_knn" ->
       s"""$chunkCte,
          |$weightCte,
