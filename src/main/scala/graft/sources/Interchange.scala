@@ -87,7 +87,39 @@ object Interchange {
       .orderBy("lang")
   }
 
+  /** Malformed-record handling — at 100 TB corrupt lines are a
+    * certainty, and the ingest contract must QUARANTINE them, not die
+    * or silently drop. Good JSONL plus deterministically-injected
+    * truncated lines (one per doc_id%10==3, built from the corpus in
+    * both engines) are read back in PERMISSIVE mode with an explicit
+    * `_corrupt_record` column in the schema: malformed lines land
+    * whole in the quarantine column with every data field null, and
+    * the per-lang report proves none were lost or double-counted.
+    * Per-row map work only; the quarantine column prunes away for
+    * consumers that don't select it. */
+  def jsonlCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_corrupt").toString + "/docs"
+    val good = docs
+      .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("value"))
+    val bad = docs.filter(col("doc_id") % 10 === 3)
+      .select(concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
+        lit(", \"lang\": \"")).as("value"))
+    good.union(bad).write.mode("overwrite").text(out)
+    s.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .groupBy(coalesce(col("lang"), lit("_corrupt")).as("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_jsonl_corrupt" -> (jsonlCorrupt _),
     "src_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_schema_evolution" -> (schemaEvolution _))
@@ -107,6 +139,15 @@ object Interchange {
        |FROM x ORDER BY lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "src_jsonl_corrupt" ->
+      """SELECT lang, count(*) AS n_rows, 0::BIGINT AS n_corrupt,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT '_corrupt' AS lang, count(*) AS n_rows,
+        |  count(*) AS n_corrupt, 0::BIGINT AS sum_chars
+        |FROM documents WHERE doc_id % 10 = 3
+        |ORDER BY lang""".stripMargin,
     "src_schema_evolution" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, text,

@@ -225,4 +225,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(lang"), s"window must partition by lang\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("release diff: full-outer equi-join on the doc key, never a nested loop") {
+    val p = plan(TrainingPipeline.releaseDiff(spark, sf))
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("label diagnostics: centroid table broadcasts back against the embeddings scan") {
+    val p = plan(VectorSearch.labelDiagnostics(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q9 profit: all dims broadcast over one fact pass, no cartesian") {
+    val p = plan(Analytics3.q9Profit(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
