@@ -115,13 +115,46 @@ object Analytics3 {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
+  /** Fixed-width histogram of order values — the profiling primitive
+    * behind every numeric-distribution dashboard. One scan, one
+    * partial-agg groupBy on the bucket id; bucket edges are constants
+    * so the bin assignment is a pure map, written as explicit
+    * floor((x−lo)/w) arithmetic (identical IEEE ops in both engines —
+    * DuckDB has no width_bucket) with explicit under/overflow bins:
+    * dropping outliers silently is the classic histogram bug. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val (lo, hi, nb) = (0.0, 400000.0, 8)
+    val w = (hi - lo) / nb
+    Tables.orders(s, dir)
+      .withColumn("bucket",
+        when(col("o_totalprice") < lo, 0L)
+          .when(col("o_totalprice") >= hi, nb + 1L)
+          .otherwise(floor((col("o_totalprice") - lo) / w) + 1))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("lo_price"),
+        round(max(col("o_totalprice")), 2).as("hi_price"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram" -> (qHistogram _),
     "q9_profit" -> (q9Profit _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q11_important_parts" -> (q11ImportantParts _),
     "q_ntile_window" -> (qNtileWindow _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT (CASE WHEN o_totalprice < 0.0 THEN 0
+        |  WHEN o_totalprice >= 400000.0 THEN 9
+        |  ELSE floor((o_totalprice - 0.0) / 50000.0) + 1 END)::BIGINT AS bucket,
+        |  count(*) AS n_orders,
+        |  round(1e-9 + min(o_totalprice), 2) AS lo_price,
+        |  round(1e-9 + max(o_totalprice), 2) AS hi_price,
+        |  round(1e-9 + sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q9_profit" ->
       """SELECT n_name AS nation, year(o_orderdate) AS o_year,
         |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)
