@@ -138,14 +138,85 @@ object Analytics3 {
       .orderBy("bucket")
   }
 
+  /** First-touch attribution: each purchasing user's purchase is
+    * credited to the event type of their FIRST event ever (µs-exact,
+    * event_id tie-break) — the argmin-by-time pattern. One rank
+    * window sharded by user + one semi-join against purchasers; no
+    * self-join of the event stream. */
+  def qFirstTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val purchasers = ev.filter(col("event_type") === "purchase")
+      .select("user_id").distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .join(purchasers, "user_id", "left_semi")
+      .groupBy(col("event_type").as("first_touch"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("first_touch")
+  }
+
+  /** Corpus Zipf diagnostics: the log-log slope of token frequency vs
+    * rank via the REGRESSION aggregates (regr_slope / regr_intercept /
+    * regr_r2) — natural text sits near slope −1; a synthetic or
+    * templated corpus shows up immediately. Rank is a total
+    * (freq desc, token) order over the VOCABULARY — bounded regardless
+    * of corpus size, so the single-partition rank window is fine (the
+    * corpus-sized work is the token count, a partial-agg groupBy);
+    * the regression itself is one partial-aggregable pass. */
+  def textZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    freq.withColumn("rnk", row_number().over(w))
+      .select(log(col("rnk").cast("double")).as("lr"),
+        log(col("freq").cast("double")).as("lf"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(expr("regr_slope(lf, lr)"), 4).as("zipf_slope"),
+        round(expr("regr_intercept(lf, lr)"), 4).as("zipf_intercept"),
+        round(expr("regr_r2(lf, lr)"), 4).as("fit_r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_first_touch" -> (qFirstTouch _),
+    "text_zipf_fit" -> (textZipfFit _),
     "q_histogram" -> (qHistogram _),
     "q9_profit" -> (q9Profit _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q11_important_parts" -> (q11ImportantParts _),
     "q_ntile_window" -> (qNtileWindow _))
 
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> length(tok) > 0)"
+
   val oracleSql: Map[String, String] = Map(
+    "q_first_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |p AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rnk
+        |  FROM e)
+        |SELECT r.event_type AS first_touch, count(*) AS n_users
+        |FROM r JOIN p USING (user_id) WHERE rnk = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_zipf_fit" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+         |f AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+         |r AS (
+         |  SELECT ln((row_number() OVER (ORDER BY freq DESC, token))::DOUBLE) AS lr,
+         |    ln(freq::DOUBLE) AS lf
+         |  FROM f)
+         |SELECT count(*) AS n_tokens,
+         |  round(1e-9 + regr_slope(lf, lr), 4) AS zipf_slope,
+         |  round(1e-9 + regr_intercept(lf, lr), 4) AS zipf_intercept,
+         |  round(1e-9 + regr_r2(lf, lr), 4) AS fit_r2
+         |FROM r""".stripMargin,
     "q_histogram" ->
       """SELECT (CASE WHEN o_totalprice < 0.0 THEN 0
         |  WHEN o_totalprice >= 400000.0 THEN 9
