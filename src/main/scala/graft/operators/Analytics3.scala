@@ -180,7 +180,22 @@ object Analytics3 {
         round(expr("regr_r2(lf, lr)"), 4).as("fit_r2"))
   }
 
+  /** Day-of-week × hour-of-day activity matrix — the seasonality
+    * profile behind traffic dashboards and anomaly baselines. One
+    * scan, a pure calendar map (weekday 0=Monday — the encoding Spark
+    * `weekday` and DuckDB `isodow−1` agree on; `dayofweek` differs
+    * between engines), one partial-agg groupBy over ≤ 168 cells. */
+  def qDowHourHeatmap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(weekday(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy("dow", "hr")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dow_hour_heatmap" -> (qDowHourHeatmap _),
     "q_first_touch" -> (qFirstTouch _),
     "text_zipf_fit" -> (textZipfFit _),
     "q_histogram" -> (qHistogram _),
@@ -193,6 +208,12 @@ object Analytics3 {
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> length(tok) > 0)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_dow_hour_heatmap" ->
+      """SELECT (isodow(ts) - 1)::BIGINT AS dow, hour(ts)::BIGINT AS hr,
+        |  count(*) AS n_events,
+        |  round(1e-9 + sum(value), 2) AS sum_value,
+        |  round(1e-9 + avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_first_touch" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us

@@ -304,7 +304,27 @@ object TrainingPipeline {
       .orderBy("lang", "status")
   }
 
+  /** Packing-efficiency report — the loader-throughput metric behind
+    * the packer: per shard, how many 2048-token bins exist, how full
+    * they are (utilization = tokens / (bins × budget)), and docs per
+    * bin. Concat-and-cut keeps every bin except each shard's last one
+    * full, so utilization ≈ 1 − waste of the tail bins; a skewed or
+    * mis-sharded corpus shows up as dispersion across shards. Pure
+    * composition over the packer output — one extra #bins-row agg. */
+  def packEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048.0
+    packSequences(s, dir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_tokens")).as("sum_tokens"))
+      .withColumn("utilization",
+        round(col("sum_tokens") / (col("n_bins") * budget), 4))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tp_pack_efficiency" -> (packEfficiency _),
     "tp_release_diff" -> (releaseDiff _),
     "tp_shard_manifest" -> (shardManifest _),
     "tp_epoch_shuffle" -> (epochShuffle _),
@@ -318,6 +338,24 @@ object TrainingPipeline {
     "tp_token_budget" -> (tokenBudget _))
 
   val oracleSql: Map[String, String] = Map(
+    "tp_pack_efficiency" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${PortableHash.duckSql("doc_id::VARCHAR", 13)} % 8 AS shard,
+         |    len($toksSql)::BIGINT AS ntok
+         |  FROM documents),
+         |c AS (
+         |  SELECT shard, ntok,
+         |    sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t),
+         |bins AS (
+         |  SELECT shard::BIGINT AS shard, ((cum - ntok) // 2048)::BIGINT AS bin,
+         |    count(*) AS n_docs, sum(ntok)::BIGINT AS sum_tokens
+         |  FROM c GROUP BY 1, 2)
+         |SELECT shard, count(*) AS n_bins,
+         |  sum(n_docs)::BIGINT AS n_docs, sum(sum_tokens)::BIGINT AS sum_tokens,
+         |  round(1e-9 + sum(sum_tokens)::DOUBLE / (count(*) * 2048.0), 4) AS utilization
+         |FROM bins GROUP BY 1 ORDER BY 1""".stripMargin,
     "tp_release_diff" ->
       s"""WITH o AS (
          |  SELECT doc_id, lang, ${PortableHash.duckSql("text", 53)} AS h_old
