@@ -217,6 +217,36 @@ object VectorSearch {
       ORDER BY dist, vec_id LIMIT 10""")
   }
 
+  /** Filtered-search strategy statistics — the planning input for the
+    * pre-filter vs post-filter choice (vs_knn_filtered vs
+    * vs_knn_postfilter): per language, the candidate population size
+    * and how many of the UNFILTERED global top-50 fall in that
+    * language (the post-filter yield). Post-filter@50 suffices for a
+    * top-10 answer only when the yield reaches 10 — selective filters
+    * starve it and need the pre-filter join. One top-50 pass (bounded
+    * TakeOrderedAndProject) + one broadcast dim join + two tiny aggs. */
+  def filterSelectivity(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val top50 = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(50)
+    val pop = emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(docs), col("vec_id") === col("doc_id"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_vecs"))
+    val hits = top50.join(broadcast(docs), col("vec_id") === col("doc_id"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("top50_hits"))
+    pop.join(hits, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_vecs"),
+        coalesce(col("top50_hits"), lit(0L)).as("top50_hits"))
+      .withColumn("postfilter_ok", (col("top50_hits") >= 10).cast("long"))
+      .orderBy("lang")
+  }
+
   /** Embedding-space diagnostics per class label — the dataset-health
     * report run before training a classifier / probing retrieval
     * quality: per label, the centroid (element-wise mean, ROUNDED to
@@ -282,6 +312,7 @@ object VectorSearch {
     "vs_knn_batch" -> (knnBatch _),
     "vs_vector_ops" -> (vectorOps _),
     "vs_label_diagnostics" -> (labelDiagnostics _),
+    "vs_filter_selectivity" -> (filterSelectivity _),
     "vs_to_vector_roundtrip" -> (toVectorRoundtrip _),
     "vs_knn_int8" -> (knnInt8 _),
     "vs_knn_filtered" -> (knnFiltered _),
@@ -290,6 +321,25 @@ object VectorSearch {
     "vs_knn_sql" -> (knnSql _))
 
   val oracleSql: Map[String, String] = Map(
+    "vs_filter_selectivity" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |top50 AS (
+         |  SELECT vec_id, round(1e-9 + ${dCosine("embedding", "qv")}, 4) AS dist
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY dist, vec_id LIMIT 50),
+         |pop AS (
+         |  SELECT lang, count(*) AS n_vecs
+         |  FROM embeddings JOIN documents ON vec_id = doc_id
+         |  WHERE vec_id <> 0 GROUP BY 1),
+         |hits AS (
+         |  SELECT lang, count(*) AS top50_hits
+         |  FROM top50 JOIN documents ON vec_id = doc_id GROUP BY 1)
+         |SELECT pop.lang, pop.n_vecs,
+         |  coalesce(hits.top50_hits, 0) AS top50_hits,
+         |  (CASE WHEN coalesce(hits.top50_hits, 0) >= 10 THEN 1 ELSE 0 END)::BIGINT
+         |    AS postfilter_ok
+         |FROM pop LEFT JOIN hits USING (lang)
+         |ORDER BY pop.lang""".stripMargin,
     "vs_label_diagnostics" ->
       """WITH x AS (
         |  SELECT label, i, avg(embedding[i]::DOUBLE) AS m_raw
