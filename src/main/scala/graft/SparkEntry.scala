@@ -74,9 +74,13 @@ object SparkEntry {
     }
   }
 
-  /** Oracle SQL with table paths bound to `sfDir`. */
+  /** Oracle SQL with table paths bound to `sfDir`; __PQDIR__ binds to
+    * the PQ index-artifact dump for the same sfDir (the codes/codebooks
+    * parquet that `PqIndex.build` persists before the oracle runs). */
   def oracleSqlFor(sfDir: String): Map[String, String] =
-    groups.iterator.map(_._2).reduce(_ ++ _).map { case (k, v) => k -> pathify(sfDir, v) }
+    groups.iterator.map(_._2).reduce(_ ++ _).map { case (k, v) =>
+      k -> pathify(sfDir, v.replace("__PQDIR__", operators.PqIndex.dumpDir(sfDir)))
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -37,14 +37,28 @@ import graft.functions.FloatVecDistance
   *    ranks by `‖q−x‖² = 2−2cos` — i.e. cosine order, matching the
   *    exact operators' metric.
   *
-  * Rows-only (k-means is not SQL-reproducible); AnnSpec asserts
-  * shortlist recall vs the exact top-k and that the re-ranked result
-  * is deterministic.
+  * The k-means FIT stays spec-only (not SQL-reproducible), but the
+  * serving path IS oracle-checked: `build` persists the codes and
+  * codebooks as parquet artifacts (the real at-rest index layout),
+  * and the DuckDB oracle reads them back and independently reproduces
+  * the whole ADC topology — normalized query, 8×16 subspace distance
+  * table, packed-code unpack via shift/mask, top-50 shortlist, exact
+  * cosine re-rank. AnnSpec additionally asserts shortlist recall vs
+  * the exact top-k and build determinism.
   */
 object PqIndex {
   val NumSubspaces = 8
   val NumCodewords = 16
   val Seed = 7L
+
+  /** At-rest location of the persisted index artifacts (codes +
+    * codebooks) for a given corpus dir; the oracle SQL is bound to the
+    * same path via the __PQDIR__ placeholder in SparkEntry. */
+  def dumpDir(dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_scratch", s"pq_$key").toString
+  }
 
   /** codebooks(m)(k) = the k-th codeword of subspace m (dsub doubles). */
   type Codebooks = Array[Array[Array[Double]]]
@@ -58,22 +72,39 @@ object PqIndex {
         x => x.cast("double") / sqrt(aggregate(col("embedding"), lit(0.0d),
           (a, v) => a + v.cast("double") * v.cast("double")))).as("nvec"))
 
+  /** Fit the per-subspace codebooks on an already-normalized frame.
+    * NOT memoized — AnnSpec fits twice to assert that a fixed seed on
+    * fixed data yields bit-identical codebooks, the reproducibility
+    * property an incremental 100 TB index rebuild relies on. */
+  private[graft] def fitOn(norm: DataFrame, dim: Int): Codebooks = {
+    val m = NumSubspaces
+    val dsub = dim / m
+    (0 until m).toArray.map { mi =>
+      val sliced = norm.select(
+        array_to_vector(slice(col("nvec"), mi * dsub + 1, dsub)).as("features"))
+      new KMeans().setK(NumCodewords).setSeed(Seed + mi).setMaxIter(20)
+        .setFeaturesCol("features").setPredictionCol("cw")
+        .fit(sliced).clusterCenters.map(_.toArray)
+    }
+  }
+
+  /** Convenience: normalize + fit, from scratch every call. */
+  def fitCodebooks(s: SparkSession, dir: String): Codebooks = {
+    val norm = normalized(Tables.embeddings(s, dir)).cache()
+    val dim = norm.select(size(col("nvec"))).head().getInt(0)
+    val out = fitOn(norm, dim)
+    norm.unpersist()
+    out
+  }
+
   /** Fit per-subspace codebooks and encode the corpus. Returns the
     * codes table (vec_id, code int) and the codebooks. Memoized per
     * (session, dir): the PQ index is a persistent artifact. */
   def build(s: SparkSession, dir: String): (DataFrame, Codebooks) =
     built.getOrElseUpdate((System.identityHashCode(s), dir), {
-      val m = NumSubspaces
       val norm = normalized(Tables.embeddings(s, dir)).cache()
       val dim = norm.select(size(col("nvec"))).head().getInt(0)
-      val dsub = dim / m
-      val codebooks: Codebooks = (0 until m).toArray.map { mi =>
-        val sliced = norm.select(
-          array_to_vector(slice(col("nvec"), mi * dsub + 1, dsub)).as("features"))
-        new KMeans().setK(NumCodewords).setSeed(Seed + mi).setMaxIter(20)
-          .setFeaturesCol("features").setPredictionCol("cw")
-          .fit(sliced).clusterCenters.map(_.toArray)
-      }
+      val codebooks: Codebooks = fitOn(norm, dim)
       import s.implicits._
       val bc = s.sparkContext.broadcast(codebooks)
       val codes = norm.as[(Long, Seq[Double])].map { case (id, v) =>
@@ -98,8 +129,21 @@ object PqIndex {
         }
         (id, packed)
       }.toDF("vec_id", "code")
+      // persist the index artifacts: the codes table is the 4-byte
+      // at-rest layout (what a 100 TB deployment keeps resident), the
+      // codebooks are its 8×16×8-double dictionary. The returned codes
+      // frame reads the artifact back, so every consumer — and the
+      // DuckDB oracle — scans the same persisted bytes.
+      val dump = dumpDir(dir)
+      codes.coalesce(1).write.mode("overwrite").parquet(s"$dump/codes.parquet")
+      val cbRows = for {
+        (cb, mi) <- codebooks.zipWithIndex.toSeq
+        (cw, k) <- cb.zipWithIndex
+      } yield (mi, k, cw.toSeq)
+      cbRows.toDF("mi", "k", "cw")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dump/codebooks.parquet")
       norm.unpersist()
-      (codes, codebooks)
+      (s.read.parquet(s"$dump/codes.parquet"), codebooks)
     })
 
   /** ADC scan: approximate distance of every code to `query` via the
@@ -141,16 +185,52 @@ object PqIndex {
     val cand = adcScores(codes.filter(col("vec_id") =!= 0), codebooks, q)
       .orderBy(col("adist"), col("vec_id"))
       .limit(shortlist)
-    val qlit = array(q.map(d => lit(d.toFloat)).toIndexedSeq: _*).cast("array<float>")
+    // exact re-rank against the RAW query row — the identical
+    // formulation (and therefore identical rounded doubles) as
+    // vs_knn_cosine, which the oracle's dCosine fragment mirrors.
+    val qdf = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
     cand.join(Tables.embeddings(s, dir), "vec_id")
+      .crossJoin(broadcast(qdf))
       .select(col("vec_id"),
         graft.functions.SafeRound.round(
-          FloatVecDistance.cosine(col("embedding"), qlit), 4).as("dist"))
+          FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vs_knn_pq" -> ((s, dir) => knnPq(s, dir)))
-  val oracleSql: Map[String, String] = Map.empty
+
+  /** DuckDB oracle over the persisted index artifacts: reproduces the
+    * ADC serving path end-to-end from the SAME codes/codebooks parquet
+    * Spark scans (__PQDIR__ is bound to dumpDir(sfDir) by SparkEntry).
+    * The 1-ulp-scale arithmetic differences between the two engines'
+    * distance sums sit far below the ADC distance gaps, so shortlist
+    * membership and the rounded re-rank agree exactly. */
+  val oracleSql: Map[String, String] = Map(
+    "vs_knn_pq" ->
+      s"""WITH qn AS (
+         |  SELECT [x::DOUBLE / sqrt(list_sum([y::DOUBLE * y::DOUBLE for y in embedding]))
+         |          for x in embedding] AS nq
+         |  FROM embeddings WHERE vec_id = 0),
+         |cb AS (SELECT mi, k, cw FROM read_parquet('__PQDIR__/codebooks.parquet/*.parquet')),
+         |tab AS (
+         |  SELECT mi, k,
+         |    list_sum([(nq[mi * ${64 / NumSubspaces} + j] - cw[j])
+         |              * (nq[mi * ${64 / NumSubspaces} + j] - cw[j])
+         |              for j in generate_series(1, len(cw))]) AS d
+         |  FROM cb, qn),
+         |codes AS (
+         |  SELECT vec_id, code
+         |  FROM read_parquet('__PQDIR__/codes.parquet/*.parquet') WHERE vec_id <> 0),
+         |adist AS (
+         |  SELECT c.vec_id, sum(t.d) AS adist
+         |  FROM codes c JOIN tab t ON ((c.code >> (4 * t.mi)) & 15) = t.k
+         |  GROUP BY 1),
+         |short AS (SELECT vec_id FROM adist ORDER BY adist, vec_id LIMIT 50),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(1e-9 + ${VectorSearch.dCosine("e.embedding", "qv")}, 4) AS dist
+         |FROM embeddings e JOIN short USING (vec_id), q
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin)
 }

@@ -145,14 +145,23 @@ object VectorSearch {
   /** TO_VECTOR/FROM_VECTOR round-trip audit (reference line 144:
     * TO_VECTOR(et.embed_vector)): serialize every embedding to its
     * string form and parse it back; float32→string→float32 must be
-    * lossless. Rows-only (string formatting is engine-specific);
-    * exactness asserted here in-query and in CoreSpec. */
+    * lossless. The string format itself is engine-specific (shortest
+    * round-trip repr), so the ORACLE pins the invariant instead: the
+    * round trip must be the identity, at both vector and element
+    * granularity — any value mutated by serialize/parse makes the
+    * Spark-side exact counts fall short of the oracle's totals and
+    * fails the hash gate. */
   def toVectorRoundtrip(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         toVector(fromVector(col("embedding"))).as("rt"))
       .agg(count(lit(1)).as("n_vectors"),
-        sum(when(col("rt") === col("embedding"), 1L).otherwise(0L)).as("n_exact"))
+        sum(when(col("rt") === col("embedding"), 1L).otherwise(0L)).as("n_exact"),
+        sum(size(col("embedding")).cast("long")).as("n_values"),
+        sum(aggregate(
+          zip_with(col("rt"), col("embedding"),
+            (a, b) => when(a === b, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v)).as("n_values_exact"))
 
   /** INT8 scalar quantization + quantized knn (Oracle 26ai supports
     * INT8/BINARY vector storage; this is the INT8 path). Per-vector
@@ -321,6 +330,14 @@ object VectorSearch {
     "vs_knn_sql" -> (knnSql _))
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle pins the LOSSLESS invariant: serialize∘parse must be
+    // the identity, so every exact-count equals its total (string
+    // formatting itself is engine-specific and never crosses engines)
+    "vs_to_vector_roundtrip" ->
+      """SELECT count(*) AS n_vectors, count(*) AS n_exact,
+        |  sum(len(embedding))::BIGINT AS n_values,
+        |  sum(len(embedding))::BIGINT AS n_values_exact
+        |FROM embeddings""".stripMargin,
     "vs_filter_selectivity" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |top50 AS (

@@ -181,5 +181,27 @@ class AnnSpec extends AnyFunSuite {
   test("to_vector round-trip is lossless for every embedding") {
     val r = VectorSearch.toVectorRoundtrip(spark, sf).collect()(0)
     assert(r.getLong(0) > 0 && r.getLong(0) == r.getLong(1))
+    // element granularity too: every single float survives the trip
+    assert(r.getLong(2) > 0 && r.getLong(2) == r.getLong(3))
+  }
+
+  test("k-means index builds are bit-exact reproducible for a fixed seed") {
+    // the property an incremental 100 TB rebuild relies on: same seed +
+    // same data ⇒ the SAME index layout, so a resumed/partial rebuild
+    // assigns vectors to identical partitions. Fit twice, compare every
+    // centroid double bit-for-bit.
+    val emb = graft.Tables.embeddings(spark, sf)
+    val a = IvfIndex.fitModel(emb).clusterCenters.map(_.toArray)
+    val b = IvfIndex.fitModel(emb).clusterCenters.map(_.toArray)
+    assert(a.length == b.length)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "ivf centroids differ between same-seed builds")
+    val ca = graft.operators.PqIndex.fitCodebooks(spark, sf)
+    val cb = graft.operators.PqIndex.fitCodebooks(spark, sf)
+    assert(ca.length == cb.length)
+    assert(ca.zip(cb).forall { case (x, y) =>
+      x.length == y.length &&
+        x.zip(y).forall { case (u, v) => u.sameElements(v) }
+    }, "pq codebooks differ between same-seed builds")
   }
 }
