@@ -74,12 +74,15 @@ object SparkEntry {
     }
   }
 
-  /** Oracle SQL with table paths bound to `sfDir`; __PQDIR__ binds to
-    * the PQ index-artifact dump for the same sfDir (the codes/codebooks
-    * parquet that `PqIndex.build` persists before the oracle runs). */
+  /** Oracle SQL with table paths bound to `sfDir`; __PQDIR__ and
+    * __IVFDIR__ bind to the index-artifact dumps for the same sfDir
+    * (the codes/codebooks and assignment/centroid parquet that
+    * PqIndex.build / IvfIndex.build persist before the oracle runs). */
   def oracleSqlFor(sfDir: String): Map[String, String] =
     groups.iterator.map(_._2).reduce(_ ++ _).map { case (k, v) =>
-      k -> pathify(sfDir, v.replace("__PQDIR__", operators.PqIndex.dumpDir(sfDir)))
+      k -> pathify(sfDir, v
+        .replace("__PQDIR__", operators.PqIndex.dumpDir(sfDir))
+        .replace("__IVFDIR__", operators.IvfIndex.dumpDir(sfDir)))
     }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

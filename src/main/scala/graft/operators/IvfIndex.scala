@@ -34,6 +34,18 @@ object IvfIndex {
   val NumProbe = 4
   val Seed = 42L
 
+  /** At-rest location of the persisted index artifacts (assignments +
+    * centroids) for a corpus dir; the oracle SQL binds __IVFDIR__ to
+    * this path (see SparkEntry.oracleSqlFor). Only the k-means FIT is
+    * engine-specific — given these artifacts, probe ranking, partition
+    * pruning, serving, and accuracy calibration are all reproduced
+    * independently by the DuckDB oracle. */
+  def dumpDir(dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_scratch", s"ivf_$key").toString
+  }
+
   /** Fit centroids on `emb` (k-means||, cosine). The model is the
     * reusable "index definition": batch builds and streaming upserts
     * both assign with it. */
@@ -65,7 +77,21 @@ object IvfIndex {
       val emb = Tables.embeddings(s, dir)
       val model = fitModel(emb, k)
       val indexed = assign(model, emb).repartition(col("centroid_id"))
-      (indexed, model.clusterCenters.map(_.toArray))
+      val centroids = model.clusterCenters.map(_.toArray)
+      // persist the oracle-checkable artifacts for the default index:
+      // the (vec_id → centroid) assignment table and the centroid
+      // dictionary. Everything downstream of the fit is derived from
+      // these two tables in BOTH engines.
+      if (k == NumCentroids) {
+        import s.implicits._
+        indexed.select(col("vec_id"), col("centroid_id"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${dumpDir(dir)}/assign.parquet")
+        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cid", "cvec").coalesce(1).write.mode("overwrite")
+          .parquet(s"${dumpDir(dir)}/centroids.parquet")
+      }
+      (indexed, centroids)
     })
 
   private def cosineDist(a: Array[Double], b: Array[Double]): Double = {
@@ -103,8 +129,9 @@ object IvfIndex {
     s.read.parquet(path)
 
   /** vs_knn_ivf: approximate top-10 for the vec_id=0 query vector.
-    * Rows-only check (k-means assignment isn't SQL-reproducible);
-    * recall vs the exact vs_knn_cosine is asserted in IvfSpec. */
+    * Oracle-checked end-to-end from the persisted artifacts (probe
+    * ranking + pruning + scoring); recall vs the exact vs_knn_cosine
+    * is additionally asserted in AnnSpec. */
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val (index, centroids) = build(s, dir)
     val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
@@ -127,8 +154,8 @@ object IvfIndex {
     * qid for a 100 TB-sized query table. The distributed centroid
     * ranking is bit-identical to `search`'s driver-side ranking (same
     * left-to-right double accumulation, same (dist, id) tie-break).
-    * Rows-only (k-means); AnnSpec asserts the full-probe form equals
-    * brute force per query. */
+    * Oracle-checked from the persisted artifacts; AnnSpec asserts the
+    * full-probe form equals brute force per query. */
   def searchBatch(s: SparkSession, index: DataFrame,
       centroids: Array[Array[Double]],
       queriesDf: DataFrame, k: Int, nprobe: Int = NumProbe): DataFrame = {
@@ -213,9 +240,11 @@ object IvfIndex {
 
   /** vs_knn_ivf_acc: the vs_knn_ivf probe with nprobe chosen by
     * `TARGET ACCURACY 95` calibration instead of the fixed default.
-    * Rows-only (k-means); AnnSpec asserts the calibrated nprobe meets
-    * the target on the sample and that target=1.0 reproduces the
-    * exact result. */
+    * Oracle-checked: the DuckDB oracle re-derives the calibrated
+    * nprobe from the artifacts (ground truth, centroid ranks, recall
+    * cumsum) and must land on the same probe set. AnnSpec additionally
+    * asserts the calibrated nprobe meets the target on the sample and
+    * that target=1.0 reproduces the exact result. */
   def knnIvfAcc(s: SparkSession, dir: String): DataFrame = {
     val (index, centroids) = build(s, dir)
     val np = calibrateNprobe(s, index, centroids, dir, targetAccuracy = 0.95)
@@ -238,5 +267,93 @@ object IvfIndex {
     "vs_knn_ivf" -> (knnIvf _),
     "vs_knn_ivf_acc" -> (knnIvfAcc _),
     "vs_knn_ivf_batch" -> (knnIvfBatch _))
-  val oracleSql: Map[String, String] = Map.empty
+
+  /** Shared artifact CTEs: the assignment table and centroid
+    * dictionary persisted by `build` (bound via __IVFDIR__). */
+  private val artifactCtes =
+    """a AS (SELECT vec_id, centroid_id
+      |     FROM read_parquet('__IVFDIR__/assign.parquet/*.parquet')),
+      |c AS (SELECT cid, cvec
+      |     FROM read_parquet('__IVFDIR__/centroids.parquet/*.parquet'))""".stripMargin
+
+  /** DuckDB oracles over the persisted artifacts: given the k-means
+    * fit (the one engine-specific step), probe ranking, partition
+    * pruning, batch serving, and TARGET-ACCURACY calibration are all
+    * reproduced independently and hash-compared. */
+  val oracleSql: Map[String, String] = Map(
+    "vs_knn_ivf" ->
+      s"""WITH $artifactCtes,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cd AS (SELECT cid, ${VectorSearch.dCosine("cvec", "qv")} AS cdist FROM c, q),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY cdist, cid) AS r FROM cd)
+         |  WHERE r <= $NumProbe)
+         |SELECT e.vec_id, round(1e-9 + ${VectorSearch.dCosine("e.embedding", "qv")}, 4) AS dist
+         |FROM embeddings e JOIN a USING (vec_id)
+         |  JOIN probes ON a.centroid_id = probes.cid, q
+         |WHERE e.vec_id <> 0
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "vs_knn_ivf_batch" ->
+      s"""WITH $artifactCtes,
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |cd AS (SELECT qid, cid, ${VectorSearch.dCosine("cvec", "qv")} AS cdist FROM qs, c),
+         |pr AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS r FROM cd)
+         |  WHERE r <= $NumProbe),
+         |cand AS (
+         |  SELECT qs.qid, a.vec_id,
+         |    round(1e-9 + ${VectorSearch.dCosine("e.embedding", "qv")}, 4) AS dist
+         |  FROM qs JOIN pr USING (qid)
+         |    JOIN a ON a.centroid_id = pr.cid
+         |    JOIN embeddings e ON e.vec_id = a.vec_id
+         |  WHERE a.vec_id <> qs.qid)
+         |SELECT qid, vec_id, dist, rnk FROM (
+         |  SELECT qid, vec_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+         |  FROM cand)
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "vs_knn_ivf_acc" ->
+      s"""WITH $artifactCtes,
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |td AS (
+         |  SELECT qs.qid, e.vec_id, ${VectorSearch.dCosine("e.embedding", "qv")} AS dist
+         |  FROM qs, embeddings e WHERE e.vec_id <> qs.qid),
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS r FROM td)
+         |  WHERE r <= 10),
+         |cdq AS (SELECT qid, cid, ${VectorSearch.dCosine("cvec", "qv")} AS cdist FROM qs, c),
+         |cranks AS (
+         |  SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS crank
+         |  FROM cdq),
+         |matched AS (
+         |  SELECT cr.crank FROM truth t
+         |    JOIN a ON t.vec_id = a.vec_id
+         |    JOIN cranks cr ON cr.qid = t.qid AND cr.cid = a.centroid_id),
+         |ranks AS (SELECT unnest(generate_series(1, $NumCentroids)) AS n),
+         |hist AS (SELECT crank, count(*) AS cnt FROM matched GROUP BY 1),
+         |cum AS (
+         |  SELECT n, sum(coalesce(cnt, 0)) OVER (ORDER BY n) AS cum
+         |  FROM ranks LEFT JOIN hist ON n = crank),
+         |-- same double-division comparison as the Scala calibration,
+         |-- so boundary recalls resolve identically
+         |np AS (
+         |  SELECT coalesce(min(n), $NumCentroids) AS np FROM cum
+         |  WHERE cum::DOUBLE / ((SELECT count(*) FROM qs) * 10)::DOUBLE >= 0.95),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cd0 AS (SELECT cid, ${VectorSearch.dCosine("cvec", "qv")} AS cdist FROM c, q),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY cdist, cid) AS r FROM cd0)
+         |  WHERE r <= (SELECT np FROM np))
+         |SELECT e.vec_id, round(1e-9 + ${VectorSearch.dCosine("e.embedding", "qv")}, 4) AS dist
+         |FROM embeddings e JOIN a USING (vec_id)
+         |  JOIN probes ON a.centroid_id = probes.cid, q
+         |WHERE e.vec_id <> 0
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin)
 }

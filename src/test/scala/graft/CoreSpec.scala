@@ -214,9 +214,8 @@ class CoreSpec extends AnyFunSuite {
 
   test("every query has oracle sql or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val rowsOnly = Set("vs_knn_ivf",
-      "stream_index_upsert", "vs_mmr_rerank", "q_approx_sketches",
-      "vs_knn_ivf_batch", "vs_knn_ivf_acc")
+    val rowsOnly = Set(
+      "stream_index_upsert", "vs_mmr_rerank", "q_approx_sketches")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }
