@@ -82,7 +82,8 @@ object SparkEntry {
     groups.iterator.map(_._2).reduce(_ ++ _).map { case (k, v) =>
       k -> pathify(sfDir, v
         .replace("__PQDIR__", operators.PqIndex.dumpDir(sfDir))
-        .replace("__IVFDIR__", operators.IvfIndex.dumpDir(sfDir)))
+        .replace("__IVFDIR__", operators.IvfIndex.dumpDir(sfDir))
+        .replace("__IVFSDIR__", s"${streaming.IvfStream.scratchRoot(sfDir)}/dump"))
     }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -188,9 +188,11 @@ object HybridSearch {
     * selection then runs on the driver over that k-bounded set — the
     * standard RAG post-processing topology (candidate generation
     * distributes, the O(k²) rerank is trivially driver-side).
-    * Deterministic: rounded sims, id tie-breaks. Rows-only
-    * (sequential greedy argmax isn't SQL-expressible); CoreSpec
-    * asserts top-1 fidelity, size, and diversity vs the plain top-k. */
+    * Deterministic: rounded sims, id tie-breaks. Oracle-checked — the
+    * sequential greedy argmax is expressed as a DuckDB recursive CTE
+    * whose accumulated selection rides along as a list; CoreSpec
+    * additionally asserts top-1 fidelity, size, and diversity vs the
+    * plain top-k. */
   def mmrRerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lambda = 0.7
@@ -279,6 +281,40 @@ object HybridSearch {
        |    LEFT JOIN vec ON d.doc_id = vec.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // greedy MMR as a recursive CTE: the accumulated selection rides
+    // along as a list, each step's LATERAL argmax mirrors the Scala
+    // loop exactly — same rounded qsim candidates, same unrounded
+    // pairwise sims (1 − dist, the identical op sequence), same
+    // (1 − λ) double, same nudged 4-dp HALF_UP round, same
+    // (score desc, id) tie-break.
+    "vs_mmr_rerank" ->
+      s"""WITH RECURSIVE q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id,
+         |    round(1e-9 + 1 - (${VectorSearch.dCosine("embedding", "qv")}), 4) AS qsim,
+         |    embedding
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY qsim DESC, vec_id LIMIT 20),
+         |ps AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    1 - (${VectorSearch.dCosine("a.embedding", "b.embedding")}) AS sim
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |step(i, sel, rnk, vec_id, mmr_score) AS (
+         |  SELECT 0, CAST([] AS BIGINT[]), CAST(NULL AS BIGINT),
+         |    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+         |  UNION ALL
+         |  SELECT i + 1, list_append(sel, pick.vec_id), CAST(i + 1 AS BIGINT),
+         |    pick.vec_id, pick.m
+         |  FROM step, LATERAL (
+         |    SELECT c.vec_id,
+         |      round(1e-9 + 0.7 * c.qsim - (1 - 0.7) * coalesce(
+         |        (SELECT max(p.sim) FROM ps p
+         |         WHERE p.ida = c.vec_id AND list_contains(step.sel, p.idb)), 0.0), 4) AS m
+         |    FROM cand c WHERE NOT list_contains(step.sel, c.vec_id)
+         |    ORDER BY m DESC, c.vec_id LIMIT 1) pick
+         |  WHERE i < 5)
+         |SELECT rnk, vec_id, mmr_score FROM step WHERE rnk IS NOT NULL
+         |ORDER BY rnk""".stripMargin,
     "vs_hybrid_search" ->
       s"""WITH $scoredCtes,
          |bounds AS (

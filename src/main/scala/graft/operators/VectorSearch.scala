@@ -299,7 +299,7 @@ object VectorSearch {
     s"list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in generate_series(1, len($a))])"
   private[operators] def dNorm(a: String): String =
     s"sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE for i in generate_series(1, len($a))]))"
-  private[operators] def dCosine(a: String, b: String): String =
+  private[graft] def dCosine(a: String, b: String): String =
     s"1 - ${dDot(a, b)} / (${dNorm(a)} * ${dNorm(b)})"
   private def dL2(a: String, b: String): String =
     s"sqrt(list_sum([($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE) for i in generate_series(1, len($a))]))"

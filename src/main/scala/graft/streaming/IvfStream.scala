@@ -28,15 +28,36 @@ import graft.operators.IvfIndex
   */
 object IvfStream {
 
+  /** Fixed per-dir scratch root (index layout + stream checkpoint +
+    * oracle dump), wiped at the start of every run: a stale checkpoint
+    * would mark the odd half already-ingested and silently skip the
+    * append, and per-call temp dirs would leak disk across runs. */
+  def scratchRoot(dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_scratch", s"ivfstream_$key").toString
+  }
+
+  private def wipe(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
   /** Build the index from the even-vec_id half in batch, stream the
     * odd half in via foreachBatch appends, then probe the combined
-    * layout for the vec_id=0 query's top-10. Rows-only query (k-means
-    * assignment isn't SQL-expressible); StreamingSpec asserts the
-    * result is IDENTICAL to a pure batch build with the same model. */
+    * layout for the vec_id=0 query's top-10. The final layout's
+    * assignments and this model's centroids are dumped for the DuckDB
+    * oracle, which reproduces the probe independently (__IVFSDIR__);
+    * StreamingSpec additionally asserts the result is IDENTICAL to a
+    * pure batch build with the same model. */
   def indexUpsert(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val model = IvfIndex.fitModel(emb.filter(col("vec_id") % 2 === 0))
-    val root = Files.createTempDirectory("graft_ivf_stream").toString
+    val root = scratchRoot(dir)
+    wipe(root)
     val indexPath = s"$root/index"
 
     // initial build: assign + write the base half, partitioned by centroid
@@ -58,7 +79,19 @@ object IvfStream {
       .start()
     q.awaitTermination()
 
-    probe(s, dir, indexPath, model.clusterCenters.map(_.toArray))
+    // oracle artifacts: what the streamed AT-REST layout actually
+    // contains (read back), plus this build's centroid dictionary
+    val centroids = model.clusterCenters.map(_.toArray)
+    IvfIndex.readIndex(s, indexPath).select(col("vec_id"), col("centroid_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/dump/assign.parquet")
+    locally {
+      import s.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cid", "cvec").coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/dump/centroids.parquet")
+    }
+
+    probe(s, dir, indexPath, centroids)
   }
 
   /** Top-10 for the vec_id=0 query over an at-rest index layout. */
@@ -72,5 +105,25 @@ object IvfStream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_index_upsert" -> (indexUpsert _))
-  val oracleSql: Map[String, String] = Map.empty
+
+  /** Probe reproduction over the streamed layout's dumped assignments
+    * (same shape as IvfIndex's oracles — only the fit is
+    * engine-specific). */
+  val oracleSql: Map[String, String] = Map(
+    "stream_index_upsert" ->
+      s"""WITH a AS (SELECT vec_id, centroid_id
+         |     FROM read_parquet('__IVFSDIR__/assign.parquet/*.parquet')),
+         |c AS (SELECT cid, cvec
+         |     FROM read_parquet('__IVFSDIR__/centroids.parquet/*.parquet')),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cd AS (SELECT cid, ${graft.operators.VectorSearch.dCosine("cvec", "qv")} AS cdist FROM c, q),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY cdist, cid) AS r FROM cd)
+         |  WHERE r <= ${IvfIndex.NumProbe})
+         |SELECT e.vec_id, round(1e-9 + ${graft.operators.VectorSearch.dCosine("e.embedding", "qv")}, 4) AS dist
+         |FROM embeddings e JOIN a USING (vec_id)
+         |  JOIN probes ON a.centroid_id = probes.cid, q
+         |WHERE e.vec_id <> 0
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin)
 }

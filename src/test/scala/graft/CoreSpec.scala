@@ -214,8 +214,7 @@ class CoreSpec extends AnyFunSuite {
 
   test("every query has oracle sql or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val rowsOnly = Set(
-      "stream_index_upsert", "vs_mmr_rerank", "q_approx_sketches")
+    val rowsOnly = Set("q_approx_sketches")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }
