@@ -120,6 +120,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("zipf fit: no vocabulary-wide window; block cumsum is constant-keyed; rank moments from a range scan") {
+    val p = plan(Analytics3.textZipfFit(spark, sf))
+    // the only window runs over the distinct-frequency block table,
+    // declared via its non-foldable constant key (pmod survives the
+    // optimizer, pre-projected as _w0) — never an undeclared
+    // single-partition window
+    assert(p.contains("pmod(freq"), s"block cumsum must be constant-keyed\n$p")
+    assert(p.contains("hashpartitioning(_w0"), s"window exchange must key on the constant\n$p")
+    assert(!p.contains("SinglePartition\n   +- Window"), p)
+    // order-free rank moments come from the distributed range scan; the
+    // only Sort is the window's own pass over the √N-bounded block table
+    assert(p.contains("Range ("), p)
+    assert("\\(\\d+\\) Sort".r.findAllIn(p).size <= 1, s"only the block-table sort allowed\n$p")
+  }
+
   test("fingerprint is shuffle-free up to the final sort") {
     val p = plan(TextAnalysis.fingerprint(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"), p)
