@@ -478,8 +478,9 @@ object Analytics2 {
     def partials(df: DataFrame): DataFrame =
       df.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-    // state: aggregated once, persisted in its at-rest form
-    val statePath = java.nio.file.Files.createTempDirectory("graft_incr").toString + "/state"
+    // state: aggregated once, persisted in its at-rest form (fixed
+    // scratch path, overwritten per run — no temp-dir leak)
+    val statePath = graft.functions.Scratch.stable("incr", dir) + "/state"
     partials(Tables.events(s, dir).filter(col("ts") < cutoff))
       .write.mode("overwrite").parquet(statePath)
     val delta = partials(Tables.events(s, dir).filter(col("ts") >= cutoff))

@@ -40,11 +40,7 @@ object IvfIndex {
     * engine-specific — given these artifacts, probe ranking, partition
     * pruning, serving, and accuracy calibration are all reproduced
     * independently by the DuckDB oracle. */
-  def dumpDir(dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_scratch", s"ivf_$key").toString
-  }
+  def dumpDir(dir: String): String = graft.functions.Scratch.pathOf("ivf", dir)
 
   /** Fit centroids on `emb` (k-means||, cosine). The model is the
     * reusable "index definition": batch builds and streaming upserts

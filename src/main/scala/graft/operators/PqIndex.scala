@@ -54,11 +54,7 @@ object PqIndex {
   /** At-rest location of the persisted index artifacts (codes +
     * codebooks) for a given corpus dir; the oracle SQL is bound to the
     * same path via the __PQDIR__ placeholder in SparkEntry. */
-  def dumpDir(dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_scratch", s"pq_$key").toString
-  }
+  def dumpDir(dir: String): String = graft.functions.Scratch.pathOf("pq", dir)
 
   /** codebooks(m)(k) = the k-th codeword of subspace m (dsub doubles). */
   type Codebooks = Array[Array[Array[Double]]]

@@ -24,13 +24,8 @@ object Interchange {
   /** Fixed scratch path keyed by (query, input dir): repeated
     * verify/bench runs overwrite the same directory instead of leaking
     * a fresh temp dir per invocation (mode("overwrite") clears it). */
-  private[graft] def scratch(name: String, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val p = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_scratch", s"${name}_$key")
-    java.nio.file.Files.createDirectories(p)
-    p.resolve("docs").toString
-  }
+  private[graft] def scratch(name: String, dir: String): String =
+    graft.functions.Scratch.stable(name, dir) + "/docs"
 
   /** documents → JSONL → back, summarized per lang with a content
     * checksum. The write is the sink under test, the schema-given

@@ -50,7 +50,9 @@ object DedupStream {
   }
 
   def candidates(s: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_dedup_stream").toString
+    // wiped fixed path: stale state/checkpoint would replay as
+    // already-seen bands; per-call temp dirs would leak disk
+    val root = graft.functions.Scratch.fresh("dedupstream", dir)
     val statePath = s"$root/state"
     val outPath = s"$root/cands"
     val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema

@@ -32,19 +32,8 @@ object IvfStream {
     * oracle dump), wiped at the start of every run: a stale checkpoint
     * would mark the odd half already-ingested and silently skip the
     * append, and per-call temp dirs would leak disk across runs. */
-  def scratchRoot(dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_scratch", s"ivfstream_$key").toString
-  }
-
-  private def wipe(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
-  }
+  def scratchRoot(dir: String): String =
+    graft.functions.Scratch.pathOf("ivfstream", dir)
 
   /** Build the index from the even-vec_id half in batch, stream the
     * odd half in via foreachBatch appends, then probe the combined
@@ -56,8 +45,7 @@ object IvfStream {
   def indexUpsert(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val model = IvfIndex.fitModel(emb.filter(col("vec_id") % 2 === 0))
-    val root = scratchRoot(dir)
-    wipe(root)
+    val root = graft.functions.Scratch.fresh("ivfstream", dir)
     val indexPath = s"$root/index"
 
     // initial build: assign + write the base half, partitioned by centroid

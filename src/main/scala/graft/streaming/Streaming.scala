@@ -276,7 +276,9 @@ object Streaming {
     * filtered appends; no state, no shuffle. The drained per-route
     * report equals the batch quality aggregation, which is the oracle. */
   def qualityRoute(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_qroute").toString
+    // wiped fixed path: the route sinks are append-mode, so stale
+    // content would double-count; per-call temp dirs would leak disk
+    val root = graft.functions.Scratch.fresh("qroute", dir)
     val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
     val stream = s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "documents.parquet")
