@@ -40,9 +40,16 @@ def norm_cell(v):
 
 
 def norm_rows(cols, rows):
+    """Columns sorted by name; rows in INPUT order (Verify coalesces
+    every dump to one file, so parquet read-back order is the query's
+    declared order; the oracle SQL carries its own ORDER BY)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+    return sorted(cols), out
+
+
+def row_sorted(rows):
+    return sorted(rows, key=lambda t: tuple(str(x) for x in t))
 
 
 def main():
@@ -79,15 +86,22 @@ def main():
         elif len(grows) != len(wrows):
             print(f"FAIL {name}: rows spark={len(grows)} oracle={len(wrows)}")
             n_fail += 1
-        elif grows != wrows:
-            bad = next(i for i, (a, b) in enumerate(zip(grows, wrows)) if a != b)
-            print(f"FAIL {name}: first diff at sorted row {bad}:")
-            print(f"  spark : {grows[bad]}")
-            print(f"  oracle: {wrows[bad]}")
-            n_fail += 1
-        else:
+        elif grows == wrows:
             print(f"PASS {name} ({len(grows)} rows)")
             n_pass += 1
+        elif row_sorted(grows) == row_sorted(wrows):
+            # same multiset, different order: the query's ORDER BY is
+            # not total (tie rows). Passes the driver's sorted hash but
+            # is flagged so non-total orderings stay visible.
+            print(f"PASS {name} ({len(grows)} rows; order differs — non-total ORDER BY)")
+            n_pass += 1
+        else:
+            srows, wsrows = row_sorted(grows), row_sorted(wrows)
+            bad = next(i for i, (a, b) in enumerate(zip(srows, wsrows)) if a != b)
+            print(f"FAIL {name}: first diff at sorted row {bad}:")
+            print(f"  spark : {srows[bad]}")
+            print(f"  oracle: {wsrows[bad]}")
+            n_fail += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
 
