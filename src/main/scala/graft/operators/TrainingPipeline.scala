@@ -114,11 +114,19 @@ object TrainingPipeline {
     // shuffle-bound and this is a ~6× byte reduction. The oracle
     // hashes identically, so the (cosmically rare) collision flips
     // BOTH engines the same way and the hash check is unaffected.
-    val shingled = withSplit
-      .select(col("doc_id"), col("bucket"),
-        explode(shingles(tokens(col("text")), 8)).as("shs"))
-      .select(col("doc_id"), col("bucket"),
-        PortableHash.phash64(col("shs"), 41).as("sh"))
+    // materialized once (DfCache, same convention as Dedup's shingle
+    // table): the train and test branches both read it, so the corpus
+    // is tokenized + md5-hashed once, not once per branch. At 100 TB
+    // this table is the decontamination pipeline's persistent artifact
+    // (written to disk and reused across eval releases), not a
+    // per-query recompute.
+    val shingled = graft.functions.DfCache.getOrElseUpdate(s, s"contamShingles:$dir") {
+      withSplit
+        .select(col("doc_id"), col("bucket"),
+          explode(shingles(tokens(col("text")), 8)).as("shs"))
+        .select(col("doc_id"), col("bucket"),
+          PortableHash.phash64(col("shs"), 41).as("sh"))
+    }
     // distinct only where semantics need it: the TEST side counts
     // distinct shingles per doc (5% of rows — cheap); the train side
     // feeds a left-semi join, which is duplicate-insensitive, so
