@@ -436,11 +436,15 @@ object VectorSearch {
          |     sqrt(list_sum([qq[i] * qq[i] for i in generate_series(1, len(qq))])::DOUBLE)), 4) AS qdist
          |FROM q8, qv WHERE vec_id <> 0
          |ORDER BY qdist, vec_id LIMIT 10""".stripMargin,
+    // the trailing `+ 0.0` normalizes IEEE negative zero: DuckDB's
+    // round yields -0.0 for a tiny negative input (seen in unit_x0 at
+    // sf0.1), while Spark's BigDecimal-based round never does — the
+    // values compare ==, but the bit-exact gate must see +0.0 on both
     "vs_vector_ops" ->
       s"""SELECT vec_id, len(embedding) AS dims,
-         |  round(1e-9 + ${dNorm("embedding")}, 4) AS norm,
-         |  round(1e-9 + embedding[1]::DOUBLE / ${dNorm("embedding")}, 4) AS unit_x0,
-         |  round(1e-9 + list_min(embedding)::DOUBLE, 4) AS min_val,
-         |  round(1e-9 + list_max(embedding)::DOUBLE, 4) AS max_val
+         |  round(1e-9 + ${dNorm("embedding")}, 4) + 0.0 AS norm,
+         |  round(1e-9 + embedding[1]::DOUBLE / ${dNorm("embedding")}, 4) + 0.0 AS unit_x0,
+         |  round(1e-9 + list_min(embedding)::DOUBLE, 4) + 0.0 AS min_val,
+         |  round(1e-9 + list_max(embedding)::DOUBLE, 4) + 0.0 AS max_val
          |FROM embeddings ORDER BY vec_id""".stripMargin)
 }
