@@ -31,8 +31,12 @@ object Scratch {
     val p = java.nio.file.Paths.get(pathOf(name, dir))
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+      // Files.walk holds directory handles until closed — collect the
+      // paths under Using so a long-lived JVM doesn't leak one per run.
+      val paths = scala.util.Using.resource(java.nio.file.Files.walk(p)) {
+        _.iterator().asScala.toSeq
+      }
+      paths.reverse.foreach(java.nio.file.Files.delete)
     }
     java.nio.file.Files.createDirectories(p)
     p.toString

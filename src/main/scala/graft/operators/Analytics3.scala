@@ -184,7 +184,9 @@ object Analytics3 {
     val blocks = graft.functions.DfCache.getOrElseUpdate(s, s"zipfBlocks:$dir") {
       freq.groupBy("freq").agg(count(lit(1)).as("cnt"))
     }
-    val v = blocks.agg(sum(col("cnt"))).first().getLong(0)
+    // coalesce: sum over an empty block table is null — an empty
+    // corpus must yield v=0 (one all-null stats row), not an NPE here.
+    val v = blocks.agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
     val lnGamma = udf((n: Long) =>
       org.apache.commons.math3.special.Gamma.logGamma(n + 1.0))
     // off(f) = tokens with strictly higher freq = the block's rank

@@ -80,8 +80,15 @@ object IvfIndex {
       // these two tables in BOTH engines.
       if (k == NumCentroids) {
         import s.implicits._
+        // O(corpus) table: shard the write across an EXPLICIT partition
+        // count — without one, AQE coalesces a small shuffle to a
+        // single task, and at the target scale one task would write
+        // the whole corpus. shuffle.partitions is already sized from
+        // input bytes (GraftSession), so the count scales with data.
+        val shards = s.conf.get("spark.sql.shuffle.partitions").toInt
         indexed.select(col("vec_id"), col("centroid_id"))
-          .coalesce(1).write.mode("overwrite")
+          .repartition(shards, col("vec_id"))
+          .write.mode("overwrite")
           .parquet(s"${dumpDir(dir)}/assign.parquet")
         centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
           .toDF("cid", "cvec").coalesce(1).write.mode("overwrite")

@@ -131,7 +131,14 @@ object PqIndex {
       // frame reads the artifact back, so every consumer — and the
       // DuckDB oracle — scans the same persisted bytes.
       val dump = dumpDir(dir)
-      codes.coalesce(1).write.mode("overwrite").parquet(s"$dump/codes.parquet")
+      // the codes table is O(corpus): write it sharded across an
+      // EXPLICIT partition count (an expression-only repartition lets
+      // AQE coalesce a small shuffle back to one task — the exact
+      // failure mode this guards against). The shuffle moves 12-byte
+      // rows — noise next to the encode.
+      val shards = s.conf.get("spark.sql.shuffle.partitions").toInt
+      codes.repartition(shards, col("vec_id"))
+        .write.mode("overwrite").parquet(s"$dump/codes.parquet")
       val cbRows = for {
         (cb, mi) <- codebooks.zipWithIndex.toSeq
         (cw, k) <- cb.zipWithIndex
@@ -213,8 +220,8 @@ object PqIndex {
          |cb AS (SELECT mi, k, cw FROM read_parquet('__PQDIR__/codebooks.parquet/*.parquet')),
          |tab AS (
          |  SELECT mi, k,
-         |    list_sum([(nq[mi * ${64 / NumSubspaces} + j] - cw[j])
-         |              * (nq[mi * ${64 / NumSubspaces} + j] - cw[j])
+         |    list_sum([(nq[mi * (len(nq) // ${NumSubspaces}) + j] - cw[j])
+         |              * (nq[mi * (len(nq) // ${NumSubspaces}) + j] - cw[j])
          |              for j in generate_series(1, len(cw))]) AS d
          |  FROM cb, qn),
          |codes AS (

@@ -152,7 +152,10 @@ object TrainingPipeline {
     // windows are correct here, keyed by a non-foldable constant
     // (pmod survives the optimizer; a *0 key would fold away) so
     // WindowExec's No-Partition warning is reserved for real mistakes.
-    val one = pmod(col("total_tokens"), lit(1))
+    // Key on n_docs (a count, never null): sum(ntok) is null for an
+    // all-null-text cell, and a null key would split that row into its
+    // own partition, duplicating rank 1.
+    val one = pmod(col("n_docs"), lit(1))
     val all = Window.partitionBy(one)
     val bySize = Window.partitionBy(one)
       .orderBy(col("total_tokens").desc, col("lang"), col("source"))

@@ -70,8 +70,13 @@ object IvfStream {
     // oracle artifacts: what the streamed AT-REST layout actually
     // contains (read back), plus this build's centroid dictionary
     val centroids = model.clusterCenters.map(_.toArray)
+    // O(corpus) dump: shard by vec_id hash with an EXPLICIT partition
+    // count — an expression-only repartition lets AQE coalesce a small
+    // shuffle back to a single write task, exactly what this avoids.
+    val shards = s.conf.get("spark.sql.shuffle.partitions").toInt
     IvfIndex.readIndex(s, indexPath).select(col("vec_id"), col("centroid_id"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/dump/assign.parquet")
+      .repartition(shards, col("vec_id"))
+      .write.mode("overwrite").parquet(s"$root/dump/assign.parquet")
     locally {
       import s.implicits._
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq

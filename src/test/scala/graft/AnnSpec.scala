@@ -168,6 +168,27 @@ class AnnSpec extends AnyFunSuite {
     assert(pq.map(_.getLong(0)).toSeq == again)
   }
 
+  test("O(corpus) index artifacts are written sharded, never single-task") {
+    // the at-rest codes/assignment tables grow with the corpus; a
+    // coalesce(1) here means one task writes terabytes at the target
+    // scale. Pin that the dumps shard across >1 part file (shuffle
+    // partitions = 4 in this suite), and that the read-back still
+    // covers every vector.
+    graft.operators.PqIndex.build(spark, sf)
+    graft.operators.IvfIndex.build(spark, sf)
+    def parts(p: String): Seq[java.io.File] = {
+      val fs = Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+      fs.toSeq.filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    }
+    val codeParts = parts(s"${graft.operators.PqIndex.dumpDir(sf)}/codes.parquet")
+    val assignParts = parts(s"${graft.operators.IvfIndex.dumpDir(sf)}/assign.parquet")
+    assert(codeParts.size > 1, s"pq codes dump must be sharded, got ${codeParts.size} file(s)")
+    assert(assignParts.size > 1, s"ivf assignment dump must be sharded, got ${assignParts.size} file(s)")
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(spark.read.parquet(s"${graft.operators.PqIndex.dumpDir(sf)}/codes.parquet").count() == n)
+    assert(spark.read.parquet(s"${graft.operators.IvfIndex.dumpDir(sf)}/assign.parquet").count() == n)
+  }
+
   test("model registry load/list/drop surface") {
     ModelRegistry.catalog.foreach(m => ModelRegistry.load(m, force = true))
     assert(ModelRegistry.list().contains("ALL_MINILM_L12_V2"))
