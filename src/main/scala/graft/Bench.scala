@@ -34,6 +34,25 @@ object Bench {
     // untimed warmup: JIT + codegen + parquet footer caches, so the
     // first timed query doesn't absorb JVM startup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // previous round's per-query times (if a bench_full.json from the
+    // last run survives): a correlated-slow host stretch inflates BOTH
+    // base draws so the >2×-disagreement trigger misses it, but the
+    // previous round's recorded min is an independent witness.
+    val prev: Map[String, Double] = {
+      val p = Paths.get(outFile)
+      if (!Files.exists(p)) Map.empty
+      else try {
+        val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        // file format is ours: a flat `"name":1.234` map under "queries"
+        val qsec = """"queries":\{([^}]*)\}""".r
+        val pair = """"([^"]+)":(-?[0-9.]+)""".r
+        qsec.findFirstMatchIn(txt).map(_.group(1)) match {
+          case Some(body) =>
+            pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          case None => Map.empty[String, Double]
+        }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }
     // min of two timed runs per query: the host is a shared box and a
     // single run can absorb an order-of-magnitude noise spike.
     // optional comma-separated filter for focused profiling runs
@@ -49,12 +68,18 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // the shared host's noise band is >2× (occasionally 10×): when
-      // the two base samples disagree by >2×, escalate to min-of-5 so
+      // the two base samples disagree by >2×, OR the min exceeds 2×
+      // the previous round's recorded time for this query (correlated-
+      // slow draws inflate both base samples together — r4 shipped
+      // four 4-7× ghost regressions that way), escalate to min-of-5 so
       // a ghost regression needs five consecutive bad draws to
       // survive. All samples land in bench_full.json.
       val base = Vector(timed(), timed())
+      val regressedVsPrev =
+        prev.get(name).exists(p => p > 0 && base.min > 2 * p)
       val samples =
-        if (!failed && base.max > 2 * base.min) base ++ Vector(timed(), timed(), timed())
+        if (!failed && (base.max > 2 * base.min || regressedVsPrev))
+          base ++ Vector(timed(), timed(), timed())
         else base
       // a failed query reports its elapsed-to-failure time NEGATED so a
       // broken query can't masquerade as a fast one

@@ -225,15 +225,27 @@ object Analytics2 {
   /** Approximate sketches — the 100 TB substitutes for exact distinct
     * and percentile: HLL++ approx_count_distinct and the GK-sketch
     * approx_percentile next to their exact counterparts. Sketch
-    * internals are engine-specific, so this is rows-only; AnalyticsSpec
-    * bounds the approximation error against the exact values. */
+    * VALUES are engine-specific (DuckDB's HLL/quantile sketches can't
+    * bit-match Spark's), but the error CONTRACT is checkable: emit the
+    * exact values plus within-10% flags comparing Spark's sketch
+    * against Spark's own exact computation; the DuckDB oracle
+    * recomputes the exact side and asserts every flag is 1. A sketch
+    * drifting past its documented bound now fails the hash gate
+    * instead of hiding behind a rows-only check. */
   def qApproxSketches(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        round(expr("percentile(value, 0.9)"), 4).as("exact_p90"),
-        round(expr("approx_percentile(value, 0.9, 1000)"), 4).as("approx_p90"))
+        expr("percentile(value, 0.9)").as("p90_raw"),
+        expr("approx_percentile(value, 0.9, 1000)").as("approx_p90"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= lit(0.10) * col("exact_users")).cast("long").as("users_ok"),
+        round(col("p90_raw"), 4).as("exact_p90"),
+        (abs(col("approx_p90") - col("p90_raw"))
+          <= lit(0.10) * greatest(abs(col("p90_raw")), lit(1e-9)))
+          .cast("long").as("p90_ok"))
       .orderBy("event_type")
 
   /** Weekly cohort retention: of the users active in week w, how many
@@ -521,6 +533,16 @@ object Analytics2 {
     "q_yoy_growth" -> (qYoyGrowth _))
 
   val oracleSql: Map[String, String] = Map(
+    // sketch values are engine-specific, but the CONTRACT is not: the
+    // oracle recomputes the exact side and asserts both within-10%
+    // flags are 1 — a Spark sketch past its bound hash-mismatches.
+    "q_approx_sketches" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  CAST(1 AS BIGINT) AS users_ok,
+        |  round(1e-9 + quantile_cont(value, 0.9), 4) AS exact_p90,
+        |  CAST(1 AS BIGINT) AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_incremental_agg" ->
       """SELECT event_type, count(*) AS n,
         |  round(1e-9 + sum(value), 2) AS sum_value,

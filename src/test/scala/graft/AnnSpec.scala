@@ -189,6 +189,68 @@ class AnnSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"${graft.operators.IvfIndex.dumpDir(sf)}/assign.parquet").count() == n)
   }
 
+  test("oracle artifacts are tamper-evident: corrupting one persisted row changes the answer") {
+    // the PQ/IVF oracles trust the dumped artifacts: both engines
+    // derive their answers from the same persisted bytes. This
+    // negative control pins that property — corrupt ONE row in a copy
+    // of each dump, re-derive the answer from the copy through the
+    // same serving path, and assert it changes. If a refactor ever
+    // made the serving path compute from fit state instead of the
+    // persisted layout (letting build() and the oracle silently read
+    // different artifacts), this test fails.
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tamper").toString
+
+    // PQ: flip all 32 bits of the clean ADC-top-1's code
+    val (codes, codebooks) = graft.operators.PqIndex.build(spark, sf)
+    val q = {
+      val raw = graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    def shortlist(c: org.apache.spark.sql.DataFrame): Seq[Long] =
+      graft.operators.PqIndex.adcScores(c.filter(col("vec_id") =!= 0), codebooks, q)
+        .orderBy(col("adist"), col("vec_id")).limit(50)
+        .collect().map(_.getLong(0)).toSeq
+    val clean = shortlist(codes)
+    spark.read.parquet(s"${graft.operators.PqIndex.dumpDir(sf)}/codes.parquet")
+      .withColumn("code",
+        when(col("vec_id") === clean.head, col("code").bitwiseXOR(lit(-1)))
+          .otherwise(col("code")))
+      .write.mode("overwrite").parquet(s"$tmp/codes.parquet")
+    val tampered = shortlist(spark.read.parquet(s"$tmp/codes.parquet"))
+    assert(tampered != clean, "a corrupted PQ code must change the ADC shortlist")
+
+    // IVF: reassign the clean top-1 to the FARTHEST centroid in a copy
+    // of the assignment dump; probing the copy must miss it.
+    val (_, centroids) = graft.operators.IvfIndex.build(spark, sf)
+    val query = graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val cleanIvf = graft.operators.IvfIndex.knnIvf(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val assign = spark.read.parquet(s"${graft.operators.IvfIndex.dumpDir(sf)}/assign.parquet")
+    // the centroid FARTHEST from the query by cosine is never in the
+    // probe set (the probe set is the nprobe NEAREST), so reassigning
+    // the top hit there guarantees the probe misses it
+    val qd = query.map(_.toDouble)
+    val far = centroids.zipWithIndex.maxBy { case (c, _) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < c.length) { dot += c(i) * qd(i); na += c(i) * c(i); nb += qd(i) * qd(i); i += 1 }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }._2
+    val corruptIdx = assign
+      .withColumn("centroid_id",
+        when(col("vec_id") === cleanIvf.head, lit(far)).otherwise(col("centroid_id")))
+      .join(graft.Tables.embeddings(spark, sf), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val tamperedIvf = graft.operators.IvfIndex.search(spark,
+      corruptIdx.filter(col("vec_id") =!= 0), centroids, query, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tamperedIvf != cleanIvf,
+      "a corrupted IVF assignment must change the probed answer")
+  }
+
   test("model registry load/list/drop surface") {
     ModelRegistry.catalog.foreach(m => ModelRegistry.load(m, force = true))
     assert(ModelRegistry.list().contains("ALL_MINILM_L12_V2"))

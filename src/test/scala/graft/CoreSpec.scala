@@ -128,15 +128,13 @@ class CoreSpec extends AnyFunSuite {
   }
 
   test("approx sketches stay within error bounds of exact") {
+    // the within-10% contract is now IN the result surface: the
+    // oracle asserts every flag is 1, and this spec mirrors that.
     val rows = graft.operators.Analytics2.qApproxSketches(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (exact, approx) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
-      assert(math.abs(approx - exact) / exact <= 0.10,
-        s"HLL drift: exact=$exact approx=$approx")
-      val (p90, ap90) = (r.getDouble(3), r.getDouble(4))
-      assert(math.abs(ap90 - p90) / math.max(math.abs(p90), 1e-9) <= 0.10,
-        s"percentile drift: exact=$p90 approx=$ap90")
+      assert(r.getLong(2) == 1L, s"HLL drift past 10%: ${r}")
+      assert(r.getLong(4) == 1L, s"percentile drift past 10%: ${r}")
     }
   }
 
@@ -213,8 +211,11 @@ class CoreSpec extends AnyFunSuite {
   }
 
   test("every query has oracle sql or is documented rows-only") {
+    // as of r5 the rows-only list is EMPTY: even the sketch query has
+    // a hash-checked contract surface. Keep the set explicit so any
+    // future rows-only query must be declared here.
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val rowsOnly = Set("q_approx_sketches")
+    val rowsOnly = Set.empty[String]
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }
