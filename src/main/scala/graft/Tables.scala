@@ -28,6 +28,26 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
+  /** The stream-side reader for COMPUTE-DENSE consumers (quadratic
+    * pair scoring, per-row hashing/winnowing, quantization): when the
+    * table is small enough that byte-based file splitting cannot fill
+    * the cluster (≈ one task per 128 MiB, and a single-row-group file
+    * is one task no matter what), round-robin it to cluster
+    * parallelism first. The shuffle moves only `bytes` (< cores ×
+    * 128 MiB by the guard) but unlocks every core for the expensive
+    * stage after it; above the threshold — any real-scale corpus —
+    * this is exactly `table()`, no extra exchange. Found at sf1: the
+    * brute-force knn scored 200M pairs inside the ONE scan task of a
+    * 5 MB embeddings file while 31 cores idled (bench_sf1, r5).
+    */
+  def spread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = table(spark, sfDir, name)
+    val par = spark.sparkContext.defaultParallelism
+    val bytes = GraftSession.dirBytes(s"$sfDir/$name.parquet")
+    if (bytes < par.toLong * GraftSession.TargetPartitionBytes) df.repartition(par)
+    else df
+  }
+
   /** events.parquet carries nanosecond timestamps; Spark's TimestampType
     * is microseconds. Normalize `ts` to a microsecond TimestampType
     * column regardless of how this Spark build surfaces parquet NANOS

@@ -59,7 +59,10 @@ object EmbeddingLsh {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val pl = planes(dim)
-    val sketches = emb.as[(Long, Array[Float])]
+    // sketching is the compute-dense stage (NumBits dot products per
+    // vector): spread it past the file's byte-split parallelism
+    val sketches = Tables.spread(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) => (id, sketch(v, pl)) })
       .toDF("vec_id", "sk")
     val bands = sketches.select(col("vec_id"), col("sk"),
@@ -99,7 +102,9 @@ object EmbeddingLsh {
     val query = emb.filter(col("vec_id") === 0)
       .select("embedding").first().getSeq[Float](0).toArray
     val qsk = sketch(query, pl)
-    val sketches = emb.filter(col("vec_id") =!= 0).as[(Long, Array[Float])]
+    val sketches = Tables.spread(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") =!= 0).as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) => (id, v, sketch(v, pl)) })
       .toDF("vec_id", "embedding", "sk")
     val sharesBand = (0 until NumBands)
@@ -125,7 +130,8 @@ object EmbeddingLsh {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val pl = planes(dim)
-    val sketches = emb.as[(Long, Array[Float])]
+    val sketches = Tables.spread(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) => (id, v, sketch(v, pl)) })
       .toDF("vec_id", "embedding", "sk")
     def banded(df: DataFrame, idc: String, skc: String) =
@@ -168,7 +174,8 @@ object EmbeddingLsh {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val qs = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val exact = emb.crossJoin(broadcast(qs))
+    val exact = Tables.spread(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))

@@ -69,7 +69,9 @@ object ModelRegistry {
     * in the session (materialized once via DfCache). */
   private def tokenStream(s: SparkSession, dir: String): DataFrame =
     graft.functions.DfCache.getOrElseUpdate(s, s"modelTokens:$dir") {
-      Tables.documents(s, dir)
+      // per-token md5 hashing downstream is compute-dense: spread past
+      // the file's byte-split parallelism (no-op at real corpus sizes)
+      Tables.spread(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
     }

@@ -179,7 +179,7 @@ object Multimodal {
     * LSH/IVF-blocked layouts like every other serving op. */
   def pairMining(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    val anchors = Tables.embeddings(s, dir)
+    val anchors = Tables.spread(s, dir, "embeddings")
       .join(src, col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("embedding"), col("source"))
     val nbr = broadcast(Tables.embeddings(s, dir)

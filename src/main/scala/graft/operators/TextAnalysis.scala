@@ -105,10 +105,12 @@ object TextAnalysis {
     * consecutive shingle hashes, count the distinct selected hashes. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     // Sliding-window mins computed as per-doc ARRAY ops (hash array →
-    // windowed array_min → array_distinct): zero shuffles, no
-    // explode+sort of the shingle stream — each doc is bounded local
-    // work, the shape that stays embarrassingly parallel at 100 TB.
-    Tables.documents(s, dir)
+    // windowed array_min → array_distinct): no shuffle of the shingle
+    // stream — each doc is bounded local work, the shape that stays
+    // embarrassingly parallel at 100 TB. The md5-bound hashing is
+    // compute-dense, so the input is spread past byte-split
+    // parallelism first (no-op at real corpus sizes).
+    Tables.spread(s, dir, "documents")
       .select(col("doc_id"),
         transform(shingles(tokens(col("text")), 4),
           x => PortableHash.phash(x, 4242)).as("hs"))
@@ -132,7 +134,7 @@ object TextAnalysis {
     * side joins back by token (broadcast at any realistic vocabulary);
     * totals are scalar broadcasts. */
   def collocations(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.spread(s, dir, "documents")
       .select(col("doc_id"),
         filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0).as("toks"))
     val bi = toks.filter(size(col("toks")) >= 2)

@@ -29,13 +29,19 @@ import graft.functions.FloatVecDistance
   */
 object VectorSearch {
 
+  /** Corpus stream side for distance scoring — spread to cluster
+    * parallelism when the file's byte splits can't (see Tables.spread);
+    * the single-row query fetch keeps the plain scan. */
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "embeddings")
+
   /** Top-k rows by a distance column vs the query vector vec_id=0. */
   private def knn(s: SparkSession, dir: String,
       dist: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
       k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    emb.filter(col("vec_id") =!= 0)
+    corpus(s, dir).filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(dist(col("embedding"), col("qv")), 4).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
@@ -55,7 +61,7 @@ object VectorSearch {
   def rangeSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    emb.filter(col("vec_id") =!= 0)
+    corpus(s, dir).filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))
       .filter(col("dist") <= 0.8)
@@ -66,7 +72,7 @@ object VectorSearch {
     * form of online knn serving — the part of the reference workload
     * that fits Spark). Broadcast nested-loop with per-key top-k. */
   def knnBatch(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
     val nbr = broadcast(
       Tables.embeddings(s, dir).select(col("vec_id").as("nid"), col("embedding").as("nvec")))
     // Bounded top-k aggregate instead of a window rank: each map
@@ -97,7 +103,7 @@ object VectorSearch {
     val docs = Tables.documents(s, dir)
       .filter(col("lang") === "fr").select(col("doc_id"))
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    emb.filter(col("vec_id") =!= 0)
+    corpus(s, dir).filter(col("vec_id") =!= 0)
       .join(broadcast(docs), col("vec_id") === col("doc_id"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
@@ -117,7 +123,7 @@ object VectorSearch {
     val docs = Tables.documents(s, dir)
       .filter(col("lang") === "fr").select(col("doc_id"))
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    emb.filter(col("vec_id") =!= 0)
+    corpus(s, dir).filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))
@@ -172,7 +178,7 @@ object VectorSearch {
     * SIMD-friendlier. Top-k by the *quantized* cosine, with exact
     * distance reported alongside for error visibility. */
   def knnInt8(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = corpus(s, dir)
     def scaleOf(c: Column): Column = lit(127.0) / greatest(array_max(transform(c, x => abs(x.cast("double")))), lit(1e-30))
     def quant(c: Column, sc: Column): Column =
       transform(c, x => greatest(lit(-127L), least(lit(127L), round(x.cast("double") * sc, 0).cast("long"))))
@@ -199,7 +205,7 @@ object VectorSearch {
     * the oracle's first 6 by (rounded dist, nid); dropping the self
     * match (≤1 row) leaves the exact top-5. */
   def knnJoin(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
     val nbr = Tables.embeddings(s, dir)
       .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("nid"))
@@ -238,7 +244,7 @@ object VectorSearch {
     val emb = Tables.embeddings(s, dir)
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val top50 = emb.filter(col("vec_id") =!= 0)
+    val top50 = corpus(s, dir).filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))

@@ -9,6 +9,14 @@ join keeps its selectivity; text/embedding payloads are repeated
 verbatim, which models web-scale duplication (dedup operators see
 10-member duplicate families — bounded, so pair joins stay linear).
 
+Implemented with pyarrow, NOT an SQL engine: the output must carry
+the driver's parquet schemas BIT-FOR-BIT. The first (DuckDB) version
+of this tool silently rewrote events.ts timestamp[ns] -> [us], which
+flips Spark's read type from LongType (nanosAsLong) to TimestampType
+and broke every events-time query at sf1 while all of them pass at
+driver SFs. Key shifts are pure int64 adds, so pyarrow preserves
+everything else by construction.
+
 Usage: python3 tools/scale_testdata.py [src] [dst] [copies]
 Default: /root/testdata/sf0.1 -> /tmp/graft_sf1 x10 (~sf1).
 
@@ -18,7 +26,9 @@ for the one-off scaling measurement recorded in SURVEY §6.
 import sys
 from pathlib import Path
 
-import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 # table -> columns to shift, grouped by key family (same family =
 # same stride, so cross-table joins stay consistent)
@@ -42,13 +52,12 @@ def main():
     dst = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1")
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     dst.mkdir(parents=True, exist_ok=True)
-    con = duckdb.connect()
 
     strides = {}
     for fam, cols in FAMILIES.items():
         t, c = cols[0]
-        strides[fam] = con.sql(
-            f"SELECT max({c}) + 1 FROM '{src}/{t}.parquet'").fetchone()[0]
+        col = pq.read_table(f"{src}/{t}.parquet", columns=[c])[c]
+        strides[fam] = pc.max(col).as_py() + 1
 
     shift = {}  # (table, col) -> stride
     for fam, cols in FAMILIES.items():
@@ -56,20 +65,33 @@ def main():
             shift[(t, c)] = strides[fam]
 
     for t in DIMS:
-        con.sql(f"COPY (SELECT * FROM '{src}/{t}.parquet') "
-                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tbl, dst / f"{t}.parquet")
         print(f"{t}: copied 1x")
 
     for t in SCALED:
-        cols = [r[0] for r in
-                con.sql(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
-        sel = ", ".join(
-            f"{c} + i * {shift[(t, c)]} AS {c}" if (t, c) in shift else c
-            for c in cols)
-        con.sql(f"COPY (SELECT {sel} FROM '{src}/{t}.parquet', "
-                f"range({copies}) r(i)) "
-                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
-        n = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        # one row group per shifted copy, streamed through a single
+        # writer so the 10x lineitem never sits in memory twice
+        writer = pq.ParquetWriter(dst / f"{t}.parquet", tbl.schema)
+        n = 0
+        for i in range(copies):
+            cols = []
+            for name in tbl.schema.names:
+                col = tbl[name]
+                if (t, name) in shift and i > 0:
+                    col = pc.add(col, i * shift[(t, name)])
+                    # pc.add may widen/nullify-change nothing for int64,
+                    # but cast back defensively to pin the field type
+                    col = col.cast(tbl.schema.field(name).type)
+                cols.append(col)
+            out = pa.Table.from_arrays(cols, schema=tbl.schema)
+            writer.write_table(out)
+            n += out.num_rows
+        writer.close()
+        got = pq.read_schema(dst / f"{t}.parquet")
+        assert got.equals(pq.read_schema(f"{src}/{t}.parquet"),
+                          check_metadata=False), f"schema drift in {t}"
         print(f"{t}: {n} rows ({copies}x)")
 
 
