@@ -44,9 +44,15 @@ object Tables {
     val df = table(spark, sfDir, name)
     val par = spark.sparkContext.defaultParallelism
     val bytes = GraftSession.dirBytes(s"$sfDir/$name.parquet")
-    if (bytes < par.toLong * GraftSession.TargetPartitionBytes) df.repartition(par)
+    if (underSplitParallelism(bytes, par)) df.repartition(par)
     else df
   }
+
+  /** Guard for [[spread]]: true iff byte-based file splitting (one
+    * task per ~[[GraftSession.TargetPartitionBytes]]) cannot produce
+    * `par` scan tasks on its own. */
+  def underSplitParallelism(bytes: Long, par: Int): Boolean =
+    bytes < par.toLong * GraftSession.TargetPartitionBytes
 
   /** events.parquet carries nanosecond timestamps; Spark's TimestampType
     * is microseconds. Normalize `ts` to a microsecond TimestampType

@@ -258,4 +258,17 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("spread fills cluster parallelism below the byte-split threshold, no-ops above") {
+    val par = spark.sparkContext.defaultParallelism
+    // a test-SF file is far below cores × 128 MiB: every core gets a slice
+    val df = Tables.spread(spark, sf, "embeddings")
+    assert(df.rdd.getNumPartitions == par, s"expected $par partitions")
+    // redistribution only — no rows created or lost
+    assert(df.count() == Tables.embeddings(spark, sf).count())
+    // the guard itself: at/above cores × target bytes the plain scan
+    // already fills the cluster, so spread must not add an exchange
+    assert(Tables.underSplitParallelism(1L, par))
+    assert(!Tables.underSplitParallelism(par.toLong * GraftSession.TargetPartitionBytes, par))
+  }
 }
