@@ -54,6 +54,18 @@ object Tables {
   def underSplitParallelism(bytes: Long, par: Int): Boolean =
     bytes < par.toLong * GraftSession.TargetPartitionBytes
 
+  /** Stream-side analogue of [[spread]] for an already-materialized
+    * frame (a `foreachBatch` micro-batch): a file-source micro-batch
+    * arrives with one partition per FILE, so a compute-dense per-batch
+    * stage (MinHash banding, centroid assignment, quality scoring)
+    * runs on one core no matter how many are idle. Redistribute to
+    * cluster parallelism when the batch has fewer partitions; no-op —
+    * no exchange — when it already fills the cluster. */
+  def spreadFrame(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** events.parquet carries nanosecond timestamps; Spark's TimestampType
     * is microseconds. Normalize `ts` to a microsecond TimestampType
     * column regardless of how this Spark build surfaces parquet NANOS

@@ -62,7 +62,11 @@ object DedupStream {
       .parquet(dir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bands = Dedup.bandsOf(Dedup.minhashSigOf(Dedup.shingleSetOf(batch)))
+        // a file-source micro-batch is ONE partition per file; the
+        // shingle+MinHash stage is the compute-dense step, so spread
+        // it to cluster parallelism first (no-op on a full batch)
+        val bands = Dedup.bandsOf(Dedup.minhashSigOf(Dedup.shingleSetOf(
+            graft.Tables.spreadFrame(batch))))
           .persist()
         val priorExists = new java.io.File(statePath).exists()
         val withinBatch = bands.as("a")

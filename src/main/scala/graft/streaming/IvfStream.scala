@@ -59,7 +59,10 @@ object IvfStream {
       .filter(col("vec_id") % 2 === 1)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        IvfIndex.assign(model, batch)
+        // centroid assignment is nlist × dim dots per row, and a
+        // file-source micro-batch arrives one-partition-per-file:
+        // spread it to cluster parallelism (no-op on a full batch)
+        IvfIndex.assign(model, graft.Tables.spreadFrame(batch))
           .write.mode("append").partitionBy("centroid_id").parquet(indexPath)
       }
       .option("checkpointLocation", s"$root/ckpt")

@@ -286,7 +286,10 @@ object Streaming {
       .parquet(dir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val scored = graft.operators.TextAnalysis.qualityOf(batch)
+        // quality scoring is per-row regex/ratio work and a file-source
+        // micro-batch is one partition per file: spread first (no-op
+        // when the batch already fills the cluster)
+        val scored = graft.operators.TextAnalysis.qualityOf(graft.Tables.spreadFrame(batch))
           .select(col("doc_id"), col("quality")).persist()
         scored.filter(col("quality") >= QualityThreshold)
           .write.mode("append").parquet(s"$root/accept")
