@@ -16,6 +16,20 @@ import java.nio.charset.StandardCharsets
   * plus a `queries_file` pointer to the complete per-query dump.
   */
 object Bench {
+  /** Parse the flat `"name":sec` map under `"queries"` out of a
+    * bench_full.json / bench_prev.json dump (our own format — see
+    * main below). Exposed for BenchSpec. */
+  private[graft] def parsePrevQueries(txt: String): Map[String, Double] =
+    try {
+      val qsec = """"queries":\{([^}]*)\}""".r
+      val pair = """"([^"]+)":(-?[0-9.]+)""".r
+      qsec.findFirstMatchIn(txt).map(_.group(1)) match {
+        case Some(body) =>
+          pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        case None => Map.empty[String, Double]
+      }
+    } catch { case _: Throwable => Map.empty[String, Double] }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -38,20 +52,17 @@ object Bench {
     // last run survives): a correlated-slow host stretch inflates BOTH
     // base draws so the >2×-disagreement trigger misses it, but the
     // previous round's recorded min is an independent witness.
+    // bench_full.json is gitignored (it churns every run), so a fresh
+    // checkout would silently lose the witness — bench_prev.json is the
+    // TRACKED end-of-round snapshot (cp bench_full.json bench_prev.json
+    // before committing) and serves as the fallback.
     val prev: Map[String, Double] = {
-      val p = Paths.get(outFile)
-      if (!Files.exists(p)) Map.empty
-      else try {
-        val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        // file format is ours: a flat `"name":1.234` map under "queries"
-        val qsec = """"queries":\{([^}]*)\}""".r
-        val pair = """"([^"]+)":(-?[0-9.]+)""".r
-        qsec.findFirstMatchIn(txt).map(_.group(1)) match {
-          case Some(body) =>
-            pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
-          case None => Map.empty[String, Double]
-        }
-      } catch { case _: Throwable => Map.empty[String, Double] }
+      val p = Seq(Paths.get(outFile), Paths.get("/root/repo/bench_prev.json"))
+        .find(Files.exists(_)).orNull
+      if (p == null) Map.empty
+      else try parsePrevQueries(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      catch { case _: Throwable => Map.empty[String, Double] }
     }
     // min of two timed runs per query: the host is a shared box and a
     // single run can absorb an order-of-magnitude noise spike.

@@ -218,4 +218,18 @@ class CoreSpec extends AnyFunSuite {
     val rowsOnly = Set.empty[String]
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
+
+  test("bench previous-round parser reads the dump format") {
+    // the correlated-noise escalation depends on this parse: a format
+    // drift that silently yields an empty map would disable the
+    // round-over-round witness without any visible failure.
+    val dump = """{"metric":"total","value":94.321,"unit":"sec",""" +
+      """"queries":{"q1_pricing_summary":1.234,"vs_knn_pq":-0.500},""" +
+      """"samples":{"q1_pricing_summary":[1.234,2.0]},"failed":["vs_knn_pq"]}"""
+    val prev = Bench.parsePrevQueries(dump)
+    assert(prev("q1_pricing_summary") == 1.234)
+    assert(prev("vs_knn_pq") == -0.5) // failed queries stay negated
+    assert(Bench.parsePrevQueries("not json at all").isEmpty)
+    assert(Bench.parsePrevQueries("""{"value":1.0}""").isEmpty)
+  }
 }
