@@ -43,6 +43,26 @@ object Streaming {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Run a stateful streaming query with its state-partition count
+    * sized from the STREAM's input bytes (same bytes/128MiB rule the
+    * batch session uses, floored at 8) instead of the batch
+    * shuffle-partition count. Stateful operators inherit the
+    * shuffle-partition conf at query start and every state partition
+    * pays a fixed per-micro-batch checkpoint cost (delta + commit file
+    * per store per batch), so over-partitioning a small stream buys
+    * pure overhead — while a 100 TB stream still gets bytes-driven
+    * fan-out. The conf is restored before returning (batch queries on
+    * the session keep their own sizing). */
+  private[streaming] def withStatePartitions[T](s: SparkSession, inputPath: String)(body: => T): T = {
+    val k = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(k)
+    val bytes = graft.GraftSession.dirBytes(inputPath)
+    val sized = math.max(8L, bytes / graft.GraftSession.TargetPartitionBytes)
+      .min(graft.GraftSession.MaxShufflePartitions.toLong).toString
+    s.conf.set(k, sized)
+    try body finally s.conf.set(k, old)
+  }
+
   /** events.parquet as a bounded file stream with normalized ts. */
   def eventStream(s: SparkSession, dir: String): DataFrame = {
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -60,7 +80,8 @@ object Streaming {
     * Analytics.qEventsHourly. Complete mode so the bounded drain
     * emits every window (the unbounded deployment would use the
     * watermarked append variant below). */
-  def hourly(s: SparkSession, dir: String): DataFrame = {
+  def hourly(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, s"$dir/events.parquet") {
     val agg = eventStream(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -83,7 +104,8 @@ object Streaming {
     * late data beyond 30 min is dropped, state is evicted per
     * watermark advance. Only windows sealed by the final watermark
     * are emitted, so this is spec-tested rather than oracle-diffed. */
-  def hourlyWatermarked(s: SparkSession, dir: String): DataFrame = {
+  def hourlyWatermarked(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, s"$dir/events.parquet") {
     val agg = eventStream(s, dir)
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -109,7 +131,8 @@ object Streaming {
     * it (per-trigger foreachBatch rank over updated windows — window
     * functions are not available inside a streaming plan by design).
     * Ties break on user_id in both engines. */
-  def trending(s: SparkSession, dir: String): DataFrame = {
+  def trending(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, s"$dir/events.parquet") {
     import org.apache.spark.sql.expressions.Window
     val agg = eventStream(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("user_id"))
@@ -135,7 +158,8 @@ object Streaming {
     * broadcast dimension (customer segment), then aggregated — the
     * standard streaming-enrichment topology (dim broadcast per
     * micro-batch, no stream-side shuffle before the agg). */
-  def enrich(s: SparkSession, dir: String): DataFrame = {
+  def enrich(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, s"$dir/events.parquet") {
     val cust = s.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = eventStream(s, dir)
@@ -157,7 +181,8 @@ object Streaming {
     * object per user, closed on a 30-minute event-time gap. Emits
     * (user_id, n_events, sum_value) per closed session plus the final
     * open one at drain end. */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, s"$dir/events.parquet") {
     import s.implicits._
     val evs: Dataset[Ev] = eventStream(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -206,7 +231,8 @@ object Streaming {
     * watermark passes its +30 min horizon). Inner joins emit complete
     * results under a bounded drain, so this is held to the batch
     * range-join oracle. */
-  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+  def intervalJoin(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, s"$dir/events.parquet") {
     val p = eventStream(s, dir).filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
       .withWatermark("pts", "30 minutes")
@@ -236,7 +262,8 @@ object Streaming {
     * counts must equal the single-copy batch truth. This is the
     * standard `dropDuplicates`-with-watermark topology — state holds
     * only ids younger than the watermark horizon. */
-  def dedupStream(s: SparkSession, dir: String): DataFrame = {
+  def dedupStream(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, s"$dir/events.parquet") {
     val once = eventStream(s, dir)
     val twice = once.union(eventStream(s, dir))
       .withWatermark("ts", "30 minutes")
