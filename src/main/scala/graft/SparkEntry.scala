@@ -29,6 +29,7 @@ object SparkEntry {
       (graft.streaming.DedupStream.queries, graft.streaming.DedupStream.oracleSql),
       (IvfIndex.queries, IvfIndex.oracleSql),
       (PqIndex.queries, PqIndex.oracleSql),
+      (IvfPq.queries, IvfPq.oracleSql),
       (HybridSearch.queries, HybridSearch.oracleSql),
       (Pipeline.queries, Pipeline.oracleSql),
       (TrainingPipeline.queries, TrainingPipeline.oracleSql),

@@ -97,7 +97,7 @@ object IvfIndex {
       (indexed, centroids)
     })
 
-  private def cosineDist(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def cosineDist(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
     1.0 - dot / (math.sqrt(na) * math.sqrt(nb))

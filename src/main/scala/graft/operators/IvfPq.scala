@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** IVF-PQ — the composed billion-vector serving layout: IVF centroid
+  * pruning picks which partitions to scan, then the ADC scan runs over
+  * the 4-byte PQ codes of JUST those partitions, and only the
+  * shortlist touches full vectors for the exact re-rank. This is the
+  * layout the reference's vector index family reaches with quantized
+  * neighbor-partition indexes (ORGANIZATION NEIGHBOR PARTITIONS with
+  * TARGET ACCURACY, /root/reference/scripts/01_pdf_to_vector.sql:93-97)
+  * and the standard FAISS IVFPQ composition (Jégou et al., TPAMI
+  * 2011).
+  *
+  * Why the composition matters at 100 TB: IVF pruning alone still
+  * scans full vectors (nprobe/nlist of 100 TB is still TBs per query);
+  * PQ alone still scans every code (1.6 TB of codes fleet-wide). The
+  * composition scans nprobe/nlist of the CODES — tens of GB — and
+  * reads O(shortlist) full vectors. Both index artifacts already
+  * exist (IvfIndex.build persists assignments + centroids,
+  * PqIndex.build persists codes + codebooks); serving composes them
+  * with one semi-join, so there is no third index to build or keep
+  * consistent.
+  *
+  * Plan shape: centroid ranking is driver-side over the broadcast-
+  * sized centroid dictionary (identical ranking to IvfIndex.search);
+  * the probe filter is a partition-pruning isin on the assignment
+  * table; the candidate set semi-joins the codes table on vec_id
+  * (both sides hash-partitioned 8-byte keys); ADC stays one codegen
+  * expression; both top-ks are bounded sorts. The DuckDB oracle
+  * reproduces the whole path — probe ranking, pruning, ADC, re-rank —
+  * from the same persisted artifacts both engines read.
+  */
+object IvfPq {
+
+  /** vs_knn_ivf_pq: approximate top-`k` for the vec_id=0 query via
+    * IVF-pruned ADC over PQ codes with exact re-rank. */
+  def knnIvfPq(s: SparkSession, dir: String, k: Int = 10, shortlist: Int = 50,
+      nprobe: Int = IvfIndex.NumProbe): DataFrame = {
+    val (index, centroids) = IvfIndex.build(s, dir)
+    val (codes, codebooks) = PqIndex.build(s, dir)
+    val qRaw = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    // probe ranking: same driver-side (dist, cid) order as
+    // IvfIndex.search — the centroid table is dictionary-sized.
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i, IvfIndex.cosineDist(c, qRaw)) }
+      .sortBy { case (i, d) => (d, i) }
+      .take(nprobe).map(_._1)
+    val cand = index
+      .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
+      .select(col("vec_id"))
+    // ADC is rank-equivalent to cosine only on the normalized query
+    // (PQ encodes normalized vectors).
+    val qNorm = {
+      val n = math.sqrt(qRaw.map(x => x * x).sum)
+      qRaw.map(_ / n)
+    }
+    val short = PqIndex.adcScores(
+        codes.filter(col("vec_id") =!= 0).join(cand, Seq("vec_id"), "left_semi"),
+        codebooks, qNorm)
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(shortlist)
+    // exact re-rank against the RAW query row — identical formulation
+    // (and rounded doubles) to vs_knn_cosine / vs_knn_pq.
+    val qdf = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    short.join(Tables.embeddings(s, dir), "vec_id")
+      .crossJoin(broadcast(qdf))
+      .select(col("vec_id"),
+        graft.functions.SafeRound.round(
+          graft.functions.FloatVecDistance.cosine(col("embedding"), col("qv")), 4)
+          .as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vs_knn_ivf_pq" -> ((s, dir) => knnIvfPq(s, dir)))
+
+  /** DuckDB oracle over BOTH persisted artifact sets: the IVF
+    * assignment/centroid tables (__IVFDIR__) drive probe ranking and
+    * pruning, the PQ codes/codebooks (__PQDIR__) drive the ADC
+    * shortlist, and the re-rank reads the raw embeddings — the entire
+    * serving path reproduced independently. The engines' ADC sums
+    * differ at 1-ulp scale (different summation order), far below the
+    * ADC distance gaps — the same already-validated argument as
+    * vs_knn_pq's oracle. */
+  val oracleSql: Map[String, String] = Map(
+    "vs_knn_ivf_pq" ->
+      s"""WITH a AS (SELECT vec_id, centroid_id
+         |     FROM read_parquet('__IVFDIR__/assign.parquet/*.parquet')),
+         |c AS (SELECT cid, cvec
+         |     FROM read_parquet('__IVFDIR__/centroids.parquet/*.parquet')),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cd AS (SELECT cid, ${VectorSearch.dCosine("cvec", "qv")} AS cdist FROM c, q),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY cdist, cid) AS r FROM cd)
+         |  WHERE r <= ${IvfIndex.NumProbe}),
+         |qn AS (
+         |  SELECT [x::DOUBLE / sqrt(list_sum([y::DOUBLE * y::DOUBLE for y in embedding]))
+         |          for x in embedding] AS nq
+         |  FROM embeddings WHERE vec_id = 0),
+         |cb AS (SELECT mi, k, cw FROM read_parquet('__PQDIR__/codebooks.parquet/*.parquet')),
+         |tab AS (
+         |  SELECT mi, k,
+         |    list_sum([(nq[mi * (len(nq) // ${PqIndex.NumSubspaces}) + j] - cw[j])
+         |              * (nq[mi * (len(nq) // ${PqIndex.NumSubspaces}) + j] - cw[j])
+         |              for j in generate_series(1, len(cw))]) AS d
+         |  FROM cb, qn),
+         |codes AS (
+         |  SELECT vec_id, code
+         |  FROM read_parquet('__PQDIR__/codes.parquet/*.parquet')
+         |  WHERE vec_id <> 0),
+         |cand AS (
+         |  SELECT codes.vec_id, codes.code
+         |  FROM codes JOIN a USING (vec_id) JOIN probes ON a.centroid_id = probes.cid),
+         |adist AS (
+         |  SELECT cn.vec_id, sum(t.d) AS adist
+         |  FROM cand cn JOIN tab t ON ((cn.code >> (4 * t.mi)) & 15) = t.k
+         |  GROUP BY 1),
+         |short AS (SELECT vec_id FROM adist ORDER BY adist, vec_id LIMIT 50)
+         |SELECT e.vec_id, round(1e-9 + ${VectorSearch.dCosine("e.embedding", "qv")}, 4) AS dist
+         |FROM embeddings e JOIN short USING (vec_id), q
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin)
+}

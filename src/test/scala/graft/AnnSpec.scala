@@ -251,6 +251,39 @@ class AnnSpec extends AnyFunSuite {
       "a corrupted IVF assignment must change the probed answer")
   }
 
+  test("ivf-pq composed serving: sound pruning, recall floor, exact re-rank dists") {
+    import org.apache.spark.sql.functions.col
+    val r = graft.operators.IvfPq.knnIvfPq(spark, sf).collect()
+    assert(r.length == 10)
+    val dists = r.map(_.getDouble(1)).toSeq
+    assert(dists == dists.sorted, "distances must ascend")
+    // soundness: every hit comes from a probed IVF partition — the ADC
+    // scan never touched an unpruned code
+    val (index, centroids) = IvfIndex.build(spark, sf)
+    val qRaw = graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i, IvfIndex.cosineDist(c, qRaw)) }
+      .sortBy { case (i, d) => (d, i) }.take(IvfIndex.NumProbe).map(_._1).toSet
+    val assigned = index.filter(col("vec_id").isin(r.map(_.getLong(0)).toIndexedSeq: _*))
+      .select("vec_id", "centroid_id").collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    r.foreach(row => assert(probes.contains(assigned(row.getLong(0))),
+      s"hit ${row.getLong(0)} came from unprobed partition ${assigned(row.getLong(0))}"))
+    // re-rank computes TRUE cosine: returned dists match the exact operator's
+    val exactAll = VectorSearch.knnCosineK(spark, sf, k = 499).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.foreach(row => assert(exactAll(row.getLong(0)) == row.getDouble(1),
+      s"re-rank distance drifted for ${row.getLong(0)}"))
+    // composed pruning stacks two approximations; pin a usable floor
+    val exact = VectorSearch.knnCosine(spark, sf).collect().map(_.getLong(0)).toSet
+    val got = r.map(_.getLong(0)).toSet
+    assert((got & exact).size >= 3, s"ivf-pq recall collapsed: ${(got & exact).size}/10")
+    // determinism across runs
+    val again = graft.operators.IvfPq.knnIvfPq(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(r.map(_.getLong(0)).toSeq == again)
+  }
+
   test("model registry load/list/drop surface") {
     ModelRegistry.catalog.foreach(m => ModelRegistry.load(m, force = true))
     assert(ModelRegistry.list().contains("ALL_MINILM_L12_V2"))
