@@ -110,11 +110,22 @@ object ModelRegistry {
     frames.reduce(_ unionAll _).orderBy("model")
   }
 
-  /** Deterministic 5% evaluation sample: hash-selected query docs. */
+  /** Deterministic evaluation sample: hash-selected query docs.
+    * The modulus is derived from the corpus size —
+    * greatest(AbSampleMod, n_docs / AbSampleCap) — so the sample is
+    * 1/20 of a small corpus but CAPPED near AbSampleCap docs on a
+    * large one: the sample × corpus scoring in `neighbors` stays
+    * O(cap × N), not O(N² / 20), at 100 TB. Both engines compute the
+    * same modulus from the same count, so the query remains
+    * hash-checkable (identical at every driver SF, where the floor
+    * of 20 still binds). */
   val AbSampleMod = 20
+  val AbSampleCap = 500
   val AbSampleSeed = 17
-  private def inSample(c: org.apache.spark.sql.Column) =
-    PortableHash.phash(c, AbSampleSeed) % AbSampleMod === 0
+  private[graft] def abSampleMod(nDocs: Long): Int =
+    math.max(AbSampleMod.toLong, nDocs / AbSampleCap).toInt
+  private def inSample(c: org.apache.spark.sql.Column, mod: Int) =
+    PortableHash.phash(c, AbSampleSeed) % mod === 0
 
   /** Top-k neighbors OF THE SAMPLED QUERY DOCS under model `m`.
     * Weights are densified per doc and scored sample × corpus through
@@ -122,7 +133,8 @@ object ModelRegistry {
     * float32 and their dot exact in double, so the value is
     * bit-identical to the sparse integer formulation (the oracle),
     * without the bucket join's pair-row blowup on dense-ish vectors. */
-  private def neighbors(s: SparkSession, dir: String, m: EmbedModel, k: Int): DataFrame = {
+  private def neighbors(s: SparkSession, dir: String, m: EmbedModel, k: Int,
+      sampleMod: Int): DataFrame = {
     val w = embed(s, dir, m)
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
@@ -139,7 +151,7 @@ object ModelRegistry {
           transform(sequence(lit(0), lit(m.dim - 1)),
             i => coalesce(element_at(col("wm"), i), lit(0f))).as("dv"))
     }
-    val q = dense.filter(inSample(col("doc_id")))
+    val q = dense.filter(inSample(col("doc_id"), sampleMod))
       .select(col("doc_id").as("da"), col("dv").as("qv"))
     val dots = dense.select(col("doc_id").as("db"), col("dv"))
       .crossJoin(broadcast(q))
@@ -165,12 +177,15 @@ object ModelRegistry {
     * retrieval-overlap histogram that gates an embedding-model swap. */
   def abOverlap(s: SparkSession, dir: String): DataFrame = {
     val Seq(a, b) = catalog.sortBy(_.name).take(2)
-    val na = neighbors(s, dir, a, 3)
-    val nb = neighbors(s, dir, b, 3)
+    // one count action sizes the eval sample; an eval job reads the
+    // corpus many times over, so the extra metadata-only pass is noise
+    val mod = abSampleMod(Tables.documents(s, dir).count())
+    val na = neighbors(s, dir, a, 3, mod)
+    val nb = neighbors(s, dir, b, 3, mod)
     val matches = na.join(nb, Seq("doc_id", "nbr"))
       .groupBy("doc_id").agg(count(lit(1)).as("m"))
     Tables.documents(s, dir).select(col("doc_id"))
-      .filter(inSample(col("doc_id")))
+      .filter(inSample(col("doc_id"), mod))
       .join(matches, Seq("doc_id"), "left")
       .select(coalesce(col("m"), lit(0L)).as("overlap"))
       .groupBy("overlap")
@@ -206,6 +221,12 @@ object ModelRegistry {
        |    GROUP BY 1, 2)
        |  WHERE w <> 0 GROUP BY doc_id)""".stripMargin
 
+  /** The corpus-derived sample modulus, as DuckDB SQL — the same
+    * greatest(floor, n_docs / cap) both the Spark side computes in
+    * `abSampleMod` (references the `smod` CTE defined in the
+    * model_ab_overlap statement). */
+  private val sampleModSql = "(SELECT m FROM smod)"
+
   /** Per-model neighbor CTE chain (suffix keeps the two models'
     * pipelines apart in one statement). */
   private def nbrCtes(m: EmbedModel, suf: String): String =
@@ -220,7 +241,7 @@ object ModelRegistry {
        |  SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w * b.w) AS dot
        |  FROM wnz_$suf a JOIN wnz_$suf b
        |    ON a.bucket = b.bucket AND a.doc_id <> b.doc_id
-       |  WHERE ${PortableHash.duckSql("a.doc_id::VARCHAR", AbSampleSeed)} % $AbSampleMod = 0
+       |  WHERE ${PortableHash.duckSql("a.doc_id::VARCHAR", AbSampleSeed)} % $sampleModSql = 0
        |  GROUP BY 1, 2),
        |alldocs_$suf AS (SELECT DISTINCT doc_id FROM wnz_$suf),
        |dot_$suf AS (
@@ -229,7 +250,7 @@ object ModelRegistry {
        |  SELECT q.doc_id AS da, t.doc_id AS db, coalesce(sp.dot, 0) AS dot
        |  FROM alldocs_$suf q JOIN alldocs_$suf t ON q.doc_id <> t.doc_id
        |  LEFT JOIN spdot_$suf sp ON sp.da = q.doc_id AND sp.db = t.doc_id
-       |  WHERE ${PortableHash.duckSql("q.doc_id::VARCHAR", AbSampleSeed)} % $AbSampleMod = 0),
+       |  WHERE ${PortableHash.duckSql("q.doc_id::VARCHAR", AbSampleSeed)} % $sampleModSql = 0),
        |nbr_$suf AS (
        |  SELECT da AS doc_id, db AS nbr FROM (
        |    SELECT da, db, row_number() OVER (PARTITION BY da
@@ -248,7 +269,10 @@ object ModelRegistry {
         .mkString("", "\nUNION ALL\n", "\nORDER BY model"),
     "model_ab_overlap" -> {
       val Seq(a, b) = catalog.sortBy(_.name).take(2)
-      s"""WITH tok AS (
+      s"""WITH smod AS (
+         |  SELECT greatest($AbSampleMod, count(*) // $AbSampleCap) AS m
+         |  FROM documents),
+         |tok AS (
          |  SELECT doc_id, unnest(list_filter(
          |    regexp_split_to_array(lower(trim(text)), '\\s+'),
          |    tok -> length(tok) > 0)) AS token
@@ -261,7 +285,7 @@ object ModelRegistry {
          |  GROUP BY 1)
          |SELECT coalesce(m.m, 0)::BIGINT AS overlap, count(*) AS n_docs
          |FROM documents d LEFT JOIN matches m ON d.doc_id = m.doc_id
-         |WHERE ${PortableHash.duckSql("d.doc_id::VARCHAR", AbSampleSeed)} % $AbSampleMod = 0
+         |WHERE ${PortableHash.duckSql("d.doc_id::VARCHAR", AbSampleSeed)} % $sampleModSql = 0
          |GROUP BY 1 ORDER BY 1""".stripMargin
     })
 }

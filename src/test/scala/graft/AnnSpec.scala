@@ -284,6 +284,20 @@ class AnnSpec extends AnyFunSuite {
     assert(r.map(_.getLong(0)).toSeq == again)
   }
 
+  test("ab-overlap sample modulus: 1/20 floor on small corpora, absolute cap on large") {
+    // below 20*cap docs the floor binds (every driver SF lands here,
+    // so the oracle-checked results are unchanged by the cap)...
+    assert(ModelRegistry.abSampleMod(0) == ModelRegistry.AbSampleMod)
+    assert(ModelRegistry.abSampleMod(500) == ModelRegistry.AbSampleMod)
+    assert(ModelRegistry.abSampleMod(9999) == ModelRegistry.AbSampleMod)
+    // ...above it the modulus grows with the corpus, pinning the
+    // expected sample size near AbSampleCap: sample x corpus scoring
+    // stays O(cap * N) instead of O(N^2 / 20)
+    assert(ModelRegistry.abSampleMod(50000) == 100)
+    val billion = 1000000000L
+    assert(ModelRegistry.abSampleMod(billion) == (billion / ModelRegistry.AbSampleCap).toInt)
+  }
+
   test("model registry load/list/drop surface") {
     ModelRegistry.catalog.foreach(m => ModelRegistry.load(m, force = true))
     assert(ModelRegistry.list().contains("ALL_MINILM_L12_V2"))
