@@ -66,16 +66,21 @@ object Tables {
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 
-  /** events.parquet carries nanosecond timestamps; Spark's TimestampType
-    * is microseconds. Normalize `ts` to a microsecond TimestampType
-    * column regardless of how this Spark build surfaces parquet NANOS
-    * (native read or `nanosAsLong`).
+  /** The generator has shipped `ts` as parquet TIMESTAMP(NANOS)
+    * (surfacing as long ns under `nanosAsLong`) and as naive
+    * micros (surfacing as TIMESTAMP_NTZ). Normalize every encoding
+    * to an instant TimestampType column — watermarks reject NTZ and
+    * epoch casts differ — interpreting naive values as UTC (every
+    * graft session pins spark.sql.session.timeZone=UTC).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val df = table(spark, sfDir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
