@@ -30,6 +30,11 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty[String, Double] }
 
+  /** The `"sf"` dir a bench JSON was recorded at, or "" if unreadable. */
+  private[graft] def parsePrevSf(txt: String): String =
+    try """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -56,13 +61,19 @@ object Bench {
     // checkout would silently lose the witness — bench_prev.json is the
     // TRACKED end-of-round snapshot (cp bench_full.json bench_prev.json
     // before committing) and serves as the fallback.
+    // The witness is only valid at the SAME SF: an sf0.1 snapshot
+    // read during an sf1 run makes every query look >2× regressed and
+    // escalates the whole inventory to min-of-5 (a ~3× wall blowup,
+    // hit on the first r5 scaling refresh). Skip mismatched records.
     val prev: Map[String, Double] = {
       val p = Seq(Paths.get(outFile), Paths.get("/root/repo/bench_prev.json"))
         .find(Files.exists(_)).orNull
       if (p == null) Map.empty
-      else try parsePrevQueries(
-        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-      catch { case _: Throwable => Map.empty[String, Double] }
+      else try {
+        val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        if (parsePrevSf(txt) == sfDir) parsePrevQueries(txt)
+        else Map.empty[String, Double]
+      } catch { case _: Throwable => Map.empty[String, Double] }
     }
     // min of two timed runs per query: the host is a shared box and a
     // single run can absorb an order-of-magnitude noise spike.

@@ -231,5 +231,11 @@ class CoreSpec extends AnyFunSuite {
     assert(prev("vs_knn_pq") == -0.5) // failed queries stay negated
     assert(Bench.parsePrevQueries("not json at all").isEmpty)
     assert(Bench.parsePrevQueries("""{"value":1.0}""").isEmpty)
+    // the witness is per-SF: Bench must be able to read the recorded
+    // sf dir so an sf0.1 snapshot can't mass-escalate an sf1 run
+    assert(Bench.parsePrevSf("""{"sf":"/root/testdata/sf0.1","value":1}""")
+      == "/root/testdata/sf0.1")
+    assert(Bench.parsePrevSf("""{"value":1.0}""") == "")
+    assert(Bench.parsePrevSf("not json at all") == "")
   }
 }
