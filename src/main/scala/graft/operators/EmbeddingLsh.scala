@@ -36,7 +36,7 @@ object EmbeddingLsh {
     if ((d(0) & 1) == 0) 1.0 else -1.0
   }
 
-  private def planes(dim: Int): Array[Array[Double]] =
+  private[operators] def planes(dim: Int): Array[Array[Double]] =
     Array.tabulate(NumBits, dim)((b, i) => rademacher(b, i))
 
   private[operators] def sketch(v: Array[Float], pl: Array[Array[Double]]): Int = {
@@ -196,7 +196,7 @@ object EmbeddingLsh {
   /** DuckDB fragment: the 24-bit sketch of `vec` — identical plane
     * derivation (md5 first-byte parity) and identical left-to-right
     * double accumulation as the Scala `sketch`. */
-  private def skSql(vec: String): String =
+  private[operators] def skSql(vec: String): String =
     s"""list_sum([CASE WHEN list_sum([$vec[i+1]::DOUBLE *
        |      (CASE WHEN CAST(('0x' || substr(md5(b || ':' || i), 1, 2)) AS UBIGINT) % 2 = 0
        |       THEN 1.0 ELSE -1.0 END)

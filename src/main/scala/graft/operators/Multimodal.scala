@@ -198,8 +198,57 @@ object Multimodal {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Scale path for [[pairMining]] — the one exact-pairwise operator
+    * that still lacked a blocked twin (the 10× scaling run grows it
+    * ~18× while every LSH/IVF/capped sibling stays ≤7×). Candidates
+    * come from the banded random-hyperplane sketch (share ≥1 4-bit
+    * band with the anchor — [[EmbeddingLsh]]'s layout), the
+    * wrong-source mask is applied inside the candidate join, and only
+    * candidates are exactly re-ranked: pair volume is anchors ×
+    * band-collision rate × corpus, never anchors × corpus. The sketch
+    * is a pure md5-derived hash (no RNG), so the DuckDB oracle
+    * reproduces the exact candidate set and the result is
+    * hash-checked like the other LSH serving ops. Negatives missing
+    * every anchor band are unreachable by construction — the spec
+    * asserts overlap with the exact top-3 stays high at test SFs. */
+  def pairMiningLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import EmbeddingLsh.{BandBits, NumBands, sketch, planes}
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val emb = Tables.embeddings(s, dir)
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val pl = planes(dim)
+    val sketches = Tables.spread(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, v, sketch(v, pl)) })
+      .toDF("vec_id", "embedding", "sk")
+      .join(src, col("vec_id") === col("doc_id")).drop("doc_id")
+    def banded(df: DataFrame) =
+      df.select(col("*"), explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
+        .withColumn("bkey", expr(s"shiftrightunsigned(sk, band * $BandBits)") % (1 << BandBits))
+    val aside = banded(sketches.select(col("vec_id"), col("embedding"),
+      col("sk"), col("source")))
+    val nside = banded(sketches.select(col("vec_id").as("neg_id"),
+      col("embedding").as("nvec"), col("sk"), col("source").as("neg_source")))
+      .drop("sk")
+    val cands = aside.join(nside, Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("neg_id") && col("source") =!= col("neg_source"))
+      .select(col("vec_id"), col("neg_id"), col("embedding"), col("nvec"))
+      .distinct()
+    cands
+      .select(col("vec_id"), col("neg_id"),
+        round(graft.functions.FloatVecDistance.cosine(col("embedding"), col("nvec")), 4).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKAgg.topkByDist(col("dist"), col("neg_id"), 3).as("top"))
+      .select(col("vec_id").as("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), col("col.id").as("neg_id"), col("col.dist").as("dist"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pair_mining" -> (pairMining _),
+    "mm_pair_mining_lsh" -> (pairMiningLsh _),
     "mm_decode_meta" -> (decodeMeta _),
     "mm_frame_sample" -> (frameSample _),
     "mm_audio_chunks" -> (audioChunks _),
@@ -207,6 +256,28 @@ object Multimodal {
     "mm_resize" -> (resizePlan _))
 
   val oracleSql: Map[String, String] = Map(
+    // same contract as mm_pair_mining but restricted to banded-sketch
+    // candidates; the sketch is a pure md5 hash so DuckDB reproduces
+    // the exact candidate set (same skSql as the other LSH oracles).
+    "mm_pair_mining_lsh" ->
+      s"""WITH sk AS (
+         |  SELECT e.vec_id, e.embedding, d.source,
+         |    ${EmbeddingLsh.skSql("e.embedding")} AS sk
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS doc_id, b.vec_id AS neg_id,
+         |    a.embedding AS ea, b.embedding AS eb
+         |  FROM sk a, sk b, generate_series(0, ${EmbeddingLsh.NumBands - 1}) t(band)
+         |  WHERE a.vec_id <> b.vec_id AND a.source <> b.source
+         |    AND (a.sk // CAST(2 ** (band * ${EmbeddingLsh.BandBits}) AS BIGINT)) % ${1 << EmbeddingLsh.BandBits}
+         |      = (b.sk // CAST(2 ** (band * ${EmbeddingLsh.BandBits}) AS BIGINT)) % ${1 << EmbeddingLsh.BandBits}),
+         |p AS (
+         |  SELECT doc_id, neg_id,
+         |    round(1e-9 + ${VectorSearch.dCosine("ea", "eb")}, 4) AS dist
+         |  FROM cand)
+         |SELECT doc_id, neg_id, dist,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY dist, neg_id) AS rnk
+         |FROM p QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "mm_pair_mining" ->
       s"""WITH p AS (
          |  SELECT a.vec_id AS doc_id, b.vec_id AS neg_id,

@@ -59,6 +59,35 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("pair-mining lsh: wrong-source only, candidate-sound, usable overlap with exact") {
+    import org.apache.spark.sql.functions.col
+    val lsh = graft.operators.Multimodal.pairMiningLsh(spark, sf)
+    val rows = lsh.collect()
+    // every emitted negative is genuinely wrong-source (mask inside the
+    // candidate join, not lost to the banding)
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(srcOf(r.getLong(0)) != srcOf(r.getLong(1)),
+        s"same-source negative ${r.getLong(0)} -> ${r.getLong(1)}")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 3)
+    }
+    // the banded candidate restriction must still find most of the
+    // exact hard negatives at this SF (same recall bar as the other
+    // LSH twins)
+    val exact = graft.operators.Multimodal.pairMining(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact & got).size.toDouble / exact.size
+    assert(overlap >= 0.3, s"lsh pair-mining overlap $overlap below 0.3")
+    // scale shape: band equi-join, never an anchors-by-corpus product
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "lsh pair mining must not cross-join anchors with the corpus")
+  }
+
   test("ivf batch serving: full probe equals brute force per query") {
     import org.apache.spark.sql.functions._
     val (index, centroids) = IvfIndex.build(spark, sf)
