@@ -226,16 +226,21 @@ object Multimodal {
     def banded(df: DataFrame) =
       df.select(col("*"), explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
         .withColumn("bkey", expr(s"shiftrightunsigned(sk, band * $BandBits)") % (1 << BandBits))
-    val aside = banded(sketches.select(col("vec_id"), col("embedding"),
-      col("sk"), col("source")))
+    // band explode and candidate distinct carry only 8-byte ids —
+    // shuffling the vectors through them costs ~30× the bytes (128
+    // floats vs two longs per row); embeddings re-join AFTER the pair
+    // space is deduplicated, exactly like EmbeddingLsh.pairs.
+    val aside = banded(sketches.select(col("vec_id"), col("sk"), col("source")))
     val nside = banded(sketches.select(col("vec_id").as("neg_id"),
-      col("embedding").as("nvec"), col("sk"), col("source").as("neg_source")))
-      .drop("sk")
+      col("sk"), col("source").as("neg_source"))).drop("sk")
     val cands = aside.join(nside, Seq("band", "bkey"))
       .filter(col("vec_id") =!= col("neg_id") && col("source") =!= col("neg_source"))
-      .select(col("vec_id"), col("neg_id"), col("embedding"), col("nvec"))
+      .select(col("vec_id"), col("neg_id"))
       .distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
     cands
+      .join(vecs, "vec_id")
+      .join(vecs.select(col("vec_id").as("neg_id"), col("embedding").as("nvec")), "neg_id")
       .select(col("vec_id"), col("neg_id"),
         round(graft.functions.FloatVecDistance.cosine(col("embedding"), col("nvec")), 4).as("dist"))
       .groupBy(col("vec_id"))
