@@ -198,19 +198,31 @@ object Multimodal {
       .orderBy("doc_id", "rnk")
   }
 
-  /** Scale path for [[pairMining]] — the one exact-pairwise operator
-    * that still lacked a blocked twin (the 10× scaling run grows it
-    * ~18× while every LSH/IVF/capped sibling stays ≤7×). Candidates
-    * come from the banded random-hyperplane sketch (share ≥1 4-bit
-    * band with the anchor — [[EmbeddingLsh]]'s layout), the
-    * wrong-source mask is applied inside the candidate join, and only
-    * candidates are exactly re-ranked: pair volume is anchors ×
-    * band-collision rate × corpus, never anchors × corpus. The sketch
-    * is a pure md5-derived hash (no RNG), so the DuckDB oracle
-    * reproduces the exact candidate set and the result is
-    * hash-checked like the other LSH serving ops. Negatives missing
-    * every anchor band are unreachable by construction — the spec
-    * asserts overlap with the exact top-3 stays high at test SFs. */
+  /** Blocked twin of [[pairMining]]: candidates come from the banded
+    * random-hyperplane sketch (share ≥1 4-bit band with the anchor —
+    * [[EmbeddingLsh]]'s layout), the wrong-source mask is applied
+    * inside the candidate join, and only candidates are exactly
+    * re-ranked. The sketch is a pure md5-derived hash (no RNG), so
+    * the DuckDB oracle reproduces the exact candidate set and the
+    * result is hash-checked like the other LSH serving ops.
+    *
+    * SCALE, honestly: at this corpus's similarity profile (hard
+    * negatives at cosine sim ≈ 0.5, per-bit hyperplane agreement
+    * ≈ 0.65) 4-bit bands collide on ~40% of random pairs, so the
+    * blocking is a small-constant reduction of the pair space, not an
+    * asymptotic one — and each surviving candidate pays a shuffle +
+    * distinct + re-join, ~50× the cost of one codegen'd kernel eval
+    * in the broadcast loop. Measured at the 10× SF the exact
+    * broadcast top-k was 9× FASTER (20.5 s vs 181 s); wider bands
+    * were tried and kill recall to 0 at this similarity level (LSH
+    * banding only prunes asymptotically in the high-threshold
+    * near-dup regime — where `dedup_embedding_lsh` genuinely lives).
+    * This operator therefore earns its keep as the candidate-set
+    * demonstration of the banded layout; for production mining at
+    * mid similarity, compose the IVF serving path ([[IvfIndex]] /
+    * [[IvfPq]]) whose centroid pruning adapts to the data instead of
+    * to a hash. The spec pins candidate soundness, the wrong-source
+    * property, and overlap with the exact top-3 at test SFs. */
   def pairMiningLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import EmbeddingLsh.{BandBits, NumBands, sketch, planes}
