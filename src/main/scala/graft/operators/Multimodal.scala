@@ -263,9 +263,65 @@ object Multimodal {
       .orderBy("doc_id", "rnk")
   }
 
+  /** The PRODUCTION scale path for hard-negative mining — IVF-blocked:
+    * every anchor probes its [[IvfIndex.NumProbe]] nearest centroids
+    * and scores only those cells' members, so candidate volume is
+    * N × nprobe × (N/nlist) and shrinks as nlist grows with the
+    * corpus (nlist ≈ √N at scale ⇒ ~N^1.5 total work), where
+    * hyperplane banding at this similarity level cannot prune
+    * asymptotically (see [[pairMiningLsh]]). Centroid pruning adapts
+    * to the data: an anchor's nearest wrong-source items live in its
+    * nearest cells regardless of their absolute similarity, so recall
+    * holds at mid similarity too (spec-pinned). Reuses the persisted
+    * IVF artifacts — same k-means fit, assignment table, and centroid
+    * dictionary as the serving ops, no third index build — and the
+    * oracle reproduces the whole path from those artifacts
+    * (hash-checked like vs_knn_ivf_batch).
+    *
+    * Plan shape: centroid dictionary broadcast against the anchor
+    * scan; (anchor → probed cell) pairs equi-join the
+    * centroid-partitioned index on centroid_id; the wrong-source mask
+    * sits inside the scoring join before the bounded top-k. */
+  def pairMiningIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (index, centroids) = IvfIndex.build(s, dir)
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val cdf = centroids.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("cid", "cvec")
+    val anchors = Tables.embeddings(s, dir)
+      .join(src, col("vec_id") === col("doc_id"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("source").as("q_source"))
+    val probePairs = anchors
+      .crossJoin(broadcast(cdf))
+      .select(col("qid"),
+        graft.functions.VectorFunctions.cosineDistance(col("qv"), col("cvec")).as("cdist"),
+        col("cid"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topkByDist(col("cdist"), col("cid"), IvfIndex.NumProbe)
+        .as("probes"))
+      .select(col("qid"), explode(col("probes.id")).as("cid"))
+      .select(col("qid"), col("cid").cast("int").as("centroid_id"))
+    index
+      .join(src.select(col("doc_id"), col("source").as("neg_source")),
+        col("vec_id") === col("doc_id")).drop("doc_id")
+      .join(probePairs, "centroid_id")
+      .join(anchors.select(col("qid"), col("qv"), col("q_source")), "qid")
+      .filter(col("vec_id") =!= col("qid") && col("neg_source") =!= col("q_source"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topkByDist(col("dist"), col("vec_id"), 3).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid").as("doc_id"), col("col.id").as("neg_id"),
+        col("col.dist").as("dist"), (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pair_mining" -> (pairMining _),
     "mm_pair_mining_lsh" -> (pairMiningLsh _),
+    "mm_pair_mining_ivf" -> (pairMiningIvf _),
     "mm_decode_meta" -> (decodeMeta _),
     "mm_frame_sample" -> (frameSample _),
     "mm_audio_chunks" -> (audioChunks _),
@@ -273,6 +329,37 @@ object Multimodal {
     "mm_resize" -> (resizePlan _))
 
   val oracleSql: Map[String, String] = Map(
+    // reproduces the IVF-blocked mining path from the persisted index
+    // artifacts (same __IVFDIR__ tables as the vs_knn_ivf_* oracles):
+    // per-anchor centroid ranking, nprobe cell restriction, the
+    // wrong-source mask, exact re-rank, top-3.
+    "mm_pair_mining_ivf" ->
+      s"""WITH a AS (SELECT vec_id, centroid_id
+         |     FROM read_parquet('__IVFDIR__/assign.parquet/*.parquet')),
+         |c AS (SELECT cid, cvec
+         |     FROM read_parquet('__IVFDIR__/centroids.parquet/*.parquet')),
+         |qs AS (
+         |  SELECT e.vec_id AS qid, e.embedding AS qv, d.source AS q_source
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         |cd AS (SELECT qid, cid, ${VectorSearch.dCosine("cvec", "qv")} AS cdist FROM qs, c),
+         |pr AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS r FROM cd)
+         |  WHERE r <= ${IvfIndex.NumProbe}),
+         |cand AS (
+         |  SELECT qs.qid AS doc_id, a.vec_id AS neg_id,
+         |    round(1e-9 + ${VectorSearch.dCosine("e.embedding", "qv")}, 4) AS dist
+         |  FROM qs JOIN pr USING (qid)
+         |    JOIN a ON a.centroid_id = pr.cid
+         |    JOIN embeddings e ON e.vec_id = a.vec_id
+         |    JOIN documents dn ON dn.doc_id = a.vec_id
+         |  WHERE a.vec_id <> qs.qid AND dn.source <> qs.q_source)
+         |SELECT doc_id, neg_id, dist, rnk FROM (
+         |  SELECT doc_id, neg_id, dist,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY dist, neg_id) AS rnk
+         |  FROM cand)
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     // same contract as mm_pair_mining but restricted to banded-sketch
     // candidates; the sketch is a pure md5 hash so DuckDB reproduces
     // the exact candidate set (same skSql as the other LSH oracles).

@@ -88,6 +88,32 @@ class AnnSpec extends AnyFunSuite {
       "lsh pair mining must not cross-join anchors with the corpus")
   }
 
+  test("pair-mining ivf: wrong-source only, strong overlap with exact, equi-join plan") {
+    import org.apache.spark.sql.functions.col
+    val ivf = graft.operators.Multimodal.pairMiningIvf(spark, sf)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      assert(srcOf(r.getLong(0)) != srcOf(r.getLong(1)),
+        s"same-source negative ${r.getLong(0)} -> ${r.getLong(1)}")
+    }
+    // centroid pruning adapts to the data, so unlike the LSH twin the
+    // mid-similarity hard negatives must survive — pin a strong floor
+    val exact = graft.operators.Multimodal.pairMining(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact & got).size.toDouble / exact.size
+    assert(overlap >= 0.5, s"ivf pair-mining overlap $overlap below 0.5")
+    // candidate generation must be the centroid equi-join; the only
+    // unconditioned product allowed is the broadcast centroid table
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "ivf pair mining must not cross-join anchors with the corpus")
+  }
+
   test("ivf batch serving: full probe equals brute force per query") {
     import org.apache.spark.sql.functions._
     val (index, centroids) = IvfIndex.build(spark, sf)
