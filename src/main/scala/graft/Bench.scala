@@ -35,6 +35,43 @@ object Bench {
     try """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
     catch { case _: Throwable => "" }
 
+  /** SF-dir equality up to path spelling: a trailing slash, a `..`
+    * segment, or a relative-vs-absolute spelling of the same dir must
+    * not silently disable the regression witness. */
+  private[graft] def sameSf(a: String, b: String): Boolean =
+    try {
+      a.nonEmpty && b.nonEmpty &&
+        Paths.get(a).toAbsolutePath.normalize() == Paths.get(b).toAbsolutePath.normalize()
+    } catch { case _: Throwable => a == b }
+
+  /** First candidate snapshot recorded at the SAME SF as this run.
+    * Candidates are tried in order; an existing file at a DIFFERENT SF
+    * must not shadow a later same-SF one (the r5 audit found exactly
+    * that: an sf1 bench_full.json left on disk emptied the witness for
+    * the next sf0.1 run even though bench_prev.json matched). */
+  private[graft] def selectPrev(candidates: Seq[java.nio.file.Path], sfDir: String): Map[String, Double] =
+    candidates.iterator.flatMap { p =>
+      try {
+        if (!Files.exists(p)) None
+        else {
+          val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          if (sameSf(parsePrevSf(txt), sfDir)) Some(parsePrevQueries(txt)) else None
+        }
+      } catch { case _: Throwable => None }
+    }.nextOption().getOrElse(Map.empty)
+
+  /** Where a zero-failure full-inventory run snapshots itself, keyed by
+    * the SF basename. Only the two tracked round-over-round witnesses
+    * exist; focused sf0.01 iteration runs return None so they can never
+    * clobber the driver-SF witness. */
+  private[graft] def snapshotPath(sfDir: String): Option[java.nio.file.Path] =
+    (try Paths.get(sfDir).toAbsolutePath.normalize().getFileName.toString
+     catch { case _: Throwable => "" }) match {
+      case "sf0.1" => Some(Paths.get("/root/repo/bench_prev.json"))
+      case "sf1"   => Some(Paths.get("/root/repo/bench_sf1.json"))
+      case _       => None
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -58,23 +95,18 @@ object Bench {
     // base draws so the >2×-disagreement trigger misses it, but the
     // previous round's recorded min is an independent witness.
     // bench_full.json is gitignored (it churns every run), so a fresh
-    // checkout would silently lose the witness — bench_prev.json is the
-    // TRACKED end-of-round snapshot (cp bench_full.json bench_prev.json
-    // before committing) and serves as the fallback.
+    // checkout would silently lose the witness — the TRACKED snapshots
+    // (bench_prev.json at the driver SF, bench_sf1.json at sf1) are
+    // written by Bench itself after a zero-failure full-inventory run
+    // (see below) and serve as fallbacks.
     // The witness is only valid at the SAME SF: an sf0.1 snapshot
     // read during an sf1 run makes every query look >2× regressed and
     // escalates the whole inventory to min-of-5 (a ~3× wall blowup,
-    // hit on the first r5 scaling refresh). Skip mismatched records.
-    val prev: Map[String, Double] = {
-      val p = Seq(Paths.get(outFile), Paths.get("/root/repo/bench_prev.json"))
-        .find(Files.exists(_)).orNull
-      if (p == null) Map.empty
-      else try {
-        val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        if (parsePrevSf(txt) == sfDir) parsePrevQueries(txt)
-        else Map.empty[String, Double]
-      } catch { case _: Throwable => Map.empty[String, Double] }
-    }
+    // hit on the first r5 scaling refresh). selectPrev skips
+    // mismatched records instead of stopping at the first file found.
+    val prev: Map[String, Double] = selectPrev(
+      Seq(Paths.get(outFile), Paths.get("/root/repo/bench_prev.json"),
+        Paths.get("/root/repo/bench_sf1.json")), sfDir)
     // min of two timed runs per query: the host is a shared box and a
     // single run can absorb an order-of-magnitude noise spike.
     // optional comma-separated filter for focused profiling runs
@@ -121,6 +153,16 @@ object Bench {
       .mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"samples":$fullSamples,"failed":$failedNames,"sf":"$sfDir","n_queries":${results.size}}"""
     Files.write(Paths.get(outFile), (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
+    // self-snapshot the round-over-round witness: a zero-failure run of
+    // the FULL inventory at a tracked SF overwrites its snapshot file.
+    // This replaces the old manual `cp bench_full.json bench_prev.json`
+    // convention, whose forgotten copy silently weakened the witness.
+    val anyFailed = results.exists(_._3)
+    val fullInventory = only.isEmpty && results.size == SparkEntry.queries.size
+    if (!anyFailed && fullInventory)
+      snapshotPath(sfDir).foreach { p =>
+        Files.write(p, (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
+      }
     // short stdout line: total + failed + top-20 slowest + file pointer
     val top = results.filterNot(_._3).sortBy(-_._2).take(20)
       .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }

@@ -142,6 +142,35 @@ object IvfIndex {
     search(s, index.filter(col("vec_id") =!= 0), centroids, query, k = 10)
   }
 
+  /** Distributed probe ranking for a TABLE of query vectors: the
+    * (tiny, nlist-row) centroid dictionary is broadcast against the
+    * query table, and a bounded top-nprobe agg picks each query's
+    * probe set — shuffle volume = queries × nprobe, i.e. the answer
+    * size, thanks to map-side partial aggregation in TopKAgg. Returns
+    * (qid, centroid_id) pairs ready to equi-join the
+    * centroid-partitioned index (partition pruning expressed as a
+    * join key). Bit-identical to `search`'s driver-side ranking (same
+    * left-to-right double accumulation, same (dist, id) tie-break).
+    * Shared by batch serving ([[searchBatch]]) and IVF-blocked mining
+    * ([[Multimodal.pairMiningIvf]]) so a probe-ranking fix lands
+    * exactly once. `queriesDf` needs (qid, qv); extra columns pass
+    * through the ranking unprojected. */
+  def probePairs(s: SparkSession, queriesDf: DataFrame,
+      centroids: Array[Array[Double]], nprobe: Int = NumProbe): DataFrame = {
+    import s.implicits._
+    val cdf = centroids.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("cid", "cvec")
+    queriesDf
+      .crossJoin(broadcast(cdf))
+      .select(col("qid"),
+        graft.functions.VectorFunctions.cosineDistance(col("qv"), col("cvec")).as("cdist"),
+        col("cid"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topkByDist(col("cdist"), col("cid"), nprobe).as("probes"))
+      .select(col("qid"), explode(col("probes.id")).as("cid"))
+      .select(col("qid"), col("cid").cast("int").as("centroid_id"))
+  }
+
   /** Batch serving against the IVF layout: a TABLE of query vectors,
     * each probing only its nprobe nearest centroids' partitions.
     * Fully distributed — the query table never touches the driver:
@@ -162,20 +191,8 @@ object IvfIndex {
   def searchBatch(s: SparkSession, index: DataFrame,
       centroids: Array[Array[Double]],
       queriesDf: DataFrame, k: Int, nprobe: Int = NumProbe): DataFrame = {
-    import s.implicits._
-    val cdf = centroids.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
-      .toSeq.toDF("cid", "cvec")
-    val probePairs = queriesDf
-      .crossJoin(broadcast(cdf))
-      .select(col("qid"),
-        graft.functions.VectorFunctions.cosineDistance(col("qv"), col("cvec")).as("cdist"),
-        col("cid"))
-      .groupBy(col("qid"))
-      .agg(graft.functions.TopKAgg.topkByDist(col("cdist"), col("cid"), nprobe).as("probes"))
-      .select(col("qid"), explode(col("probes.id")).as("cid"))
-      .select(col("qid"), col("cid").cast("int").as("centroid_id"))
     index
-      .join(broadcast(probePairs), "centroid_id")
+      .join(broadcast(probePairs(s, queriesDf, centroids, nprobe)), "centroid_id")
       .join(queriesDf.select(col("qid"), col("qv")), "qid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),

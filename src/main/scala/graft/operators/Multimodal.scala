@@ -283,29 +283,20 @@ object Multimodal {
     * centroid-partitioned index on centroid_id; the wrong-source mask
     * sits inside the scoring join before the bounded top-k. */
   def pairMiningIvf(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val (index, centroids) = IvfIndex.build(s, dir)
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    val cdf = centroids.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
-      .toSeq.toDF("cid", "cvec")
     val anchors = Tables.embeddings(s, dir)
       .join(src, col("vec_id") === col("doc_id"))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("source").as("q_source"))
-    val probePairs = anchors
-      .crossJoin(broadcast(cdf))
-      .select(col("qid"),
-        graft.functions.VectorFunctions.cosineDistance(col("qv"), col("cvec")).as("cdist"),
-        col("cid"))
-      .groupBy(col("qid"))
-      .agg(graft.functions.TopKAgg.topkByDist(col("cdist"), col("cid"), IvfIndex.NumProbe)
-        .as("probes"))
-      .select(col("qid"), explode(col("probes.id")).as("cid"))
-      .select(col("qid"), col("cid").cast("int").as("centroid_id"))
+    // probe ranking is the SAME code path as batch serving
+    // (IvfIndex.probePairs); unlike searchBatch the pair table here is
+    // anchors × nprobe = corpus-sized, so the index join stays
+    // un-hinted (shuffle join at scale) instead of broadcast.
     index
       .join(src.select(col("doc_id"), col("source").as("neg_source")),
         col("vec_id") === col("doc_id")).drop("doc_id")
-      .join(probePairs, "centroid_id")
+      .join(IvfIndex.probePairs(s, anchors, centroids), "centroid_id")
       .join(anchors.select(col("qid"), col("qv"), col("q_source")), "qid")
       .filter(col("vec_id") =!= col("qid") && col("neg_source") =!= col("q_source"))
       .select(col("qid"), col("vec_id"),

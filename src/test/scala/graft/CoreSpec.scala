@@ -238,4 +238,41 @@ class CoreSpec extends AnyFunSuite {
     assert(Bench.parsePrevSf("""{"value":1.0}""") == "")
     assert(Bench.parsePrevSf("not json at all") == "")
   }
+
+  test("bench witness selection is per-SF, path-normalized, and self-snapshotted") {
+    // sameSf: spelling differences (trailing slash, dot segments) must
+    // not disable the witness; different dirs must.
+    assert(Bench.sameSf("/root/testdata/sf0.1", "/root/testdata/sf0.1/"))
+    assert(Bench.sameSf("/root/testdata/sf0.1", "/root/testdata/./sf0.1"))
+    assert(Bench.sameSf("/root/testdata/x/../sf1", "/root/testdata/sf1"))
+    assert(!Bench.sameSf("/root/testdata/sf0.1", "/root/testdata/sf1"))
+    assert(!Bench.sameSf("", "/root/testdata/sf1")) // unreadable record
+
+    // selectPrev: an existing first candidate at the WRONG SF must not
+    // shadow a later candidate at the right SF (the r5 audit gap).
+    val dir = java.nio.file.Files.createTempDirectory("benchspec")
+    def put(name: String, sf: String, q: String) = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p,
+        s"""{"metric":"total","value":1.0,"queries":{$q},"sf":"$sf"}""".getBytes("UTF-8"))
+      p
+    }
+    val wrongSf = put("bench_full.json", "/root/testdata/sf1", "\"qa\":9.0")
+    val rightSf = put("bench_prev.json", "/root/testdata/sf0.1/", "\"qa\":1.5")
+    val got = Bench.selectPrev(Seq(wrongSf, rightSf), "/root/testdata/sf0.1")
+    assert(got == Map("qa" -> 1.5))
+    // missing files and unreadable candidates are skipped, not fatal
+    assert(Bench.selectPrev(Seq(dir.resolve("nope.json"), rightSf),
+      "/root/testdata/sf0.1") == Map("qa" -> 1.5))
+    assert(Bench.selectPrev(Seq(wrongSf), "/root/testdata/sf0.1").isEmpty)
+
+    // snapshotPath: only the two tracked witnesses; focused iteration
+    // SFs never clobber them.
+    assert(Bench.snapshotPath("/root/testdata/sf0.1")
+      .map(_.toString).contains("/root/repo/bench_prev.json"))
+    assert(Bench.snapshotPath("/root/testdata/sf1/")
+      .map(_.toString).contains("/root/repo/bench_sf1.json"))
+    assert(Bench.snapshotPath("/root/testdata/sf0.01").isEmpty)
+    assert(Bench.snapshotPath("/root/testdata/sf0.001").isEmpty)
+  }
 }
