@@ -67,9 +67,9 @@ object Bench {
   private[graft] def snapshotPath(sfDir: String): Option[java.nio.file.Path] =
     (try Paths.get(sfDir).toAbsolutePath.normalize().getFileName.toString
      catch { case _: Throwable => "" }) match {
-      case "sf0.1" => Some(Paths.get("/root/repo/bench_prev.json"))
-      case "sf1"   => Some(Paths.get("/root/repo/bench_sf1.json"))
-      case _       => None
+      case "sf0.1"             => Some(Paths.get("/root/repo/bench_prev.json"))
+      case "sf1" | "graft_sf1" => Some(Paths.get("/root/repo/bench_sf1.json"))
+      case _                   => None
     }
 
   def main(args: Array[String]): Unit = {

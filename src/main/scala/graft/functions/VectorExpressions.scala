@@ -1,23 +1,29 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst distance kernel for `array<float>` columns.
+/** Native Catalyst distance kernel for `array<float>` /
+  * `array<double>` columns (each side independently — embeddings are
+  * float, centroid dictionaries double).
   *
   * The `zip_with` + `aggregate` formulation is semantically right but
-  * allocates an intermediate array per row pair — at batch-knn scale
-  * (N·M pairs) that dominates runtime. This expression generates a
-  * primitive float loop inside whole-stage codegen: no boxing, no
-  * intermediate ArrayData, one pass per pair.
+  * allocates an intermediate array per row pair and evaluates boxed
+  * lambdas per element — at batch-knn scale (N·M pairs) that dominates
+  * runtime (the corpus×nlist probe-ranking stage measured ~25 s of a
+  * 35 s mining job before this expression replaced it). This
+  * expression generates a primitive loop inside whole-stage codegen:
+  * no boxing, no intermediate ArrayData, one pass per pair.
   *
-  * Accumulation is double, left-to-right — bit-identical to the
-  * `zip_with`/`aggregate` path and to the DuckDB oracle's list_sum,
-  * so swapping it into a query cannot change results.
+  * Accumulation is double, left-to-right, regardless of element type —
+  * bit-identical to the `zip_with`/`aggregate` path and to the DuckDB
+  * oracle's list_sum, so swapping it into a query cannot change
+  * results (float elements widen to double exactly).
   *
   * Metrics mirror Oracle VECTOR_DISTANCE's (reference
   * /root/reference/scripts/01_pdf_to_vector.sql:87-91):
@@ -33,10 +39,46 @@ case class FloatVecDistance(left: Expression, right: Expression, metric: String)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = s"vec_${metric}_distance"
 
+  private def isVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(left.dataType) && isVec(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  private def toDoubles(a: Any, dt: DataType): Array[Double] = dt match {
+    case ArrayType(DoubleType, _) => a.asInstanceOf[ArrayData].toDoubleArray()
+    case _ =>
+      val f = a.asInstanceOf[ArrayData].toFloatArray()
+      val d = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+      d
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    VecMath.dist(metric,
-      a.asInstanceOf[ArrayData].toFloatArray(),
-      b.asInstanceOf[ArrayData].toFloatArray())
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        // allocation-free fast path for the all-float case (KnnJoin's
+        // interpreted fallback shares this loop)
+        VecMath.dist(metric,
+          a.asInstanceOf[ArrayData].toFloatArray(),
+          b.asInstanceOf[ArrayData].toFloatArray())
+      case (ldt, rdt) =>
+        VecMath.distD(metric, toDoubles(a, ldt), toDoubles(b, rdt))
+    }
+
+  // float[] and double[] sides share the loop bodies: elements are
+  // read through a (double) cast either way, so the generated
+  // arithmetic is identical and only the array declaration differs.
+  private def decl(name: String, src: String, dt: DataType): String = dt match {
+    case ArrayType(DoubleType, _) => s"double[] $name = $src.toDoubleArray();"
+    case _ => s"float[] $name = $src.toFloatArray();"
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -71,8 +113,8 @@ case class FloatVecDistance(left: Expression, right: Expression, metric: String)
              |}
              |${ev.value} = acc;""".stripMargin
       }
-      s"""float[] $av = $a.toFloatArray();
-         |float[] $bv = $b.toFloatArray();
+      s"""${decl(av, a, left.dataType)}
+         |${decl(bv, b, right.dataType)}
          |int $n = Math.min($av.length, $bv.length);
          |$body""".stripMargin
     })

@@ -34,6 +34,20 @@ object IvfIndex {
   val NumProbe = 4
   val Seed = 42L
 
+  /** Production-geometry overrides for SIZING MEASUREMENT runs only.
+    * The cross-engine gate pins nlist=[[NumCentroids]] so the DuckDB
+    * oracle can reproduce the persisted artifacts, but the production
+    * sizing is nlist ≈ √N (pruning factor nlist/nprobe grows with the
+    * corpus). A focused bench run sets SPARK_GRAFT_IVF_NLIST /
+    * SPARK_GRAFT_IVF_NPROBE to measure that geometry (SURVEY §6);
+    * correctness runs leave them unset, and `build` persists oracle
+    * artifacts only at the default nlist, so an override can never
+    * poison the oracle's artifact dir. */
+  private[graft] def envNlist: Int =
+    sys.env.get("SPARK_GRAFT_IVF_NLIST").map(_.toInt).getOrElse(NumCentroids)
+  private[graft] def envNprobe: Int =
+    sys.env.get("SPARK_GRAFT_IVF_NPROBE").map(_.toInt).getOrElse(NumProbe)
+
   /** At-rest location of the persisted index artifacts (assignments +
     * centroids) for a corpus dir; the oracle SQL binds __IVFDIR__ to
     * this path (see SparkEntry.oracleSqlFor). Only the k-means FIT is
@@ -163,7 +177,11 @@ object IvfIndex {
     queriesDf
       .crossJoin(broadcast(cdf))
       .select(col("qid"),
-        graft.functions.VectorFunctions.cosineDistance(col("qv"), col("cvec")).as("cdist"),
+        // codegen'd mixed float/double kernel: corpus-sized query
+        // tables rank against the centroid dictionary here, and the
+        // interpreted zip_with path measured ~25 s of a 35 s mining
+        // job at corpus × nlist rows. Bit-identical result.
+        FloatVecDistance.cosine(col("qv"), col("cvec")).as("cdist"),
         col("cid"))
       .groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topkByDist(col("cdist"), col("cid"), nprobe).as("probes"))
@@ -243,7 +261,7 @@ object IvfIndex {
     val w = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("centroid_id"))
     val cranks = sample.crossJoin(broadcast(cdf))
       .select(col("qid"), col("centroid_id"),
-        graft.functions.VectorFunctions.cosineDistance(col("qv"), col("cvec")).as("cdist"))
+        FloatVecDistance.cosine(col("qv"), col("cvec")).as("cdist"))
       .withColumn("crank", row_number().over(w))
       .select(col("qid"), col("centroid_id"), col("crank"))
     val nQueries = sample.count()
@@ -274,13 +292,14 @@ object IvfIndex {
   }
 
   /** vs_knn_ivf_batch: every 50th vector served against the IVF
-    * layout with nprobe pruning. */
+    * layout with nprobe pruning. Honors the production-geometry env
+    * overrides (no-ops when unset — see [[envNlist]]). */
   def knnIvfBatch(s: SparkSession, dir: String): DataFrame = {
-    val (index, centroids) = build(s, dir)
+    val (index, centroids) = build(s, dir, k = envNlist)
     val queriesDf = Tables.embeddings(s, dir)
       .filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    searchBatch(s, index, centroids, queriesDf, k = 5)
+    searchBatch(s, index, centroids, queriesDf, k = 5, nprobe = envNprobe)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

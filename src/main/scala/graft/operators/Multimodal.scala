@@ -283,7 +283,7 @@ object Multimodal {
     * centroid-partitioned index on centroid_id; the wrong-source mask
     * sits inside the scoring join before the bounded top-k. */
   def pairMiningIvf(s: SparkSession, dir: String): DataFrame = {
-    val (index, centroids) = IvfIndex.build(s, dir)
+    val (index, centroids) = IvfIndex.build(s, dir, k = IvfIndex.envNlist)
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     val anchors = Tables.embeddings(s, dir)
       .join(src, col("vec_id") === col("doc_id"))
@@ -296,7 +296,7 @@ object Multimodal {
     index
       .join(src.select(col("doc_id"), col("source").as("neg_source")),
         col("vec_id") === col("doc_id")).drop("doc_id")
-      .join(IvfIndex.probePairs(s, anchors, centroids), "centroid_id")
+      .join(IvfIndex.probePairs(s, anchors, centroids, IvfIndex.envNprobe), "centroid_id")
       .join(anchors.select(col("qid"), col("qv"), col("q_source")), "qid")
       .filter(col("vec_id") =!= col("qid") && col("neg_source") =!= col("q_source"))
       .select(col("qid"), col("vec_id"),

@@ -272,6 +272,8 @@ class CoreSpec extends AnyFunSuite {
       .map(_.toString).contains("/root/repo/bench_prev.json"))
     assert(Bench.snapshotPath("/root/testdata/sf1/")
       .map(_.toString).contains("/root/repo/bench_sf1.json"))
+    assert(Bench.snapshotPath("/tmp/graft_sf1") // the scale-tool default dst
+      .map(_.toString).contains("/root/repo/bench_sf1.json"))
     assert(Bench.snapshotPath("/root/testdata/sf0.01").isEmpty)
     assert(Bench.snapshotPath("/root/testdata/sf0.001").isEmpty)
   }

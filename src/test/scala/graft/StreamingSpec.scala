@@ -48,6 +48,32 @@ class StreamingSpec extends AnyFunSuite {
       query, k = 10).collect().map(_.toSeq).toSeq
     assert(streamed == batch)
     assert(streamed.size == 10)
+
+    // tamper negative-control for the STREAMED layout — the same
+    // property AnnSpec pins for the batch PQ/IVF builds: serving and
+    // oracle both trust the dumped artifacts, so corrupting ONE row in
+    // a copy of the dump and re-deriving the answer through the same
+    // probe path must change it. Reassigning the clean top-1 to the
+    // centroid FARTHEST from the query (never in the nprobe-nearest
+    // probe set) guarantees the probe misses it.
+    val centroids = model.clusterCenters.map(_.toArray)
+    val qd = query.map(_.toDouble)
+    val far = centroids.zipWithIndex
+      .maxBy { case (c, _) => IvfIndex.cosineDist(c, qd) }._2
+    val topHit = streamed.head.head.asInstanceOf[Long]
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tamper").toString
+    spark.read.parquet(IvfStream.scratchRoot(sf) + "/dump/assign.parquet")
+      .withColumn("centroid_id",
+        when(col("vec_id") === topHit, lit(far)).otherwise(col("centroid_id")))
+      .write.mode("overwrite").parquet(s"$tmp/assign.parquet")
+    val corrupt = spark.read.parquet(s"$tmp/assign.parquet")
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val tampered = IvfIndex.search(spark,
+      corrupt.filter(col("vec_id") =!= 0), centroids, query, k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(tampered != streamed,
+      "a corrupted streamed-layout assignment row must change the probed answer")
   }
 
   test("streaming minhash candidates equal the batch band-candidate set") {
