@@ -306,6 +306,30 @@ class AnnSpec extends AnyFunSuite {
       "a corrupted IVF assignment must change the probed answer")
   }
 
+  test("ivf geometry overrides cannot poison the pinned oracle artifacts") {
+    import org.apache.spark.sql.functions.col
+    // a production-sizing build at a non-default nlist must produce
+    // that geometry in memory...
+    val (idx8, cents8) = graft.operators.IvfIndex.build(spark, sf, k = 8)
+    assert(cents8.length == 8)
+    assert(idx8.select("centroid_id").distinct().count() <= 8)
+    // ...while the persisted artifact dir stays at the pinned default
+    // geometry the DuckDB oracle reproduces (build only writes at
+    // k == NumCentroids — the property that makes the env knobs safe).
+    graft.operators.IvfIndex.build(spark, sf)
+    val nCent = spark.read
+      .parquet(s"${graft.operators.IvfIndex.dumpDir(sf)}/centroids.parquet").count()
+    assert(nCent == graft.operators.IvfIndex.NumCentroids)
+    val maxAssigned = spark.read
+      .parquet(s"${graft.operators.IvfIndex.dumpDir(sf)}/assign.parquet")
+      .agg(org.apache.spark.sql.functions.max(col("centroid_id"))).collect()(0).getInt(0)
+    assert(maxAssigned < graft.operators.IvfIndex.NumCentroids)
+    // the knobs themselves default to the pinned geometry (the test
+    // JVM never sets them)
+    assert(graft.operators.IvfIndex.envNlist == graft.operators.IvfIndex.NumCentroids)
+    assert(graft.operators.IvfIndex.envNprobe == graft.operators.IvfIndex.NumProbe)
+  }
+
   test("ivf-pq composed serving: sound pruning, recall floor, exact re-rank dists") {
     import org.apache.spark.sql.functions.col
     val r = graft.operators.IvfPq.knnIvfPq(spark, sf).collect()

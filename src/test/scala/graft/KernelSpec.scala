@@ -33,6 +33,37 @@ class KernelSpec extends AnyFunSuite {
       s"kernel $i deviates from combinator path"))
   }
 
+  test("FloatVecDistance mixed float/double sides match the combinator path bit-for-bit") {
+    // the probe-ranking stage ranks float query vectors against the
+    // DOUBLE centroid dictionary through this kernel; bit-identity
+    // with the interpreted zip_with path is what allowed the swap
+    // without touching any oracle hash.
+    val cents = emb.select(col("vec_id").as("b_id"),
+      transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    val pairs = emb.crossJoin(cents).filter(col("vec_id") < col("b_id"))
+    val diffs = pairs.select(
+      (FloatVecDistance.cosine(col("embedding"), col("cvec")) -
+        VectorFunctions.cosineDistance(col("embedding"), col("cvec"))).as("dc"),
+      (FloatVecDistance.l2(col("cvec"), col("embedding")) -
+        VectorFunctions.l2Distance(col("cvec"), col("embedding"))).as("dl"))
+      .agg(max(abs(col("dc"))), max(abs(col("dl"))))
+      .collect()(0)
+    (0 until 2).foreach(i => assert(diffs.getDouble(i) == 0.0,
+      s"mixed-type kernel $i deviates from combinator path"))
+    // interpreted (non-codegen) eval of the mixed form agrees too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val e = graft.functions.FloatVecDistance(
+      Literal.create(Array(1f, 2f, 3f), ArrayType(FloatType)),
+      Literal.create(Array(4.0, 5.0, 6.0), ArrayType(DoubleType)),
+      "cosine")
+    val all = graft.functions.FloatVecDistance(
+      Literal.create(Array(1f, 2f, 3f), ArrayType(FloatType)),
+      Literal.create(Array(4f, 5f, 6f), ArrayType(FloatType)),
+      "cosine")
+    assert(e.eval(null) == all.eval(null))
+  }
+
   test("FloatVecDistance interpreted eval agrees with codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, FloatType}
