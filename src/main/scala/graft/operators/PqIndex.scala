@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -170,6 +170,45 @@ object PqIndex {
     }.reduce(_ + _)
     codes.select(col("vec_id"), score.as("adist"))
   }
+
+  /** Batch-ADC support: the per-query lookup table as DATA instead of
+    * a driver-built literal. Returns (qid, adc) with adc the flat
+    * `NumSubspaces × NumCodewords`-double array
+    * `adc(mi*NumCodewords + k) = ‖nq_sub(mi) − cw(mi)(k)‖²` over the
+    * L2-NORMALIZED query. Built once per QUERY row — the frame is
+    * answer-sized (|queries| rows, broadcastable at any corpus size),
+    * so the interpreted higher-order functions here are fine; the
+    * corpus-sized per-candidate work stays the codegen expression in
+    * [[adcScoreOver]]. Left-to-right double accumulation over j, the
+    * same order as the driver-side table in [[adcScores]]. */
+  def adcTable(queriesDf: DataFrame, codebooks: Codebooks): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val nq = transform(col("qv"),
+      x => x.cast("double") / sqrt(aggregate(col("qv"), lit(0.0d),
+        (a, v) => a + v.cast("double") * v.cast("double"))))
+    queriesDf
+      .select(col("qid"), nq.as("nq"))
+      .select(col("qid"),
+        flatten(transform(cbLit, (cbm, mi) =>
+          transform(cbm, cw =>
+            aggregate(
+              zip_with(slice(col("nq"), mi * lit(dsub) + 1, lit(dsub)), cw,
+                (a, b) => (a - b) * (a - b)),
+              lit(0.0d), (acc, x) => acc + x)))).as("adc"))
+  }
+
+  /** Approximate distance of a packed `code` against a per-row `adc`
+    * lookup-table COLUMN — the batch twin of the static-literal unroll
+    * in [[adcScores]]: `Σ_m adc[m*NumCodewords + ((code >> 4m) & 15)]`,
+    * a flat codegen expression (8 element_at lookups on the joined
+    * array, no per-row array construction), summed in the same mi
+    * order as the single-query form. */
+  def adcScoreOver(adc: Column, code: Column): Column =
+    (0 until NumSubspaces).map { mi =>
+      element_at(adc,
+        (shiftright(code, mi * 4).bitwiseAND(15) + lit(mi * NumCodewords) + 1).cast("int"))
+    }.reduce(_ + _)
 
   private def queryVec(s: SparkSession, dir: String): Array[Double] = {
     val raw = Tables.embeddings(s, dir).filter(col("vec_id") === 0)

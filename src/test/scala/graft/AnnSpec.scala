@@ -363,6 +363,37 @@ class AnnSpec extends AnyFunSuite {
     assert(r.map(_.getLong(0)).toSeq == again)
   }
 
+  test("ivf-pq batch serving: full probe degenerates to exact batch; default geometry keeps recall") {
+    import org.apache.spark.sql.functions.col
+    val n = graft.Tables.embeddings(spark, sf).count().toInt
+    // disable both approximations (probe every partition, shortlist the
+    // whole corpus): the composed path must equal exact batch serving
+    // row-for-row — pruning and ADC are the ONLY sources of error
+    val full = graft.operators.IvfPq.knnIvfPqBatch(spark, sf, k = 5, shortlist = n,
+      nprobe = IvfIndex.NumCentroids).collect()
+    val (index, centroids) = IvfIndex.build(spark, sf)
+    val queriesDf = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = IvfIndex.searchBatch(spark, index, centroids, queriesDf, k = 5,
+      nprobe = IvfIndex.NumCentroids).collect()
+    assert(full.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq,
+      "full-probe full-shortlist ivf-pq batch must equal exact batch serving")
+    // default geometry: mean per-query recall@5 vs exact stays usable
+    // under the stacked approximations
+    val approx = graft.operators.IvfPq.knnIvfPqBatch(spark, sf).collect()
+    val byQ = approx.groupBy(_.getLong(0))
+    val exactByQ = exact.groupBy(_.getLong(0))
+    assert(byQ.keySet == exactByQ.keySet, "every query must answer")
+    byQ.values.foreach(rows => assert(rows.length == 5))
+    val recalls = byQ.map { case (q, rows) =>
+      val want = exactByQ(q).map(_.getLong(1)).toSet
+      (rows.map(_.getLong(1)).toSet & want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean batch ivf-pq recall@5 $mean below 0.6")
+  }
+
   test("ab-overlap sample modulus: 1/20 floor on small corpora, absolute cap on large") {
     // below 20*cap docs the floor binds (every driver SF lands here,
     // so the oracle-checked results are unchanged by the cap)...
