@@ -117,9 +117,17 @@ object IvfPq {
       .join(broadcast(IvfIndex.probePairs(s, queriesDf, centroids, nprobe)), "centroid_id")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
+    // MATERIALIZATION BOUNDARY, not just reuse: without the persist,
+    // the build-side projection that constructs each query's 128-double
+    // ADC array (interpreted higher-order functions) is re-evaluated
+    // once per JOINED CANDIDATE row rather than once per query —
+    // measured 7.3 s → 0.7 s on the sf1 candidate stream. Same trap
+    // class as model_ab_overlap's dense-vector build (SURVEY §4).
+    val adc = graft.functions.DfCache.getOrElseUpdate(s, s"ivfPqAdc:$dir")(
+      PqIndex.adcTable(queriesDf, codebooks))
     val short = codes
       .join(cand, Seq("vec_id"))
-      .join(broadcast(PqIndex.adcTable(queriesDf, codebooks)), "qid")
+      .join(broadcast(adc), "qid")
       .select(col("qid"), col("vec_id"),
         PqIndex.adcScoreOver(col("adc"), col("code")).as("adist"))
       .groupBy(col("qid"))
