@@ -302,10 +302,58 @@ object IvfIndex {
     searchBatch(s, index, centroids, queriesDf, k = 5, nprobe = envNprobe)
   }
 
+  /** dedup_embedding_ivf: embedding near-dup pair detection blocked by
+    * the IVF layout — the production scale path for embedding dedup.
+    *
+    * Why it exists: the hyperplane-LSH twin ([[EmbeddingLsh.pairs]])
+    * cannot prune at the mid-similarity dedup radius — at cos-sim
+    * ≈ 0.5 per-bit agreement is ~0.65, so its 6×4-bit bands pass ~32%
+    * of ALL pairs; the candidate join is quadratic with a small
+    * constant, and a 30× scaled run exhausts a single-node heap in
+    * exactly that stage (SURVEY §6). Same physics as the
+    * mm_pair_mining_lsh negative result. IVF blocking is data-adaptive
+    * instead: every vector probes its [[envNprobe]] nearest cells and
+    * is a candidate only against those cells' members, so candidate
+    * volume is N × nprobe × (N/nlist) — with nlist ≈ √N at scale,
+    * ~N^1.5 total work — and near/mid-sim pairs land in nearby cells
+    * regardless of their absolute similarity, so recall holds where
+    * banding's does not (spec-pinned vs the exact baseline).
+    *
+    * Pair semantics match dedup_embedding: (vec_a < vec_b, dist ≤
+    * [[Dedup.CosRadius]]); a pair is a candidate when EITHER side
+    * probes the other's assigned cell (least/greatest + distinct
+    * unions the two probe directions). Candidates carry bare 8-byte
+    * ids through the distinct; embeddings re-join afterwards. Reuses
+    * the same persisted artifacts as the serving ops — no second
+    * index build — and the oracle reproduces probe ranking, cell
+    * restriction, verification, and the radius filter from them. */
+  def dedupPairs(s: SparkSession, dir: String): DataFrame = {
+    val (index, centroids) = build(s, dir, k = envNlist)
+    val probes = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // corpus-sized probe table: the cell join stays un-hinted (AQE
+    // broadcasts at local scale, shuffle equi-join at 100 TB).
+    val cand = index.select(col("vec_id"), col("centroid_id"))
+      .join(probePairs(s, probes, centroids, envNprobe), "centroid_id")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(least(col("qid"), col("vec_id")).as("vec_a"),
+        greatest(col("qid"), col("vec_id")).as("vec_b"))
+      .distinct()
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(FloatVecDistance.cosine(col("ea"), col("eb")), 4).as("dist"))
+      .filter(col("dist") <= Dedup.CosRadius)
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vs_knn_ivf" -> (knnIvf _),
     "vs_knn_ivf_acc" -> (knnIvfAcc _),
-    "vs_knn_ivf_batch" -> (knnIvfBatch _))
+    "vs_knn_ivf_batch" -> (knnIvfBatch _),
+    "dedup_embedding_ivf" -> (dedupPairs _))
 
   /** Shared artifact CTEs: the assignment table and centroid
     * dictionary persisted by `build` (bound via __IVFDIR__). */
@@ -354,6 +402,31 @@ object IvfIndex {
          |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
          |  FROM cand)
          |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // reproduces the IVF-blocked dedup path from the persisted
+    // artifacts: per-vector centroid ranking, nprobe cell restriction
+    // (both probe directions via least/greatest), exact verification,
+    // radius filter. Same contract as the dedup_embedding oracle.
+    "dedup_embedding_ivf" ->
+      s"""WITH $artifactCtes,
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings),
+         |cd AS (SELECT qid, cid, ${VectorSearch.dCosine("cvec", "qv")} AS cdist FROM qs, c),
+         |pr AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS r FROM cd)
+         |  WHERE r <= $NumProbe),
+         |cand AS (
+         |  SELECT DISTINCT least(pr.qid, a.vec_id) AS vec_a,
+         |    greatest(pr.qid, a.vec_id) AS vec_b
+         |  FROM pr JOIN a ON a.centroid_id = pr.cid
+         |  WHERE a.vec_id <> pr.qid),
+         |d AS (
+         |  SELECT vec_a, vec_b,
+         |    round(1e-9 + ${VectorSearch.dCosine("ea.embedding", "eb.embedding")}, 4) AS dist
+         |  FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+         |            JOIN embeddings eb ON eb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, dist FROM d
+         |WHERE dist <= ${Dedup.CosRadius} ORDER BY vec_a, vec_b""".stripMargin,
     "vs_knn_ivf_acc" ->
       s"""WITH $artifactCtes,
          |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),

@@ -59,6 +59,22 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding ivf dedup: verified subset of exact pairs, recall beats the lsh floor") {
+    val exact = Dedup.embedding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = IvfIndex.dedupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(exact), "ivf dedup emitted a pair the exact join rejects")
+    if (exact.nonEmpty) {
+      val recall = (exact & ivf).size.toDouble / exact.size
+      // cell blocking is data-adaptive: near pairs share nearby cells,
+      // so recall at the mid-sim dedup radius holds well above the
+      // banding floor even at nprobe/nlist = 4/16 (measured 1.0 at
+      // sf0.001/sf0.01, 0.84 at sf0.1).
+      assert(recall >= 0.5, s"ivf dedup recall $recall below 0.5")
+    }
+  }
+
   test("pair-mining lsh: wrong-source only, candidate-sound, usable overlap with exact") {
     import org.apache.spark.sql.functions.col
     val lsh = graft.operators.Multimodal.pairMiningLsh(spark, sf)
