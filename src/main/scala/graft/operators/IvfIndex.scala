@@ -319,6 +319,16 @@ object IvfIndex {
     * regardless of their absolute similarity, so recall holds where
     * banding's does not (spec-pinned vs the exact baseline).
     *
+    * Measured honestly (SURVEY §6): the cross-engine gate pins
+    * nlist=16, at which this is N²/4 — quadratic like the LSH twin;
+    * the production geometry (SPARK_GRAFT_IVF_NLIST ≈ √N) measured
+    * 0.89/11.8/62.0 s at 1×/10×/30× (fitted exponent ≈1.3, theory
+    * 1.5) with recall 1.0000 on near-dup pairs and 0.59 on the
+    * mid-sim tail at a 2.8% scan, where both gate-geometry variants
+    * exhausted a single node. The exact broadcast is still faster at
+    * test corpus sizes (41 s at 30×) — the N² kernel stops being an
+    * option around N ≈ 10⁷, which is the regime this path exists for.
+    *
     * Pair semantics match dedup_embedding: (vec_a < vec_b, dist ≤
     * [[Dedup.CosRadius]]); a pair is a candidate when EITHER side
     * probes the other's assigned cell (least/greatest + distinct
