@@ -30,21 +30,31 @@ import graft.functions.FloatVecDistance
   *    scores survivors and TakeOrderedAndProject yields top-k.
   */
 object IvfIndex {
+  /** Floor for the adaptive geometry (and the exact nlist at the tiny
+    * spec SFs, where √N < 16 — so the test suite's pinned-geometry
+    * assertions see the same 16 cells they always did). */
   val NumCentroids = 16
   val NumProbe = 4
   val Seed = 42L
 
-  /** Production-geometry overrides for SIZING MEASUREMENT runs only.
-    * The cross-engine gate pins nlist=[[NumCentroids]] so the DuckDB
-    * oracle can reproduce the persisted artifacts, but the production
-    * sizing is nlist ≈ √N (pruning factor nlist/nprobe grows with the
-    * corpus). A focused bench run sets SPARK_GRAFT_IVF_NLIST /
-    * SPARK_GRAFT_IVF_NPROBE to measure that geometry (SURVEY §6);
-    * correctness runs leave them unset, and `build` persists oracle
-    * artifacts only at the default nlist, so an override can never
+  /** Production sizing, applied BY DEFAULT since round 6: nlist ≈ √N,
+    * floored at [[NumCentroids]] (tiny corpora) and capped at 4096
+    * (beyond that, centroid ranking itself wants an index). The
+    * pruning factor nlist/nprobe grows with the corpus — a fixed
+    * nlist was a test constant leaking into the product, and it made
+    * the N·nprobe·N/nlist candidate paths quadratic in every
+    * measurement (SURVEY §6). The geometry is derived from the corpus
+    * row count, so both engines see it through the persisted
+    * artifacts; nothing in the oracle SQL hard-codes nlist. */
+  def defaultNlist(n: Long): Int =
+    math.max(NumCentroids, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+
+  /** Explicit-geometry overrides for SIZING MEASUREMENT runs only
+    * (0 = unset = the adaptive default above). `build` persists oracle
+    * artifacts only for the adaptive default, so an override can never
     * poison the oracle's artifact dir. */
   private[graft] def envNlist: Int =
-    sys.env.get("SPARK_GRAFT_IVF_NLIST").map(_.toInt).getOrElse(NumCentroids)
+    sys.env.get("SPARK_GRAFT_IVF_NLIST").map(_.toInt).getOrElse(0)
   private[graft] def envNprobe: Int =
     sys.env.get("SPARK_GRAFT_IVF_NPROBE").map(_.toInt).getOrElse(NumProbe)
 
@@ -81,18 +91,21 @@ object IvfIndex {
   private val built = scala.collection.concurrent.TrieMap
     .empty[(Int, String, Int), (DataFrame, Array[Array[Double]])]
 
+  /** `k = 0` (the default) means the corpus-adaptive [[defaultNlist]];
+    * an explicit k is a sizing override and is never persisted. */
   def build(s: SparkSession, dir: String,
-      k: Int = NumCentroids): (DataFrame, Array[Array[Double]]) =
+      k: Int = 0): (DataFrame, Array[Array[Double]]) =
     built.getOrElseUpdate((System.identityHashCode(s), dir, k), {
       val emb = Tables.embeddings(s, dir)
-      val model = fitModel(emb, k)
+      val nlist = if (k > 0) k else defaultNlist(emb.count())
+      val model = fitModel(emb, nlist)
       val indexed = assign(model, emb).repartition(col("centroid_id"))
       val centroids = model.clusterCenters.map(_.toArray)
       // persist the oracle-checkable artifacts for the default index:
       // the (vec_id → centroid) assignment table and the centroid
       // dictionary. Everything downstream of the fit is derived from
       // these two tables in BOTH engines.
-      if (k == NumCentroids) {
+      if (k == 0) {
         import s.implicits._
         // O(corpus) table: shard the write across an EXPLICIT partition
         // count — without one, AQE coalesces a small shuffle to a
@@ -319,15 +332,16 @@ object IvfIndex {
     * regardless of their absolute similarity, so recall holds where
     * banding's does not (spec-pinned vs the exact baseline).
     *
-    * Measured honestly (SURVEY §6): the cross-engine gate pins
-    * nlist=16, at which this is N²/4 — quadratic like the LSH twin;
-    * the production geometry (SPARK_GRAFT_IVF_NLIST ≈ √N) measured
-    * 0.89/11.8/62.0 s at 1×/10×/30× (fitted exponent ≈1.3, theory
-    * 1.5) with recall 1.0000 on near-dup pairs and 0.59 on the
-    * mid-sim tail at a 2.8% scan, where both gate-geometry variants
-    * exhausted a single node. The exact broadcast is still faster at
-    * test corpus sizes (41 s at 30×) — the N² kernel stops being an
-    * option around N ≈ 10⁷, which is the regime this path exists for.
+    * Measured honestly (SURVEY §6): at a FIXED nlist this is
+    * N²·nprobe/nlist — quadratic like the LSH twin (136 s at 10×,
+    * died at 30× when the r6 gate still pinned nlist=16; that
+    * measurement is why [[defaultNlist]] is now corpus-adaptive).
+    * At the √N default the same plan measured 0.89/11.8/62.0 s at
+    * 1×/10×/30× (fitted exponent ≈1.3, theory 1.5) with recall
+    * 1.0000 on near-dup pairs and 0.59 on the mid-sim tail at a
+    * 2.8% scan. The exact broadcast is still faster at test corpus
+    * sizes (41 s at 30×) — the N² kernel stops being an option
+    * around N ≈ 10⁷, which is the regime this path exists for.
     *
     * Pair semantics match dedup_embedding: (vec_a < vec_b, dist ≤
     * [[Dedup.CosRadius]]); a pair is a candidate when EITHER side
@@ -457,7 +471,7 @@ object IvfIndex {
          |  SELECT cr.crank FROM truth t
          |    JOIN a ON t.vec_id = a.vec_id
          |    JOIN cranks cr ON cr.qid = t.qid AND cr.cid = a.centroid_id),
-         |ranks AS (SELECT unnest(generate_series(1, $NumCentroids)) AS n),
+         |ranks AS (SELECT unnest(generate_series(1, (SELECT count(*)::INT FROM c))) AS n),
          |hist AS (SELECT crank, count(*) AS cnt FROM matched GROUP BY 1),
          |cum AS (
          |  SELECT n, sum(coalesce(cnt, 0)) OVER (ORDER BY n) AS cum
@@ -465,7 +479,7 @@ object IvfIndex {
          |-- same double-division comparison as the Scala calibration,
          |-- so boundary recalls resolve identically
          |np AS (
-         |  SELECT coalesce(min(n), $NumCentroids) AS np FROM cum
+         |  SELECT coalesce(min(n), (SELECT count(*)::INT FROM c)) AS np FROM cum
          |  WHERE cum::DOUBLE / ((SELECT count(*) FROM qs) * 10)::DOUBLE >= 0.95),
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |cd0 AS (SELECT cid, ${VectorSearch.dCosine("cvec", "qv")} AS cdist FROM c, q),

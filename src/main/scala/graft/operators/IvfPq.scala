@@ -107,7 +107,7 @@ object IvfPq {
     * The DuckDB oracle reproduces the entire path per query from the
     * same two persisted artifact sets. */
   def knnIvfPqBatch(s: SparkSession, dir: String, k: Int = 5, shortlist: Int = 50,
-      nlist: Int = IvfIndex.NumCentroids, nprobe: Int = IvfIndex.NumProbe): DataFrame = {
+      nlist: Int = 0, nprobe: Int = IvfIndex.NumProbe): DataFrame = {
     val (index, centroids) = IvfIndex.build(s, dir, k = nlist)
     val (codes, codebooks) = PqIndex.build(s, dir)
     val queriesDf = Tables.embeddings(s, dir)
@@ -151,7 +151,7 @@ object IvfPq {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vs_knn_ivf_pq" -> ((s, dir) => knnIvfPq(s, dir)),
     // honors the production-geometry sizing knobs like vs_knn_ivf_batch
-    // (no-ops when unset; artifacts persist only at the pinned default)
+    // (no-ops when unset; artifacts persist only for the adaptive default)
     "vs_knn_ivf_pq_batch" -> ((s, dir) =>
       knnIvfPqBatch(s, dir, nlist = IvfIndex.envNlist, nprobe = IvfIndex.envNprobe)))
 
