@@ -30,11 +30,20 @@ import graft.Tables
   */
 object Analytics2 {
 
-  private val NationA = "NATION_1"
-  private val NationB = "NATION_2"
-
-  /** Q7-style volume shipping: revenue flowing between two nations
-    * (supplier side ↔ customer side), by year and direction. */
+  /** Q7-style volume shipping: revenue flowing between the
+    * TOP-TRAFFIC nation pair (supplier side ↔ customer side), by year
+    * and direction. The pair is RELATIVE (SURVEY §5): TPC-H Q7 names
+    * two fixed nations, but on generated data a hard-coded pair can
+    * have zero bilateral flow at a small SF (it did at sf0.001 —
+    * a vacuous 0=0 oracle match), so the query selects the unordered
+    * pair with the most lineitems instead. Selection runs on the
+    * ANSWER-SIZED aggregate (≤ nations² × years rows) and uses only
+    * integer counts with a lexical tie-break, so both engines pick the
+    * same pair with no float drift in the decision; the revenue
+    * rounding contract is unchanged. One pass over lineitem either
+    * way — the pair filter used to cut the agg input, but the agg is
+    * map-side partial over a dictionary-sized group space, so
+    * aggregating all pairs first costs the same shuffle. */
   def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
@@ -44,16 +53,27 @@ object Analytics2 {
       .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
     val n2 = Tables.nation(s, dir)
       .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+    val agg = l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("snk"))
       .join(broadcast(n2), col("c_nationkey") === col("cnk"))
-      .filter((col("supp_nation") === NationA && col("cust_nation") === NationB) ||
-        (col("supp_nation") === NationB && col("cust_nation") === NationA))
+      .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("raw_rev"),
+        count(lit(1)).as("nrows"))
+    val top = agg
+      .groupBy(least(col("supp_nation"), col("cust_nation")).as("na"),
+        greatest(col("supp_nation"), col("cust_nation")).as("nb"))
+      .agg(sum(col("nrows")).as("pair_rows"))
+      .orderBy(col("pair_rows").desc, col("na"), col("nb"))
+      .limit(1)
+    agg.join(broadcast(top),
+        least(col("supp_nation"), col("cust_nation")) === col("na") &&
+          greatest(col("supp_nation"), col("cust_nation")) === col("nb"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        round(col("raw_rev"), 2).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
@@ -160,18 +180,30 @@ object Analytics2 {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
-  /** Q22-style anti-join: above-average-balance customers with NO
-    * orders, counted per nation. The correlated NOT EXISTS becomes a
-    * left-anti join; the scalar avg subquery is a broadcast. Comparison
-    * runs on the ROUNDED average so both engines cut identically. */
+  /** Q22-style anti-join: above-average-balance customers with no
+    * RECENT orders (none in the trailing 182 days of the order
+    * history), counted per nation. The correlated NOT EXISTS becomes a
+    * left-anti join; the scalar avg and cutoff subqueries are
+    * broadcasts. Comparison runs on the ROUNDED average so both
+    * engines cut identically. Both thresholds are RELATIVE (SURVEY §5):
+    * the r6 absolute form ("no orders ever") was vacuously empty at
+    * the small gate SFs, where every generated customer has at least
+    * one order — a 0=0 oracle match that could not catch a broken
+    * anti-join. The recency cutoff tracks max(o_orderdate), so the
+    * result is non-empty at every SF and stays meaningful as the data
+    * grows. */
   def q22LostCustomers(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val avgBal = c.filter(col("c_acctbal") > 0)
       .agg(round(avg(col("c_acctbal")), 2).as("ab"))
-    val o = Tables.orders(s, dir).select("o_custkey")
+    val o = Tables.orders(s, dir).select("o_custkey", "o_orderdate")
+    val cutoff = o.agg((max(col("o_orderdate")) - expr("INTERVAL 182 DAY")).as("cut"))
+    val recent = o.crossJoin(broadcast(cutoff))
+      .filter(col("o_orderdate") >= col("cut"))
+      .select("o_custkey")
     c.crossJoin(broadcast(avgBal))
       .filter(col("c_acctbal") > col("ab"))
-      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
       .orderBy("c_nationkey")
@@ -695,21 +727,32 @@ object Analytics2 {
         |  round(1e-9 + sum(CASE WHEN p > c AND c > v THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS full_rate
         |FROM f""".stripMargin,
     "q7_volume_shipping" ->
-      s"""SELECT supp_nation, cust_nation, l_year,
-         |  round(1e-9 + sum(volume), 2) AS revenue
-         |FROM (
-         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         |    year(l_shipdate) AS l_year,
-         |    l_extendedprice * (1 - l_discount) AS volume
-         |  FROM lineitem
-         |    JOIN orders ON l_orderkey = o_orderkey
-         |    JOIN supplier ON l_suppkey = s_suppkey
-         |    JOIN customer ON o_custkey = c_custkey
-         |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
-         |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
-         |  WHERE (n1.n_name = '$NationA' AND n2.n_name = '$NationB')
-         |     OR (n1.n_name = '$NationB' AND n2.n_name = '$NationA'))
-         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      """WITH agg AS (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    sum(l_extendedprice * (1 - l_discount)) AS raw_rev,
+        |    count(*) AS nrows
+        |  FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name <> n2.n_name
+        |  GROUP BY 1, 2, 3),
+        |top AS (
+        |  SELECT na, nb FROM (
+        |    SELECT least(supp_nation, cust_nation) AS na,
+        |      greatest(supp_nation, cust_nation) AS nb,
+        |      sum(nrows) AS pair_rows
+        |    FROM agg GROUP BY 1, 2)
+        |  ORDER BY pair_rows DESC, na, nb LIMIT 1)
+        |SELECT supp_nation, cust_nation, l_year,
+        |  round(1e-9 + raw_rev, 2) AS revenue
+        |FROM agg JOIN top
+        |  ON least(supp_nation, cust_nation) = na
+        | AND greatest(supp_nation, cust_nation) = nb
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q17_small_qty" ->
       """WITH cut AS (
         |  SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_cut
@@ -774,12 +817,15 @@ object Analytics2 {
     "q22_lost_customers" ->
       """WITH ab AS (
         |  SELECT round(1e-9 + avg(c_acctbal), 2) AS ab
-        |  FROM customer WHERE c_acctbal > 0)
+        |  FROM customer WHERE c_acctbal > 0),
+        |cut AS (
+        |  SELECT max(o_orderdate) - INTERVAL 182 DAY AS cut FROM orders)
         |SELECT c_nationkey, count(*) AS numcust,
         |  round(1e-9 + sum(c_acctbal), 2) AS totacctbal
-        |FROM customer, ab
+        |FROM customer, ab, cut
         |WHERE c_acctbal > ab
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderdate >= cut.cut)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_yoy_growth" ->
       """WITH rev AS (

@@ -30,10 +30,13 @@ import graft.functions.FloatVecDistance
   *    scores survivors and TakeOrderedAndProject yields top-k.
   */
 object IvfIndex {
-  /** Floor for the adaptive geometry (and the exact nlist at the tiny
-    * spec SFs, where √N < 16 — so the test suite's pinned-geometry
-    * assertions see the same 16 cells they always did). */
+  /** Floor for the adaptive geometry. The floor binds only for corpora
+    * with √N ≤ 16 (N ≤ 256); the spec SFs sit ABOVE it (N = 500 ⇒ 22
+    * cells), so the test suite derives its expected geometry from
+    * [[defaultNlist]] / [[defaultNprobe]], not from this constant. */
   val NumCentroids = 16
+
+  /** Floor for the adaptive probe depth [[defaultNprobe]]. */
   val NumProbe = 4
   val Seed = 42L
 
@@ -49,14 +52,52 @@ object IvfIndex {
   def defaultNlist(n: Long): Int =
     math.max(NumCentroids, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
 
+  /** Probe-depth default, scaled WITH the adaptive geometry:
+    * nprobe ≈ √nlist, floored at [[NumProbe]]. The r6 default pinned
+    * nprobe at 4 while nlist grew as √N, so the scan fraction
+    * nprobe/nlist fell as N^-1/2 (25% of a 500-vector corpus, 0.1% at
+    * the 4096-cell cap) and default recall decayed with the corpus.
+    * √nlist keeps the scan fraction at nlist^-1/2 = N^-1/4 — still
+    * shrinking (total probe work stays sub-quadratic: the blocked
+    * candidate paths cost N·nprobe·N/nlist ≈ N^1.75), but slowly
+    * enough that measured recall holds at the production SFs
+    * (SURVEY §6). The recall-PINNED interface remains TARGET-ACCURACY
+    * calibration ([[calibrateNprobe]], the reference's own tuning
+    * surface — `WITH TARGET ACCURACY`); this default is the
+    * scan-bounded compromise when no target is declared. Both engines
+    * derive it from the persisted centroid count ([[sqlNprobe]]), so
+    * no oracle hard-codes a probe depth. */
+  def defaultNprobe(nlist: Int): Int =
+    math.max(NumProbe, math.round(math.sqrt(nlist.toDouble)).toInt)
+
+  /** `nprobe = 0` in the serving/blocking APIs means "adaptive". */
+  private[graft] def resolveNprobe(nlist: Int, nprobe: Int): Int =
+    if (nprobe > 0) nprobe else defaultNprobe(nlist)
+
+  /** DuckDB twin of [[defaultNprobe]], derived from the persisted
+    * centroid dictionary CTE `c` — the oracle computes the probe depth
+    * from the same artifact the engine computes it from. (√ of an
+    * integer never lands on .5, so round() agrees across engines.) */
+  private[graft] val sqlNprobe: String =
+    s"greatest($NumProbe, CAST(round(sqrt((SELECT count(*) FROM c))) AS INT))"
+
   /** Explicit-geometry overrides for SIZING MEASUREMENT runs only
-    * (0 = unset = the adaptive default above). `build` persists oracle
-    * artifacts only for the adaptive default, so an override can never
-    * poison the oracle's artifact dir. */
+    * (0 = unset = the adaptive defaults above). `build` persists oracle
+    * artifacts only for the adaptive default geometry, so an override
+    * can never poison the oracle's artifact dir. */
   private[graft] def envNlist: Int =
     sys.env.get("SPARK_GRAFT_IVF_NLIST").map(_.toInt).getOrElse(0)
   private[graft] def envNprobe: Int =
-    sys.env.get("SPARK_GRAFT_IVF_NPROBE").map(_.toInt).getOrElse(NumProbe)
+    sys.env.get("SPARK_GRAFT_IVF_NPROBE").map(_.toInt).getOrElse(0)
+
+  /** TARGET-ACCURACY mode for the blocked candidate paths: when set,
+    * dedup_embedding_ivf and mm_pair_mining_ivf calibrate their probe
+    * depth to this recall target ([[calibrateNprobe]]) instead of
+    * taking the scan-bounded default — the dedup/mining twin of the
+    * reference's `WITH TARGET ACCURACY` clause. Measurement/production
+    * knob; unset (the gate configuration) means the default. */
+  private[graft] def envTargetAcc: Option[Double] =
+    sys.env.get("SPARK_GRAFT_IVF_TARGET_ACC").map(_.toDouble)
 
   /** At-rest location of the persisted index artifacts (assignments +
     * centroids) for a corpus dir; the oracle SQL binds __IVFDIR__ to
@@ -85,19 +126,46 @@ object IvfIndex {
 
   /** Assign every vector to its (cosine) nearest centroid; the
     * returned frame is the index: repartitioned on centroid_id.
-    * Memoized per (session, dir, k): an index is a persistent
-    * artifact — refitting k-means for every query that probes it is
-    * an artifact of the per-query test harness, not the design. */
+    * Memoized per (session, dir, RESOLVED nlist): an index is a
+    * persistent artifact — refitting k-means for every query that
+    * probes it is an artifact of the per-query test harness, not the
+    * design. The key carries the resolved geometry, so `k = 0`
+    * (adaptive) and an explicit k equal to the adaptive default hit
+    * the same entry — an identical geometry is never fit twice.
+    * Entries of stopped sessions are evicted on every build call, so
+    * a long-lived JVM that cycles sessions or benches several SF dirs
+    * doesn't accumulate dead frames and centroid arrays
+    * ([[clearCache]] drops everything, for tests and services). */
   private val built = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Int), (DataFrame, Array[Array[Double]])]
+    .empty[(SparkSession, String, Int), (DataFrame, Array[Array[Double]])]
+  private val counted = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Long]
+
+  private def evictStopped(): Unit = {
+    built.keys.filter(_._1.sparkContext.isStopped).foreach(built.remove)
+    counted.keys.filter(_._1.sparkContext.isStopped).foreach(counted.remove)
+  }
+  private[graft] def cacheSize: Int = built.size
+  private[graft] def clearCache(): Unit = { built.clear(); counted.clear() }
+
+  /** Corpus row count, memoized per (session, dir): the adaptive
+    * geometry needs it on every build call, and it only changes when
+    * the corpus dir does. */
+  private[graft] def corpusCount(s: SparkSession, dir: String): Long =
+    counted.getOrElseUpdate((s, dir), Tables.embeddings(s, dir).count())
 
   /** `k = 0` (the default) means the corpus-adaptive [[defaultNlist]];
-    * an explicit k is a sizing override and is never persisted. */
+    * an explicit k is a sizing override. Artifacts are persisted iff
+    * the resolved geometry IS the adaptive default (so an explicit
+    * sizing k that happens to equal the default persists the identical
+    * artifacts rather than skipping them). */
   def build(s: SparkSession, dir: String,
-      k: Int = 0): (DataFrame, Array[Array[Double]]) =
-    built.getOrElseUpdate((System.identityHashCode(s), dir, k), {
+      k: Int = 0): (DataFrame, Array[Array[Double]]) = {
+    evictStopped()
+    val default = defaultNlist(corpusCount(s, dir))
+    val nlist = if (k > 0) k else default
+    built.getOrElseUpdate((s, dir, nlist), {
       val emb = Tables.embeddings(s, dir)
-      val nlist = if (k > 0) k else defaultNlist(emb.count())
       val model = fitModel(emb, nlist)
       val indexed = assign(model, emb).repartition(col("centroid_id"))
       val centroids = model.clusterCenters.map(_.toArray)
@@ -105,7 +173,7 @@ object IvfIndex {
       // the (vec_id → centroid) assignment table and the centroid
       // dictionary. Everything downstream of the fit is derived from
       // these two tables in BOTH engines.
-      if (k == 0) {
+      if (nlist == default) {
         import s.implicits._
         // O(corpus) table: shard the write across an EXPLICIT partition
         // count — without one, AQE coalesces a small shuffle to a
@@ -123,6 +191,7 @@ object IvfIndex {
       }
       (indexed, centroids)
     })
+  }
 
   private[graft] def cosineDist(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -131,14 +200,14 @@ object IvfIndex {
   }
 
   /** Probe: top-k by cosine among the nprobe nearest centroids'
-    * partitions only. */
+    * partitions only (`nprobe = 0` = the adaptive [[defaultNprobe]]). */
   def search(s: SparkSession, index: DataFrame, centroids: Array[Array[Double]],
-      query: Array[Float], k: Int, nprobe: Int = NumProbe): DataFrame = {
+      query: Array[Float], k: Int, nprobe: Int = 0): DataFrame = {
     val q = query.map(_.toDouble)
     val probes = centroids.zipWithIndex
       .map { case (c, i) => (i, cosineDist(c, q)) }
       .sortBy { case (i, d) => (d, i) }
-      .take(nprobe).map(_._1)
+      .take(resolveNprobe(centroids.length, nprobe)).map(_._1)
     // centroid IN (...) on the partitioning column = partition pruning.
     val qlit = array(query.map(f => lit(f)).toIndexedSeq: _*).cast("array<float>")
     index.filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
@@ -183,8 +252,9 @@ object IvfIndex {
     * exactly once. `queriesDf` needs (qid, qv); extra columns pass
     * through the ranking unprojected. */
   def probePairs(s: SparkSession, queriesDf: DataFrame,
-      centroids: Array[Array[Double]], nprobe: Int = NumProbe): DataFrame = {
+      centroids: Array[Array[Double]], nprobe: Int = 0): DataFrame = {
     import s.implicits._
+    val np = resolveNprobe(centroids.length, nprobe)
     val cdf = centroids.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
       .toSeq.toDF("cid", "cvec")
     queriesDf
@@ -197,7 +267,7 @@ object IvfIndex {
         FloatVecDistance.cosine(col("qv"), col("cvec")).as("cdist"),
         col("cid"))
       .groupBy(col("qid"))
-      .agg(graft.functions.TopKAgg.topkByDist(col("cdist"), col("cid"), nprobe).as("probes"))
+      .agg(graft.functions.TopKAgg.topkByDist(col("cdist"), col("cid"), np).as("probes"))
       .select(col("qid"), explode(col("probes.id")).as("cid"))
       .select(col("qid"), col("cid").cast("int").as("centroid_id"))
   }
@@ -212,18 +282,25 @@ object IvfIndex {
     * one equi-join of the (query, probed-centroid) pairs against the
     * centroid-partitioned index — partition pruning expressed as a
     * join key — then the exact kernel and a bounded top-k agg per
-    * query. The qid→qv join is left un-hinted: AQE broadcasts it at
-    * local scale and falls back to a high-cardinality shuffle join on
-    * qid for a 100 TB-sized query table. The distributed centroid
+    * query. Both query-sized joins (probe pairs → index, qid → qv)
+    * are left un-hinted: AQE broadcasts them at local scale and falls
+    * back to high-cardinality shuffle joins for a 100 TB-sized query
+    * table. The distributed centroid
     * ranking is bit-identical to `search`'s driver-side ranking (same
     * left-to-right double accumulation, same (dist, id) tie-break).
     * Oracle-checked from the persisted artifacts; AnnSpec asserts the
     * full-probe form equals brute force per query. */
   def searchBatch(s: SparkSession, index: DataFrame,
       centroids: Array[Array[Double]],
-      queriesDf: DataFrame, k: Int, nprobe: Int = NumProbe): DataFrame = {
+      queriesDf: DataFrame, k: Int, nprobe: Int = 0): DataFrame = {
     index
-      .join(broadcast(probePairs(s, queriesDf, centroids, nprobe)), "centroid_id")
+      // the (qid, centroid) pair table is |queries|×nprobe rows — tiny
+      // for a sampled query table but corpus-sized for the 100 TB
+      // batch-serving story, so the join stays UN-HINTED: AQE
+      // broadcasts it at local scale (plan-pinned in AnnSpec) and
+      // falls back to a shuffle equi-join when the query table grows.
+      // A forced broadcast() here overflowed exactly that case.
+      .join(probePairs(s, queriesDf, centroids, nprobe), "centroid_id")
       .join(queriesDf.select(col("qid"), col("qv")), "qid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -247,27 +324,44 @@ object IvfIndex {
     * neighbor is recovered at probe depth n iff its centroid ranks
     * ≤ n in the query's centroid ordering, so recall(n) is a running
     * cumulative count over centroid ranks. Everything distributed
-    * except the final ≤ NumCentroids rank histogram. */
+    * except the final ≤ nlist rank histogram.
+    *
+    * `radius` switches the ground truth from top-k neighbors to
+    * RADIUS neighbors (rounded dist ≤ radius — the dedup contract):
+    * the returned nprobe then targets PAIR recall, the quantity
+    * dedup_embedding_ivf exists to preserve, instead of serving
+    * recall@k. Same closed form; only the truth set and its
+    * denominator change. A sample with no radius neighbors falls
+    * back to the scan-bounded default (nothing to calibrate on). */
   def calibrateNprobe(s: SparkSession, index: DataFrame,
       centroids: Array[Array[Double]], dir: String,
-      targetAccuracy: Double, k: Int = 10, sampleMod: Int = 50): Int = {
+      targetAccuracy: Double, k: Int = 10, sampleMod: Int = 50,
+      radius: Option[Double] = None): Int = {
     import s.implicits._
     val sample = Tables.embeddings(s, dir)
       .filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    // exact ground-truth top-k per sample query (broadcast the sample,
-    // bounded top-k agg — shuffle volume is the answer size)
-    val truth = index
+    // exact ground truth per sample query (broadcast the sample,
+    // bounded top-k agg / radius filter — shuffle volume is the
+    // answer size)
+    val scored = index
       .crossJoin(broadcast(sample))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"),
         FloatVecDistance.cosine(col("embedding"), col("qv")).as("dist"),
         col("vec_id"))
-      .groupBy(col("qid"))
-      .agg(graft.functions.TopKAgg.topkByDist(col("dist"), col("vec_id"), k).as("top"))
-      .select(col("qid"), explode(col("top.id")).as("vec_id"))
+    val truthIds = radius match {
+      case Some(r) =>
+        scored.filter(round(col("dist"), 4) <= r)
+          .select(col("qid"), col("vec_id"))
+      case None =>
+        scored.groupBy(col("qid"))
+          .agg(graft.functions.TopKAgg.topkByDist(col("dist"), col("vec_id"), k).as("top"))
+          .select(col("qid"), explode(col("top.id")).as("vec_id"))
+    }
+    val truth = truthIds
       .join(index.select(col("vec_id"), col("centroid_id")), "vec_id")
-    // per-query centroid ranking: sample × NumCentroids rows, windowed
+    // per-query centroid ranking: sample × nlist rows, windowed
     // per query — bounded work, parallel across queries
     val cdf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("centroid_id", "cvec")
@@ -281,12 +375,21 @@ object IvfIndex {
     val byRank = truth.join(cranks, Seq("qid", "centroid_id"))
       .groupBy(col("crank")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    val denom = (nQueries * k).toDouble
-    var cum = 0L
-    (1 to centroids.length).find { n =>
-      cum += byRank.getOrElse(n, 0L)
-      cum / denom >= targetAccuracy
-    }.getOrElse(centroids.length)
+    // top-k mode keeps the oracle-mirrored |sample|·k denominator
+    // (every sample query has k true neighbors at any non-degenerate
+    // corpus size); radius mode divides by the true pair count.
+    val denom = radius match {
+      case Some(_) => byRank.values.sum.toDouble
+      case None    => (nQueries * k).toDouble
+    }
+    if (denom == 0) resolveNprobe(centroids.length, 0)
+    else {
+      var cum = 0L
+      (1 to centroids.length).find { n =>
+        cum += byRank.getOrElse(n, 0L)
+        cum / denom >= targetAccuracy
+      }.getOrElse(centroids.length)
+    }
   }
 
   /** vs_knn_ivf_acc: the vs_knn_ivf probe with nprobe chosen by
@@ -325,10 +428,13 @@ object IvfIndex {
     * constant, and a 30× scaled run exhausts a single-node heap in
     * exactly that stage (SURVEY §6). Same physics as the
     * mm_pair_mining_lsh negative result. IVF blocking is data-adaptive
-    * instead: every vector probes its [[envNprobe]] nearest cells and
-    * is a candidate only against those cells' members, so candidate
-    * volume is N × nprobe × (N/nlist) — with nlist ≈ √N at scale,
-    * ~N^1.5 total work — and near/mid-sim pairs land in nearby cells
+    * instead: every vector probes its [[defaultNprobe]] nearest cells
+    * and is a candidate only against those cells' members, so
+    * candidate volume is N × nprobe × (N/nlist) — with nlist ≈ √N and
+    * nprobe ≈ √nlist at scale, ~N^1.75 total work (r6's fixed
+    * nprobe=4 gave N^1.5 but let recall decay with the corpus; the
+    * recall-pinned mode is [[envTargetAcc]]) — and near/mid-sim pairs
+    * land in nearby cells
     * regardless of their absolute similarity, so recall holds where
     * banding's does not (spec-pinned vs the exact baseline).
     *
@@ -353,12 +459,21 @@ object IvfIndex {
     * restriction, verification, and the radius filter from them. */
   def dedupPairs(s: SparkSession, dir: String): DataFrame = {
     val (index, centroids) = build(s, dir, k = envNlist)
+    // probe depth: the scan-bounded adaptive default, an explicit
+    // sizing override, or — the reference's TARGET-ACCURACY contract —
+    // calibrated against PAIR recall at the dedup radius
+    // ([[envTargetAcc]]; radius ground truth, same closed form).
+    val np = envTargetAcc match {
+      case Some(t) => calibrateNprobe(s, index, centroids, dir, t,
+        radius = Some(Dedup.CosRadius))
+      case None => envNprobe
+    }
     val probes = Tables.embeddings(s, dir)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     // corpus-sized probe table: the cell join stays un-hinted (AQE
     // broadcasts at local scale, shuffle equi-join at 100 TB).
     val cand = index.select(col("vec_id"), col("centroid_id"))
-      .join(probePairs(s, probes, centroids, envNprobe), "centroid_id")
+      .join(probePairs(s, probes, centroids, np), "centroid_id")
       .filter(col("qid") =!= col("vec_id"))
       .select(least(col("qid"), col("vec_id")).as("vec_a"),
         greatest(col("qid"), col("vec_id")).as("vec_b"))
@@ -399,7 +514,7 @@ object IvfIndex {
          |probes AS (
          |  SELECT cid FROM (
          |    SELECT cid, row_number() OVER (ORDER BY cdist, cid) AS r FROM cd)
-         |  WHERE r <= $NumProbe)
+         |  WHERE r <= $sqlNprobe)
          |SELECT e.vec_id, round(1e-9 + ${VectorSearch.dCosine("e.embedding", "qv")}, 4) AS dist
          |FROM embeddings e JOIN a USING (vec_id)
          |  JOIN probes ON a.centroid_id = probes.cid, q
@@ -413,7 +528,7 @@ object IvfIndex {
          |  SELECT qid, cid FROM (
          |    SELECT qid, cid,
          |      row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS r FROM cd)
-         |  WHERE r <= $NumProbe),
+         |  WHERE r <= $sqlNprobe),
          |cand AS (
          |  SELECT qs.qid, a.vec_id,
          |    round(1e-9 + ${VectorSearch.dCosine("e.embedding", "qv")}, 4) AS dist
@@ -438,7 +553,7 @@ object IvfIndex {
          |  SELECT qid, cid FROM (
          |    SELECT qid, cid,
          |      row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS r FROM cd)
-         |  WHERE r <= $NumProbe),
+         |  WHERE r <= $sqlNprobe),
          |cand AS (
          |  SELECT DISTINCT least(pr.qid, a.vec_id) AS vec_a,
          |    greatest(pr.qid, a.vec_id) AS vec_b

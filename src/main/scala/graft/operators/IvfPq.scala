@@ -39,7 +39,7 @@ object IvfPq {
   /** vs_knn_ivf_pq: approximate top-`k` for the vec_id=0 query via
     * IVF-pruned ADC over PQ codes with exact re-rank. */
   def knnIvfPq(s: SparkSession, dir: String, k: Int = 10, shortlist: Int = 50,
-      nprobe: Int = IvfIndex.NumProbe): DataFrame = {
+      nprobe: Int = 0): DataFrame = {
     val (index, centroids) = IvfIndex.build(s, dir)
     val (codes, codebooks) = PqIndex.build(s, dir)
     val qRaw = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
@@ -49,7 +49,7 @@ object IvfPq {
     val probes = centroids.zipWithIndex
       .map { case (c, i) => (i, IvfIndex.cosineDist(c, qRaw)) }
       .sortBy { case (i, d) => (d, i) }
-      .take(nprobe).map(_._1)
+      .take(IvfIndex.resolveNprobe(centroids.length, nprobe)).map(_._1)
     val cand = index
       .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
       .select(col("vec_id"))
@@ -107,14 +107,18 @@ object IvfPq {
     * The DuckDB oracle reproduces the entire path per query from the
     * same two persisted artifact sets. */
   def knnIvfPqBatch(s: SparkSession, dir: String, k: Int = 5, shortlist: Int = 50,
-      nlist: Int = 0, nprobe: Int = IvfIndex.NumProbe): DataFrame = {
+      nlist: Int = 0, nprobe: Int = 0): DataFrame = {
     val (index, centroids) = IvfIndex.build(s, dir, k = nlist)
     val (codes, codebooks) = PqIndex.build(s, dir)
     val queriesDf = Tables.embeddings(s, dir)
       .filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val cand = index
-      .join(broadcast(IvfIndex.probePairs(s, queriesDf, centroids, nprobe)), "centroid_id")
+      // un-hinted like IvfIndex.searchBatch: |queries|×nprobe rows is
+      // broadcast-sized for a sampled query table (AQE does it at
+      // local scale, plan-pinned in AnnSpec) but corpus-sized for the
+      // 100 TB batch-serving story, where a forced broadcast overflows.
+      .join(IvfIndex.probePairs(s, queriesDf, centroids, nprobe), "centroid_id")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
     // MATERIALIZATION BOUNDARY, not just reuse: without the persist,
@@ -174,7 +178,7 @@ object IvfPq {
          |probes AS (
          |  SELECT cid FROM (
          |    SELECT cid, row_number() OVER (ORDER BY cdist, cid) AS r FROM cd)
-         |  WHERE r <= ${IvfIndex.NumProbe}),
+         |  WHERE r <= ${IvfIndex.sqlNprobe}),
          |qn AS (
          |  SELECT [x::DOUBLE / sqrt(list_sum([y::DOUBLE * y::DOUBLE for y in embedding]))
          |          for x in embedding] AS nq
@@ -215,7 +219,7 @@ object IvfPq {
          |  SELECT qid, cid FROM (
          |    SELECT qid, cid,
          |      row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS r FROM cd)
-         |  WHERE r <= ${IvfIndex.NumProbe}),
+         |  WHERE r <= ${IvfIndex.sqlNprobe}),
          |qn AS (
          |  SELECT vec_id AS qid,
          |    [x::DOUBLE / sqrt(list_sum([y::DOUBLE * y::DOUBLE for y in embedding]))

@@ -264,10 +264,11 @@ object Multimodal {
   }
 
   /** The PRODUCTION scale path for hard-negative mining — IVF-blocked:
-    * every anchor probes its [[IvfIndex.NumProbe]] nearest centroids
+    * every anchor probes its [[IvfIndex.defaultNprobe]] nearest centroids
     * and scores only those cells' members, so candidate volume is
     * N × nprobe × (N/nlist) and shrinks as nlist grows with the
-    * corpus (nlist ≈ √N at scale ⇒ ~N^1.5 total work), where
+    * corpus (nlist ≈ √N, nprobe ≈ √nlist at scale ⇒ ~N^1.75 total
+    * work, recall-stable; TARGET ACCURACY pins it exactly), where
     * hyperplane banding at this similarity level cannot prune
     * asymptotically (see [[pairMiningLsh]]). Centroid pruning adapts
     * to the data: an anchor's nearest wrong-source items live in its
@@ -284,6 +285,15 @@ object Multimodal {
     * sits inside the scoring join before the bounded top-k. */
   def pairMiningIvf(s: SparkSession, dir: String): DataFrame = {
     val (index, centroids) = IvfIndex.build(s, dir, k = IvfIndex.envNlist)
+    // probe depth: scan-bounded adaptive default, a sizing override, or
+    // TARGET-ACCURACY calibrated against recall@3 — the top-k that this
+    // operator serves (all-neighbor recall is a conservative proxy for
+    // the wrong-source-only truth: masking candidates can only remove
+    // same-source competitors from the top-3).
+    val np = IvfIndex.envTargetAcc match {
+      case Some(t) => IvfIndex.calibrateNprobe(s, index, centroids, dir, t, k = 3)
+      case None => IvfIndex.envNprobe
+    }
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     val anchors = Tables.embeddings(s, dir)
       .join(src, col("vec_id") === col("doc_id"))
@@ -296,7 +306,7 @@ object Multimodal {
     index
       .join(src.select(col("doc_id"), col("source").as("neg_source")),
         col("vec_id") === col("doc_id")).drop("doc_id")
-      .join(IvfIndex.probePairs(s, anchors, centroids, IvfIndex.envNprobe), "centroid_id")
+      .join(IvfIndex.probePairs(s, anchors, centroids, np), "centroid_id")
       .join(anchors.select(col("qid"), col("qv"), col("q_source")), "qid")
       .filter(col("vec_id") =!= col("qid") && col("neg_source") =!= col("q_source"))
       .select(col("qid"), col("vec_id"),
@@ -337,7 +347,7 @@ object Multimodal {
          |  SELECT qid, cid FROM (
          |    SELECT qid, cid,
          |      row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS r FROM cd)
-         |  WHERE r <= ${IvfIndex.NumProbe}),
+         |  WHERE r <= ${IvfIndex.sqlNprobe}),
          |cand AS (
          |  SELECT qs.qid AS doc_id, a.vec_id AS neg_id,
          |    round(1e-9 + ${VectorSearch.dCosine("e.embedding", "qv")}, 4) AS dist

@@ -59,8 +59,14 @@ object PqIndex {
   /** codebooks(m)(k) = the k-th codeword of subspace m (dsub doubles). */
   type Codebooks = Array[Array[Array[Double]]]
 
+  /** Memoized per (session, dir); entries of stopped sessions are
+    * evicted on every build call (same hygiene as IvfIndex.built —
+    * a long-lived JVM cycling sessions must not pin dead frames). */
   private val built = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (DataFrame, Codebooks)]
+    .empty[(SparkSession, String), (DataFrame, Codebooks)]
+
+  private[graft] def cacheSize: Int = built.size
+  private[graft] def clearCache(): Unit = built.clear()
 
   private def normalized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
@@ -96,8 +102,9 @@ object PqIndex {
   /** Fit per-subspace codebooks and encode the corpus. Returns the
     * codes table (vec_id, code int) and the codebooks. Memoized per
     * (session, dir): the PQ index is a persistent artifact. */
-  def build(s: SparkSession, dir: String): (DataFrame, Codebooks) =
-    built.getOrElseUpdate((System.identityHashCode(s), dir), {
+  def build(s: SparkSession, dir: String): (DataFrame, Codebooks) = {
+    built.keys.filter(_._1.sparkContext.isStopped).foreach(built.remove)
+    built.getOrElseUpdate((s, dir), {
       val norm = normalized(Tables.embeddings(s, dir)).cache()
       val dim = norm.select(size(col("nvec"))).head().getInt(0)
       val codebooks: Codebooks = fitOn(norm, dim)
@@ -148,6 +155,7 @@ object PqIndex {
       norm.unpersist()
       (s.read.parquet(s"$dump/codes.parquet"), codebooks)
     })
+  }
 
   /** ADC scan: approximate distance of every code to `query` via the
     * driver-built 8×16 lookup table, as a single codegen expression

@@ -44,7 +44,12 @@ object IvfStream {
     * pure batch build with the same model. */
   def indexUpsert(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val model = IvfIndex.fitModel(emb.filter(col("vec_id") % 2 === 0))
+    // the base-corpus fit uses the same adaptive geometry as a batch
+    // build of that corpus (the streamed layout is not a special case);
+    // probes derive nprobe from the fitted centroid count in BOTH
+    // engines, so the oracle needs no pinned constants.
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val model = IvfIndex.fitModel(base, IvfIndex.defaultNlist(base.count()))
     val root = graft.functions.Scratch.fresh("ivfstream", dir)
     val indexPath = s"$root/index"
 
@@ -116,7 +121,7 @@ object IvfStream {
          |probes AS (
          |  SELECT cid FROM (
          |    SELECT cid, row_number() OVER (ORDER BY cdist, cid) AS r FROM cd)
-         |  WHERE r <= ${IvfIndex.NumProbe})
+         |  WHERE r <= ${IvfIndex.sqlNprobe})
          |SELECT e.vec_id, round(1e-9 + ${graft.operators.VectorSearch.dCosine("e.embedding", "qv")}, 4) AS dist
          |FROM embeddings e JOIN a USING (vec_id)
          |  JOIN probes ON a.centroid_id = probes.cid, q

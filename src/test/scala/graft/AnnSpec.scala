@@ -14,10 +14,11 @@ class AnnSpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     // non-trivial-recall floor, not a quality bar: the spec corpus is
     // UNIFORM random — IVF's worst case (no cluster structure) — and
-    // the adaptive geometry probes 4/22 ≈ 18% of it (measured 0.4
-    // here; the recall-targeted interface is vs_knn_ivf_acc, and the
+    // the adaptive geometry probes √nlist = 5 of 22 cells ≈ 23%
+    // (the recall-targeted interface is vs_knn_ivf_acc, and the
     // real-geometry batch recall measured 1.0 at the 10× SF).
-    assert(recall >= 0.3, s"ivf recall $recall below 0.3 (nprobe=${IvfIndex.NumProbe})")
+    assert(recall >= 0.3,
+      s"ivf recall $recall below 0.3 (nprobe=${IvfIndex.defaultNprobe(22)})")
   }
 
   test("ivf full probe equals exact knn") {
@@ -348,9 +349,111 @@ class AnnSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.max(col("centroid_id"))).collect()(0).getInt(0)
     assert(maxAssigned < expected)
     // the knobs themselves default to the adaptive geometry (the test
-    // JVM never sets them; 0 = adaptive)
+    // JVM never sets them; 0 = adaptive for both)
     assert(graft.operators.IvfIndex.envNlist == 0)
-    assert(graft.operators.IvfIndex.envNprobe == graft.operators.IvfIndex.NumProbe)
+    assert(graft.operators.IvfIndex.envNprobe == 0)
+    assert(graft.operators.IvfIndex.envTargetAcc.isEmpty)
+  }
+
+  test("adaptive probe depth scales as sqrt(nlist), floored, both-engine derivable") {
+    import graft.operators.IvfIndex
+    // floor binds at and below 16 cells
+    assert(IvfIndex.defaultNprobe(1) == IvfIndex.NumProbe)
+    assert(IvfIndex.defaultNprobe(16) == IvfIndex.NumProbe)
+    // √nlist above it: the spec geometry (22 cells) probes 5; the
+    // production cap (4096 cells) probes 64 — the scan fraction decays
+    // as nlist^-1/2 instead of r6's nlist^-1
+    assert(IvfIndex.defaultNprobe(22) == 5)
+    assert(IvfIndex.defaultNprobe(64) == 8)
+    assert(IvfIndex.defaultNprobe(4096) == 64)
+    // nprobe never exceeds nlist (sqrt(n) <= n for n >= 1, floor only
+    // binds where nlist >= 16 > 4)
+    Seq(16, 22, 45, 141, 707, 4096).foreach { n =>
+      assert(IvfIndex.defaultNprobe(n) <= n)
+    }
+  }
+
+  test("build memo normalizes the geometry key: k=0 and explicit default share one fit") {
+    import graft.operators.IvfIndex
+    val default = IvfIndex.defaultNlist(IvfIndex.corpusCount(spark, sf))
+    val a = IvfIndex.build(spark, sf) // adaptive
+    val b = IvfIndex.build(spark, sf, k = default) // explicit = default
+    // reference equality: the SAME memo entry, so an identical geometry
+    // is never fit twice (the r6 memo keyed on the raw k and double-fit)
+    assert(a._1 eq b._1, "k=0 and k=defaultNlist must hit one memo entry")
+    assert(a._2 eq b._2)
+  }
+
+  test("index cache is evictable: clearCache drops entries, rebuild still works") {
+    import graft.operators.IvfIndex
+    IvfIndex.build(spark, sf)
+    assert(IvfIndex.cacheSize >= 1)
+    IvfIndex.clearCache()
+    assert(IvfIndex.cacheSize == 0)
+    val (_, centroids) = IvfIndex.build(spark, sf)
+    assert(centroids.length == IvfIndex.defaultNlist(IvfIndex.corpusCount(spark, sf)))
+  }
+
+  test("radius-calibrated nprobe: meets pair-recall target, monotone in target") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup, IvfIndex}
+    val (index, centroids) = IvfIndex.build(spark, sf)
+    // sample densely enough that the tiny spec corpus has radius pairs
+    val np80 = IvfIndex.calibrateNprobe(spark, index, centroids, sf,
+      targetAccuracy = 0.8, sampleMod = 5, radius = Some(Dedup.CosRadius))
+    val np100 = IvfIndex.calibrateNprobe(spark, index, centroids, sf,
+      targetAccuracy = 1.0, sampleMod = 5, radius = Some(Dedup.CosRadius))
+    assert(np80 >= 1 && np80 <= np100 && np100 <= centroids.length,
+      s"np80=$np80 np100=$np100")
+    // verify the closed form against a direct measurement: recall of
+    // sampled radius pairs at the calibrated depth meets the target
+    val sample = Tables.embeddings(spark, sf).filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairsAt(np: Int): Set[(Long, Long)] = {
+      import org.apache.spark.sql.functions._
+      index.join(IvfIndex.probePairs(spark, sample, centroids, np), "centroid_id")
+        .filter(col("qid") =!= col("vec_id"))
+        .join(sample, "qid")
+        .select(col("qid"), col("vec_id"),
+          graft.functions.SafeRound.round(
+            graft.functions.FloatVecDistance.cosine(col("embedding"), col("qv")), 4)
+            .as("dist"))
+        .filter(col("dist") <= Dedup.CosRadius)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val exact = pairsAt(centroids.length)
+    if (exact.nonEmpty) {
+      val got = pairsAt(np80)
+      val recall = (got & exact).size.toDouble / exact.size
+      assert(recall >= 0.8, s"pair recall $recall at radius-calibrated nprobe=$np80")
+    }
+    // an unmeetable sample (no radius neighbors) falls back to default:
+    // sampleMod large enough that the sample is a single far vector
+    val npEmpty = IvfIndex.calibrateNprobe(spark, index, centroids, sf,
+      targetAccuracy = 0.9, sampleMod = 1000000, radius = Some(Dedup.CosRadius))
+    assert(npEmpty == IvfIndex.defaultNprobe(centroids.length))
+  }
+
+  test("un-hinted probe-pair joins still broadcast at local scale (AQE)") {
+    import org.apache.spark.sql.functions.col
+    val (index, centroids) = IvfIndex.build(spark, sf)
+    val queriesDf = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // the forced broadcast() hints were removed (a corpus-sized query
+    // table must be allowed to shuffle-join at 100 TB); this pins that
+    // AQE still picks a broadcast join for the answer-sized pair table
+    // locally, so un-hinting cost nothing at test scale.
+    val served = IvfIndex.searchBatch(spark, index, centroids, queriesDf, k = 5)
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"probe-pair join did not broadcast at local scale:\n$plan")
+    val pq = graft.operators.IvfPq.knnIvfPqBatch(spark, sf)
+    pq.collect()
+    val pqPlan = pq.queryExecution.executedPlan.toString
+    assert(pqPlan.contains("BroadcastHashJoin") || pqPlan.contains("BroadcastExchange"),
+      s"ivf-pq probe-pair join did not broadcast at local scale:\n$pqPlan")
   }
 
   test("ivf-pq composed serving: sound pruning, recall floor, exact re-rank dists") {
@@ -366,7 +469,8 @@ class AnnSpec extends AnyFunSuite {
       .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
     val probes = centroids.zipWithIndex
       .map { case (c, i) => (i, IvfIndex.cosineDist(c, qRaw)) }
-      .sortBy { case (i, d) => (d, i) }.take(IvfIndex.NumProbe).map(_._1).toSet
+      .sortBy { case (i, d) => (d, i) }
+      .take(IvfIndex.defaultNprobe(centroids.length)).map(_._1).toSet
     val assigned = index.filter(col("vec_id").isin(r.map(_.getLong(0)).toIndexedSeq: _*))
       .select("vec_id", "centroid_id").collect()
       .map(x => x.getLong(0) -> x.getInt(1)).toMap
@@ -414,9 +518,9 @@ class AnnSpec extends AnyFunSuite {
       (rows.map(_.getLong(1)).toSet & want).size.toDouble / want.size
     }
     val mean = recalls.sum / recalls.size
-    // floor calibrated on the adaptive geometry (4/22 probes of a
-    // UNIFORM random corpus, PQ quantization stacked on top — measured
-    // 0.5 here); the real-geometry single-approximation recalls are
+    // floor calibrated on the adaptive geometry (5/22 probes of a
+    // UNIFORM random corpus, PQ quantization stacked on top); the
+    // real-geometry single-approximation recalls are
     // measured in SURVEY §6 (batch IVF recall@5 = 1.0 at the 10× SF)
     assert(mean >= 0.4, s"mean batch ivf-pq recall@5 $mean below 0.4")
   }

@@ -40,7 +40,10 @@ class StreamingSpec extends AnyFunSuite {
     // batch path: same centroid model (seeded fit on the even half),
     // whole table assigned in one pass
     val emb = Tables.embeddings(spark, sf)
-    val model = IvfIndex.fitModel(emb.filter(col("vec_id") % 2 === 0))
+    // same adaptive geometry as IvfStream's base fit (at the spec SF
+    // the √N default coincides with the 16-cell floor)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val model = IvfIndex.fitModel(base, IvfIndex.defaultNlist(base.count()))
     val query = emb.filter(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
     val batchIndex = IvfIndex.assign(model, emb).filter(col("vec_id") =!= 0)

@@ -25,15 +25,20 @@ def main():
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids = np.array(t["vec_id"].to_pylist())
-    v = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    # float64 throughout, and the engine's rounding mirrored exactly
+    # (SafeRound: round(x + 1e-9, 4), HALF_UP after the nudge): a
+    # float32 matmul + bare np.round (half-to-even) can flip pairs
+    # whose distance sits on a 4-decimal boundary or within float32
+    # error of the radius, spuriously failing the soundness assert.
+    v = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     order = np.argsort(ids)
     ids, v = ids[order], v[order]
-    vn = (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
 
     exact = {}
     chunk = 2000
     for i0 in range(0, len(vn), chunk):
-        d = np.round(1 - vn[i0:i0 + chunk] @ vn.T, 4)
+        d = np.round(1 - vn[i0:i0 + chunk] @ vn.T + 1e-9, 4)
         for r, c in zip(*np.where(d <= radius)):
             a, b = int(ids[i0 + r]), int(ids[c])
             if a < b:

@@ -24,6 +24,14 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# Queries allowed to return 0 rows at a gate SF. Empty on purpose: a
+# 0=0 comparison is vacuous (it cannot distinguish a broken filter or
+# anti-join from a correct one — r6 shipped exactly that for
+# q22_lost_customers at the 500-doc SF), so any query that CAN go
+# empty must use thresholds relative to the data (SURVEY §5) or be
+# explicitly listed here with a reason.
+ALLOW_EMPTY: set = set()
+
 
 def norm_cell(v):
     if isinstance(v, float):
@@ -82,6 +90,11 @@ def main():
             continue
         if gcols != wcols:
             print(f"FAIL {name}: cols spark={gcols} oracle={wcols}")
+            n_fail += 1
+        elif not grows and not wrows and name not in ALLOW_EMPTY:
+            print(f"FAIL {name}: vacuous 0=0 at this SF — the hash match "
+                  "proves nothing; make the query's thresholds relative "
+                  "or allowlist it with a reason")
             n_fail += 1
         elif len(grows) != len(wrows):
             print(f"FAIL {name}: rows spark={len(grows)} oracle={len(wrows)}")
