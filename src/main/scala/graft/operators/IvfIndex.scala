@@ -332,11 +332,19 @@ object IvfIndex {
     * dedup_embedding_ivf exists to preserve, instead of serving
     * recall@k. Same closed form; only the truth set and its
     * denominator change. A sample with no radius neighbors falls
-    * back to the scan-bounded default (nothing to calibrate on). */
+    * back to the scan-bounded default (nothing to calibrate on).
+    *
+    * `truthFilter` restricts the scored (qid, dist, vec_id) pairs
+    * BEFORE the truth set is taken, so a caller can calibrate against
+    * its own contract — mm_pair_mining_ivf masks to wrong-source
+    * pairs, because its global top-3 is dominated by same-source
+    * duplicates that sit in the query's own cell and would calibrate
+    * the probe depth down to 1. Must preserve those three columns. */
   def calibrateNprobe(s: SparkSession, index: DataFrame,
       centroids: Array[Array[Double]], dir: String,
       targetAccuracy: Double, k: Int = 10, sampleMod: Int = 50,
-      radius: Option[Double] = None): Int = {
+      radius: Option[Double] = None,
+      truthFilter: DataFrame => DataFrame = identity): Int = {
     import s.implicits._
     val sample = Tables.embeddings(s, dir)
       .filter(col("vec_id") % sampleMod === 0)
@@ -344,12 +352,12 @@ object IvfIndex {
     // exact ground truth per sample query (broadcast the sample,
     // bounded top-k agg / radius filter — shuffle volume is the
     // answer size)
-    val scored = index
+    val scored = truthFilter(index
       .crossJoin(broadcast(sample))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"),
         FloatVecDistance.cosine(col("embedding"), col("qv")).as("dist"),
-        col("vec_id"))
+        col("vec_id")))
     val truthIds = radius match {
       case Some(r) =>
         scored.filter(round(col("dist"), 4) <= r)
@@ -464,8 +472,12 @@ object IvfIndex {
     // calibrated against PAIR recall at the dedup radius
     // ([[envTargetAcc]]; radius ground truth, same closed form).
     val np = envTargetAcc match {
-      case Some(t) => calibrateNprobe(s, index, centroids, dir, t,
-        radius = Some(Dedup.CosRadius))
+      case Some(t) =>
+        val c = calibrateNprobe(s, index, centroids, dir, t,
+          radius = Some(Dedup.CosRadius))
+        System.err.println(
+          s"[graft] dedup_embedding_ivf TARGET_ACC=$t -> nprobe=$c/${centroids.length}")
+        c
       case None => envNprobe
     }
     val probes = Tables.embeddings(s, dir)

@@ -286,14 +286,41 @@ object Multimodal {
   def pairMiningIvf(s: SparkSession, dir: String): DataFrame = {
     val (index, centroids) = IvfIndex.build(s, dir, k = IvfIndex.envNlist)
     // probe depth: scan-bounded adaptive default, a sizing override, or
-    // TARGET-ACCURACY calibrated against recall@3 — the top-k that this
-    // operator serves (all-neighbor recall is a conservative proxy for
-    // the wrong-source-only truth: masking candidates can only remove
-    // same-source competitors from the top-3).
+    // TARGET-ACCURACY calibrated against recall@3 over WRONG-SOURCE
+    // pairs — the operator's own contract. The mask on the calibration
+    // truth matters: the unfiltered top-3 is dominated by same-source
+    // near-duplicates sitting in the anchor's own cell, which would
+    // calibrate the depth down to 1 while the mid-sim negatives this
+    // operator exists to find live several cells out.
     val np = IvfIndex.envTargetAcc match {
-      case Some(t) => IvfIndex.calibrateNprobe(s, index, centroids, dir, t, k = 3)
+      case Some(t) =>
+        val c = calibrateMiningNprobe(s, index, centroids, dir, t)
+        System.err.println(
+          s"[graft] mm_pair_mining_ivf TARGET_ACC=$t -> nprobe=$c/${centroids.length}")
+        c
       case None => IvfIndex.envNprobe
     }
+    pairMiningIvfAt(s, dir, index, centroids, np)
+  }
+
+  /** TARGET-ACCURACY calibration against the mining contract: recall
+    * of the top-3 WRONG-SOURCE neighbors. */
+  private[graft] def calibrateMiningNprobe(s: SparkSession, index: DataFrame,
+      centroids: Array[Array[Double]], dir: String, target: Double): Int = {
+    val srcOf = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    IvfIndex.calibrateNprobe(s, index, centroids, dir, target, k = 3,
+      truthFilter = scored => scored
+        .join(srcOf.select(col("doc_id").as("qid"), col("source").as("q_src")), "qid")
+        .join(srcOf.select(col("doc_id").as("vec_id"), col("source").as("n_src")), "vec_id")
+        .filter(col("q_src") =!= col("n_src"))
+        .select(col("qid"), col("dist"), col("vec_id")))
+  }
+
+  /** The mining pipeline at an explicit probe depth (0 = adaptive) —
+    * split out so specs and sizing runs can pin recall at a calibrated
+    * depth without going through the env knobs. */
+  private[graft] def pairMiningIvfAt(s: SparkSession, dir: String,
+      index: DataFrame, centroids: Array[Array[Double]], np: Int): DataFrame = {
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     val anchors = Tables.embeddings(s, dir)
       .join(src, col("vec_id") === col("doc_id"))

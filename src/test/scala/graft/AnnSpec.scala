@@ -434,6 +434,35 @@ class AnnSpec extends AnyFunSuite {
     assert(npEmpty == IvfIndex.defaultNprobe(centroids.length))
   }
 
+  test("mining TARGET-ACCURACY: wrong-source-calibrated depth hits the declared recall") {
+    import org.apache.spark.sql.functions.col
+    val (index, centroids) = IvfIndex.build(spark, sf)
+    val np = graft.operators.Multimodal.calibrateMiningNprobe(
+      spark, index, centroids, sf, target = 0.9)
+    assert(np >= 1 && np <= centroids.length, s"np=$np")
+    // measure on the calibration sample (vec_id % 50 == 0): recall@3 of
+    // the wrong-source negatives at the calibrated depth meets the
+    // target (floor 0.8: rounded-dist ties at the k boundary can swap a
+    // member vs the closed form's unrounded truth)
+    val exact = graft.operators.Multimodal.pairMining(spark, sf).collect()
+      .filter(_.getLong(0) % 50 == 0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.operators.Multimodal
+      .pairMiningIvfAt(spark, sf, index, centroids, np).collect()
+      .filter(_.getLong(0) % 50 == 0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = (exact & got).size.toDouble / exact.size
+      assert(recall >= 0.8, s"mining recall $recall at calibrated nprobe=$np")
+    }
+    // the mask is the point: the unfiltered top-3 truth is dominated by
+    // same-source duplicates in the anchor's own cell and calibrates
+    // shallower than the wrong-source contract
+    val unmasked = IvfIndex.calibrateNprobe(spark, index, centroids, sf,
+      targetAccuracy = 0.9, k = 3)
+    assert(unmasked <= np, s"unmasked=$unmasked masked=$np")
+  }
+
   test("un-hinted probe-pair joins still broadcast at local scale (AQE)") {
     import org.apache.spark.sql.functions.col
     val (index, centroids) = IvfIndex.build(spark, sf)
