@@ -75,13 +75,16 @@ object SparkEntry {
     }
   }
 
-  /** Oracle SQL with table paths bound to `sfDir`; __PQDIR__ and
-    * __IVFDIR__ bind to the index-artifact dumps for the same sfDir
-    * (the codes/codebooks and assignment/centroid parquet that
-    * PqIndex.build / IvfIndex.build persist before the oracle runs). */
+  /** Oracle SQL with table paths bound to `sfDir`; __PQDIR__,
+    * __PQRDIR__ and __IVFDIR__ bind to the index-artifact dumps for
+    * the same sfDir (the flat/residual codes+codebooks and the
+    * assignment/centroid parquet that PqIndex.build /
+    * PqIndex.buildResidual / IvfIndex.build persist before the oracle
+    * runs). */
   def oracleSqlFor(sfDir: String): Map[String, String] =
     groups.iterator.map(_._2).reduce(_ ++ _).map { case (k, v) =>
       k -> pathify(sfDir, v
+        .replace("__PQRDIR__", operators.PqIndex.resDumpDir(sfDir))
         .replace("__PQDIR__", operators.PqIndex.dumpDir(sfDir))
         .replace("__IVFDIR__", operators.IvfIndex.dumpDir(sfDir))
         .replace("__IVFSDIR__", s"${streaming.IvfStream.scratchRoot(sfDir)}/dump"))

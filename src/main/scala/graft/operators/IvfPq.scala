@@ -19,20 +19,33 @@ import graft.Tables
   * scans full vectors (nprobe/nlist of 100 TB is still TBs per query);
   * PQ alone still scans every code (1.6 TB of codes fleet-wide). The
   * composition scans nprobe/nlist of the CODES — tens of GB — and
-  * reads O(shortlist) full vectors. Both index artifacts already
-  * exist (IvfIndex.build persists assignments + centroids,
-  * PqIndex.build persists codes + codebooks); serving composes them
-  * with one semi-join, so there is no third index to build or keep
-  * consistent.
+  * reads O(shortlist) full vectors.
+  *
+  * The codes are RESIDUAL-CAPABLE (FAISS IVFPQ's `by_residual`
+  * switch, Jégou et al. 2011 §IV): each vector's 32-bit code
+  * quantizes x̂ − offset(cell), where the per-cell offset is the
+  * cell's unit centroid when a build-time variance measurement says
+  * residuals are tighter than the vectors, and 0⃗ (flat encoding)
+  * otherwise ([[PqIndex.buildResidual]] — derived from the SAME
+  * persisted IVF assignment the probe reads, so encode and serve
+  * cells can never disagree; the measured rule and the negative
+  * result that forced it — blind residual encoding LOWERS recall on
+  * the near-uniform gate corpus — are documented there and in
+  * SURVEY §6). The price of residual-capability is
+  * per-(query, probed-cell) ADC tables instead of per-query — still
+  * answer-sized × nprobe, still broadcastable for sampled query
+  * tables, and AQE decides for corpus-sized ones. The flat PQ codes
+  * remain the standalone vs_knn_pq index.
   *
   * Plan shape: centroid ranking is driver-side over the broadcast-
   * sized centroid dictionary (identical ranking to IvfIndex.search);
   * the probe filter is a partition-pruning isin on the assignment
-  * table; the candidate set semi-joins the codes table on vec_id
-  * (both sides hash-partitioned 8-byte keys); ADC stays one codegen
-  * expression; both top-ks are bounded sorts. The DuckDB oracle
-  * reproduces the whole path — probe ranking, pruning, ADC, re-rank —
-  * from the same persisted artifacts both engines read.
+  * table; the candidate set joins the codes table on vec_id
+  * (both sides hash-partitioned 8-byte keys) carrying its cell id to
+  * meet its cell's ADC row; ADC stays one codegen expression; both
+  * top-ks are bounded sorts/aggs. The DuckDB oracle reproduces the
+  * whole path — probe ranking, pruning, residual ADC, re-rank — from
+  * the same persisted artifacts both engines read.
   */
 object IvfPq {
 
@@ -40,8 +53,9 @@ object IvfPq {
     * IVF-pruned ADC over PQ codes with exact re-rank. */
   def knnIvfPq(s: SparkSession, dir: String, k: Int = 10, shortlist: Int = 50,
       nprobe: Int = 0): DataFrame = {
+    import s.implicits._
     val (index, centroids) = IvfIndex.build(s, dir)
-    val (codes, codebooks) = PqIndex.build(s, dir)
+    val (codes, codebooks, offsets) = PqIndex.buildResidual(s, dir, index, centroids)
     val qRaw = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
     // probe ranking: same driver-side (dist, cid) order as
@@ -50,18 +64,26 @@ object IvfPq {
       .map { case (c, i) => (i, IvfIndex.cosineDist(c, qRaw)) }
       .sortBy { case (i, d) => (d, i) }
       .take(IvfIndex.resolveNprobe(centroids.length, nprobe)).map(_._1)
-    val cand = index
-      .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
-      .select(col("vec_id"))
-    // ADC is rank-equivalent to cosine only on the normalized query
-    // (PQ encodes normalized vectors).
+    // residual-capable ADC needs q̂ and each probed cell's encode
+    // offset (unit centroid or 0⃗ — see PqIndex.buildResidual;
+    // distances are ‖(q̂ − ô) − r‖²).
     val qNorm = {
       val n = math.sqrt(qRaw.map(x => x * x).sum)
       qRaw.map(_ / n)
     }
-    val short = PqIndex.adcScores(
-        codes.filter(col("vec_id") =!= 0).join(cand, Seq("vec_id"), "left_semi"),
-        codebooks, qNorm)
+    // one flat 128-double ADC row per probed cell — nprobe rows,
+    // driver-built, broadcast against the pruned candidate stream
+    val probeAdc = probes.toSeq
+      .map(c => (c, PqIndex.flatResidualTable(qNorm, offsets(c), codebooks)))
+      .toDF("centroid_id", "adc")
+    val cand = index
+      .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
+      .select(col("vec_id"), col("centroid_id"))
+    val short = codes.filter(col("vec_id") =!= 0)
+      .join(cand, Seq("vec_id"))
+      .join(broadcast(probeAdc), "centroid_id")
+      .select(col("vec_id"),
+        PqIndex.adcScoreOver(col("adc"), col("code")).as("adist"))
       .orderBy(col("adist"), col("vec_id"))
       .limit(shortlist)
     // exact re-rank against the RAW query row — identical formulation
@@ -107,31 +129,46 @@ object IvfPq {
     * The DuckDB oracle reproduces the entire path per query from the
     * same two persisted artifact sets. */
   def knnIvfPqBatch(s: SparkSession, dir: String, k: Int = 5, shortlist: Int = 50,
-      nlist: Int = 0, nprobe: Int = 0): DataFrame = {
+      nlist: Int = 0, nprobe: Int = 0,
+      forceMode: Option[Boolean] = None): DataFrame = {
     val (index, centroids) = IvfIndex.build(s, dir, k = nlist)
-    val (codes, codebooks) = PqIndex.build(s, dir)
+    val (codes, codebooks, offsets) =
+      PqIndex.buildResidual(s, dir, index, centroids, forceMode)
     val queriesDf = Tables.embeddings(s, dir)
       .filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // the (qid, probed-centroid) pair table drives BOTH the candidate
+    // join and the per-(query, cell) residual ADC tables
+    val pairs = IvfIndex.probePairs(s, queriesDf, centroids, nprobe)
     val cand = index
       // un-hinted like IvfIndex.searchBatch: |queries|×nprobe rows is
       // broadcast-sized for a sampled query table (AQE does it at
       // local scale, plan-pinned in AnnSpec) but corpus-sized for the
       // 100 TB batch-serving story, where a forced broadcast overflows.
-      .join(IvfIndex.probePairs(s, queriesDf, centroids, nprobe), "centroid_id")
+      .join(pairs, "centroid_id")
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("centroid_id"))
     // MATERIALIZATION BOUNDARY, not just reuse: without the persist,
-    // the build-side projection that constructs each query's 128-double
-    // ADC array (interpreted higher-order functions) is re-evaluated
-    // once per JOINED CANDIDATE row rather than once per query —
-    // measured 7.3 s → 0.7 s on the sf1 candidate stream. Same trap
-    // class as model_ab_overlap's dense-vector build (SURVEY §4).
-    val adc = graft.functions.DfCache.getOrElseUpdate(s, s"ivfPqAdc:$dir")(
-      PqIndex.adcTable(queriesDf, codebooks))
+    // the build-side projection that constructs each (query, cell)'s
+    // 128-double residual ADC array (interpreted higher-order
+    // functions) is re-evaluated once per JOINED CANDIDATE row rather
+    // than once per (query, cell) — measured 7.3 s → 0.7 s on the sf1
+    // candidate stream for the pre-residual form. Same trap class as
+    // model_ab_overlap's dense-vector build (SURVEY §4). The join is
+    // un-hinted like the pair join above: |queries|×nprobe ADC rows
+    // broadcast fine for sampled query tables (AQE does it locally),
+    // and a corpus-sized query table must be free to shuffle.
+    // cache key carries the RESOLVED probe depth: the table now has a
+    // row per (query, probed cell), so a full-probe run must not reuse
+    // a default-depth table (the inner join would silently drop
+    // candidates of cells the cached table never probed)
+    val adc = graft.functions.DfCache.getOrElseUpdate(s,
+      s"ivfPqAdcRes:$dir:${centroids.length}:" +
+        s"${IvfIndex.resolveNprobe(centroids.length, nprobe)}:$forceMode")(
+      PqIndex.adcTableResidual(pairs.join(queriesDf, "qid"), offsets, codebooks))
     val short = codes
       .join(cand, Seq("vec_id"))
-      .join(broadcast(adc), "qid")
+      .join(adc, Seq("qid", "centroid_id"))
       .select(col("qid"), col("vec_id"),
         PqIndex.adcScoreOver(col("adc"), col("code")).as("adist"))
       .groupBy(col("qid"))
@@ -161,12 +198,17 @@ object IvfPq {
 
   /** DuckDB oracle over BOTH persisted artifact sets: the IVF
     * assignment/centroid tables (__IVFDIR__) drive probe ranking and
-    * pruning, the PQ codes/codebooks (__PQDIR__) drive the ADC
-    * shortlist, and the re-rank reads the raw embeddings — the entire
-    * serving path reproduced independently. The engines' ADC sums
-    * differ at 1-ulp scale (different summation order), far below the
-    * ADC distance gaps — the same already-validated argument as
-    * vs_knn_pq's oracle. */
+    * pruning, the RESIDUAL codes/codebooks (__PQRDIR__) drive the ADC
+    * shortlist — the oracle reads each probed cell's persisted encode
+    * OFFSET (unit centroid in residual mode, 0⃗ in flat mode) and
+    * subtracts it from the normalized query before the codeword
+    * distances, exactly the engine's `flatResidualTable` arithmetic —
+    * and the re-rank reads the raw embeddings. The entire serving
+    * path reproduced independently, in whichever mode the artifacts
+    * record.
+    * The engines' ADC sums differ at 1-ulp scale (different summation
+    * order), far below the ADC distance gaps — the same
+    * already-validated argument as vs_knn_pq's oracle. */
   val oracleSql: Map[String, String] = Map(
     "vs_knn_ivf_pq" ->
       s"""WITH a AS (SELECT vec_id, centroid_id
@@ -183,31 +225,40 @@ object IvfPq {
          |  SELECT [x::DOUBLE / sqrt(list_sum([y::DOUBLE * y::DOUBLE for y in embedding]))
          |          for x in embedding] AS nq
          |  FROM embeddings WHERE vec_id = 0),
-         |cb AS (SELECT mi, k, cw FROM read_parquet('__PQDIR__/codebooks.parquet/*.parquet')),
+         |nc AS (
+         |  SELECT cid, ovec AS ncv
+         |  FROM read_parquet('__PQRDIR__/offsets.parquet/*.parquet')
+         |  JOIN probes USING (cid)),
+         |rq AS (
+         |  SELECT cid, [nq[j] - ncv[j] for j in generate_series(1, len(nq))] AS rv
+         |  FROM qn, nc),
+         |cb AS (SELECT mi, k, cw FROM read_parquet('__PQRDIR__/codebooks.parquet/*.parquet')),
          |tab AS (
-         |  SELECT mi, k,
-         |    list_sum([(nq[mi * (len(nq) // ${PqIndex.NumSubspaces}) + j] - cw[j])
-         |              * (nq[mi * (len(nq) // ${PqIndex.NumSubspaces}) + j] - cw[j])
+         |  SELECT r.cid, mi, k,
+         |    list_sum([(rv[mi * (len(rv) // ${PqIndex.NumSubspaces}) + j] - cw[j])
+         |              * (rv[mi * (len(rv) // ${PqIndex.NumSubspaces}) + j] - cw[j])
          |              for j in generate_series(1, len(cw))]) AS d
-         |  FROM cb, qn),
+         |  FROM cb, rq r),
          |codes AS (
          |  SELECT vec_id, code
-         |  FROM read_parquet('__PQDIR__/codes.parquet/*.parquet')
+         |  FROM read_parquet('__PQRDIR__/codes.parquet/*.parquet')
          |  WHERE vec_id <> 0),
          |cand AS (
-         |  SELECT codes.vec_id, codes.code
+         |  SELECT codes.vec_id, codes.code, a.centroid_id AS cid
          |  FROM codes JOIN a USING (vec_id) JOIN probes ON a.centroid_id = probes.cid),
          |adist AS (
          |  SELECT cn.vec_id, sum(t.d) AS adist
-         |  FROM cand cn JOIN tab t ON ((cn.code >> (4 * t.mi)) & 15) = t.k
+         |  FROM cand cn
+         |    JOIN tab t ON t.cid = cn.cid AND ((cn.code >> (4 * t.mi)) & 15) = t.k
          |  GROUP BY 1),
          |short AS (SELECT vec_id FROM adist ORDER BY adist, vec_id LIMIT 50)
          |SELECT e.vec_id, round(1e-9 + ${VectorSearch.dCosine("e.embedding", "qv")}, 4) AS dist
          |FROM embeddings e JOIN short USING (vec_id), q
          |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     // the batch form: the same composed path per query — per-qid probe
-    // ranking (the vs_knn_ivf_batch structure), per-qid ADC tables,
-    // pruned-candidate ADC, per-qid shortlist and exact re-rank.
+    // ranking (the vs_knn_ivf_batch structure), per-(qid, probed-cell)
+    // residual ADC tables, pruned-candidate ADC, per-qid shortlist and
+    // exact re-rank.
     "vs_knn_ivf_pq_batch" ->
       s"""WITH a AS (SELECT vec_id, centroid_id
          |     FROM read_parquet('__IVFDIR__/assign.parquet/*.parquet')),
@@ -225,25 +276,33 @@ object IvfPq {
          |    [x::DOUBLE / sqrt(list_sum([y::DOUBLE * y::DOUBLE for y in embedding]))
          |     for x in embedding] AS nq
          |  FROM embeddings WHERE vec_id % 50 = 0),
-         |cb AS (SELECT mi, k, cw FROM read_parquet('__PQDIR__/codebooks.parquet/*.parquet')),
+         |nc AS (
+         |  SELECT cid, ovec AS ncv
+         |  FROM read_parquet('__PQRDIR__/offsets.parquet/*.parquet')),
+         |rq AS (
+         |  SELECT qn.qid, pr.cid,
+         |    [nq[j] - ncv[j] for j in generate_series(1, len(nq))] AS rv
+         |  FROM qn JOIN pr USING (qid) JOIN nc USING (cid)),
+         |cb AS (SELECT mi, k, cw FROM read_parquet('__PQRDIR__/codebooks.parquet/*.parquet')),
          |tab AS (
-         |  SELECT qid, mi, k,
-         |    list_sum([(nq[mi * (len(nq) // ${PqIndex.NumSubspaces}) + j] - cw[j])
-         |              * (nq[mi * (len(nq) // ${PqIndex.NumSubspaces}) + j] - cw[j])
+         |  SELECT r.qid, r.cid, mi, k,
+         |    list_sum([(rv[mi * (len(rv) // ${PqIndex.NumSubspaces}) + j] - cw[j])
+         |              * (rv[mi * (len(rv) // ${PqIndex.NumSubspaces}) + j] - cw[j])
          |              for j in generate_series(1, len(cw))]) AS d
-         |  FROM cb, qn),
+         |  FROM cb, rq r),
          |codes AS (
          |  SELECT vec_id, code
-         |  FROM read_parquet('__PQDIR__/codes.parquet/*.parquet')),
+         |  FROM read_parquet('__PQRDIR__/codes.parquet/*.parquet')),
          |cand AS (
-         |  SELECT pr.qid, codes.vec_id, codes.code
+         |  SELECT pr.qid, codes.vec_id, codes.code, a.centroid_id AS cid
          |  FROM pr JOIN a ON a.centroid_id = pr.cid
          |    JOIN codes ON codes.vec_id = a.vec_id
          |  WHERE a.vec_id <> pr.qid),
          |adist AS (
          |  SELECT cn.qid, cn.vec_id, sum(t.d) AS adist
          |  FROM cand cn
-         |    JOIN tab t ON t.qid = cn.qid AND ((cn.code >> (4 * t.mi)) & 15) = t.k
+         |    JOIN tab t ON t.qid = cn.qid AND t.cid = cn.cid
+         |      AND ((cn.code >> (4 * t.mi)) & 15) = t.k
          |  GROUP BY 1, 2),
          |short AS (
          |  SELECT qid, vec_id FROM (

@@ -56,6 +56,13 @@ object PqIndex {
     * same path via the __PQDIR__ placeholder in SparkEntry. */
   def dumpDir(dir: String): String = graft.functions.Scratch.pathOf("pq", dir)
 
+  /** At-rest location of the RESIDUAL codes + codebooks — the composed
+    * IVF-PQ layout's own artifact set (__PQRDIR__ in the oracle SQL).
+    * Kept separate from the flat PQ dump: the two encode different
+    * quantities (x̂ vs x̂ − ĉ) and the flat codes remain the standalone
+    * vs_knn_pq index. */
+  def resDumpDir(dir: String): String = graft.functions.Scratch.pathOf("pqr", dir)
+
   /** codebooks(m)(k) = the k-th codeword of subspace m (dsub doubles). */
   type Codebooks = Array[Array[Array[Double]]]
 
@@ -64,9 +71,17 @@ object PqIndex {
     * a long-lived JVM cycling sessions must not pin dead frames). */
   private val built = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, Codebooks)]
+  /** Residual memo carries the resolved IVF geometry like
+    * IvfIndex.built — a sizing-override build must not collide with
+    * the default-geometry artifacts. Value = (codes, codebooks,
+    * per-cell encode offsets — unit centroids in residual mode, zero
+    * vectors in flat mode). */
+  private val builtRes = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Option[Boolean]),
+      (DataFrame, Codebooks, Array[Array[Double]])]
 
-  private[graft] def cacheSize: Int = built.size
-  private[graft] def clearCache(): Unit = built.clear()
+  private[graft] def cacheSize: Int = built.size + builtRes.size
+  private[graft] def clearCache(): Unit = { built.clear(); builtRes.clear() }
 
   private def normalized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
@@ -99,6 +114,52 @@ object PqIndex {
     out
   }
 
+  /** Nearest-codeword encode of one vector against the codebooks —
+    * shared by the flat and residual builds. */
+  private def packOne(v: Seq[Double], cbs: Codebooks): Int = {
+    var packed = 0
+    var mi = 0
+    while (mi < cbs.length) {
+      val cb = cbs(mi)
+      val off = mi * (v.length / cbs.length)
+      var best = 0; var bestD = Double.MaxValue
+      var k = 0
+      while (k < cb.length) {
+        var d = 0.0; var j = 0
+        while (j < cb(k).length) {
+          val diff = v(off + j) - cb(k)(j); d += diff * diff; j += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      packed |= best << (4 * mi)
+      mi += 1
+    }
+    packed
+  }
+
+  /** Persist codes + codebooks under `dump` and return the read-back
+    * codes frame — every consumer (and the DuckDB oracle) scans the
+    * same persisted bytes. The codes table is O(corpus): written
+    * sharded across an EXPLICIT partition count (an expression-only
+    * repartition lets AQE coalesce a small shuffle back to one task —
+    * the exact failure mode this guards against); the shuffle moves
+    * 12-byte rows — noise next to the encode. */
+  private def persistArtifacts(s: SparkSession, dump: String,
+      codes: DataFrame, codebooks: Codebooks): DataFrame = {
+    import s.implicits._
+    val shards = s.conf.get("spark.sql.shuffle.partitions").toInt
+    codes.repartition(shards, col("vec_id"))
+      .write.mode("overwrite").parquet(s"$dump/codes.parquet")
+    val cbRows = for {
+      (cb, mi) <- codebooks.zipWithIndex.toSeq
+      (cw, k) <- cb.zipWithIndex
+    } yield (mi, k, cw.toSeq)
+    cbRows.toDF("mi", "k", "cw")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dump/codebooks.parquet")
+    s.read.parquet(s"$dump/codes.parquet")
+  }
+
   /** Fit per-subspace codebooks and encode the corpus. Returns the
     * codes table (vec_id, code int) and the codebooks. Memoized per
     * (session, dir): the PQ index is a persistent artifact. */
@@ -110,50 +171,135 @@ object PqIndex {
       val codebooks: Codebooks = fitOn(norm, dim)
       import s.implicits._
       val bc = s.sparkContext.broadcast(codebooks)
-      val codes = norm.as[(Long, Seq[Double])].map { case (id, v) =>
-        val cbs = bc.value
-        var packed = 0
-        var mi = 0
-        while (mi < cbs.length) {
-          val cb = cbs(mi)
-          val off = mi * (v.length / cbs.length)
-          var best = 0; var bestD = Double.MaxValue
-          var k = 0
-          while (k < cb.length) {
-            var d = 0.0; var j = 0
-            while (j < cb(k).length) {
-              val diff = v(off + j) - cb(k)(j); d += diff * diff; j += 1
-            }
-            if (d < bestD) { bestD = d; best = k }
-            k += 1
-          }
-          packed |= best << (4 * mi)
-          mi += 1
-        }
-        (id, packed)
-      }.toDF("vec_id", "code")
+      val codes = norm.as[(Long, Seq[Double])]
+        .map { case (id, v) => (id, packOne(v, bc.value)) }
+        .toDF("vec_id", "code")
       // persist the index artifacts: the codes table is the 4-byte
       // at-rest layout (what a 100 TB deployment keeps resident), the
-      // codebooks are its 8×16×8-double dictionary. The returned codes
-      // frame reads the artifact back, so every consumer — and the
-      // DuckDB oracle — scans the same persisted bytes.
-      val dump = dumpDir(dir)
-      // the codes table is O(corpus): write it sharded across an
-      // EXPLICIT partition count (an expression-only repartition lets
-      // AQE coalesce a small shuffle back to one task — the exact
-      // failure mode this guards against). The shuffle moves 12-byte
-      // rows — noise next to the encode.
-      val shards = s.conf.get("spark.sql.shuffle.partitions").toInt
-      codes.repartition(shards, col("vec_id"))
-        .write.mode("overwrite").parquet(s"$dump/codes.parquet")
-      val cbRows = for {
-        (cb, mi) <- codebooks.zipWithIndex.toSeq
-        (cw, k) <- cb.zipWithIndex
-      } yield (mi, k, cw.toSeq)
-      cbRows.toDF("mi", "k", "cw")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dump/codebooks.parquet")
+      // codebooks are its 8×16×8-double dictionary.
+      val out = persistArtifacts(s, dumpDir(dir), codes, codebooks)
       norm.unpersist()
-      (s.read.parquet(s"$dump/codes.parquet"), codebooks)
+      (out, codebooks)
+    })
+  }
+
+  /** L2-normalize one vector (the centroid side of the residual). */
+  private[graft] def l2norm(a: Array[Double]): Array[Double] = {
+    var ss = 0.0; var i = 0
+    while (i < a.length) { ss += a(i) * a(i); i += 1 }
+    val n = math.sqrt(ss)
+    a.map(_ / n)
+  }
+
+  /** `by_residual` override for MEASUREMENT runs ("1"/"0"; unset =
+    * the measured variance rule below). Unlike the IVF geometry
+    * knobs, a forced mode can never poison the oracle: the persisted
+    * offset table is self-describing and the oracle replays whatever
+    * it finds. */
+  private[graft] def envByResidual: Option[Boolean] =
+    sys.env.get("SPARK_GRAFT_PQ_BY_RESIDUAL").map(_.trim == "1")
+
+  /** RESIDUAL-capable build for the composed IVF-PQ layout — FAISS
+    * IVFPQ's `by_residual` switch (Jégou et al. 2011 §IV) made
+    * data-adaptive. In residual mode, codes quantize
+    * r = x̂ − ĉ(assign(x)) against the UNIT-normalized centroid of the
+    * vector's own IVF cell: when cells are tight (real embedding
+    * corpora cluster), residual norms are a fraction of vector norms
+    * and the same 32-bit budget spends its codewords on a much
+    * tighter ball — the standard recall lift at unchanged code size.
+    * When cells are NOT tight, residual encoding is
+    * counterproductive: on the near-uniform synthetic gate corpus the
+    * residuals measure LARGER than the vectors themselves (mean
+    * ‖x̂ − ĉ‖ = 1.13 vs ‖x̂‖ = 1 at sf0.1, per-dim std 0.141 vs
+    * 0.125) and blind residual encoding measurably LOWERED shortlist
+    * recall (0.345 vs 0.43 @5, SURVEY §6). So the mode is chosen at
+    * build time by the quantity that determines k-means distortion at
+    * a fixed codebook budget — the total variance of the encoded
+    * distribution: residual iff E‖x̂ − ĉ‖² < Var(x̂) = 1 − ‖E x̂‖²
+    * (E[r] ≈ 0 is not subtracted — the simplification only ever
+    * favors flat, the safe side). One aggregate pass, no second fit.
+    *
+    * The choice is persisted as an OFFSET TABLE (cid → subtracted
+    * vector: ĉ in residual mode, 0⃗ in flat mode), giving ONE code
+    * path in both engines — zero offsets degenerate the residual
+    * arithmetic to flat encoding bit-exactly, and the DuckDB oracle
+    * replays whichever mode it finds in the artifacts. One shared
+    * codebook set across cells (the FAISS default; per-cell codebooks
+    * are nlist× the dictionary for marginal gain).
+    *
+    * Derived from the SAME persisted IVF artifacts the serving path
+    * probes (`index` = the assignment frame, `centroids` = the fit
+    * dictionary), so encode-time and serve-time cells can never
+    * disagree. Memoized per (session, dir, nlist) like IvfIndex.built;
+    * artifacts persist only for the default geometry (a sizing
+    * override can't poison the oracle's artifact dir). Build cost is
+    * one narrow join + typed map over the corpus — same shape as the
+    * flat encode. */
+  def buildResidual(s: SparkSession, dir: String,
+      index: DataFrame, centroids: Array[Array[Double]],
+      forceMode: Option[Boolean] = None)
+      : (DataFrame, Codebooks, Array[Array[Double]]) = {
+    builtRes.keys.filter(_._1.sparkContext.isStopped).foreach(builtRes.remove)
+    val isDefaultGeometry =
+      centroids.length == IvfIndex.defaultNlist(IvfIndex.corpusCount(s, dir))
+    // a forced mode (test/measurement) memoizes under its own key —
+    // None (adaptive/env) stays the production entry
+    val mode = forceMode.orElse(envByResidual)
+    builtRes.getOrElseUpdate((s, dir, centroids.length, mode), {
+      import s.implicits._
+      val ncent = centroids.map(l2norm)
+      val bcCent = s.sparkContext.broadcast(ncent)
+      val dim = ncent(0).length
+      val assigned = normalized(Tables.embeddings(s, dir))
+        .join(index.select(col("vec_id"), col("centroid_id")), "vec_id")
+        .select(col("vec_id"), col("nvec"), col("centroid_id"))
+        .as[(Long, Seq[Double], Int)].cache()
+      val byResidual = mode.getOrElse {
+        // one distributed pass: (Σ‖x̂−ĉ‖², Σx̂, n) → the variance rule
+        val (sumR2, sumVec, n) = assigned.map { case (_, v, cid) =>
+          val c = bcCent.value(cid)
+          var r2 = 0.0; var j = 0
+          while (j < c.length) { val d = v(j) - c(j); r2 += d * d; j += 1 }
+          (r2, v.toArray, 1L)
+        }.reduce { (a, b) =>
+          val sv = a._2.clone()
+          var j = 0; while (j < sv.length) { sv(j) += b._2(j); j += 1 }
+          (a._1 + b._1, sv, a._3 + b._3)
+        }
+        val meanR2 = sumR2 / n
+        val meanNormSq = sumVec.map(x => x / n).map(x => x * x).sum
+        meanR2 < 1.0 - meanNormSq
+      }
+      val offsets: Array[Array[Double]] =
+        if (byResidual) ncent else ncent.map(c => Array.fill(c.length)(0.0))
+      val bcOff = s.sparkContext.broadcast(offsets)
+      val resid = assigned
+        .map { case (id, v, cid) =>
+          val c = bcOff.value(cid)
+          (id, v.toArray.zipWithIndex.map { case (x, j) => x - c(j) }.toSeq)
+        }.toDF("vec_id", "nvec").cache()
+      val codebooks: Codebooks = fitOn(resid, dim)
+      val bc = s.sparkContext.broadcast(codebooks)
+      val codes = resid.as[(Long, Seq[Double])]
+        .map { case (id, v) => (id, packOne(v, bc.value)) }
+        .toDF("vec_id", "code")
+      // persist only the production entry (default geometry, no
+      // per-call force): a forced-mode test/measurement build must not
+      // overwrite the artifact dir out from under the memoized
+      // read-back frames of the other mode (env-forced runs persist —
+      // the env is constant for the JVM, so no same-process conflict,
+      // and the offset table makes the artifacts self-describing)
+      val out =
+        if (isDefaultGeometry && forceMode.isEmpty) {
+          val dump = resDumpDir(dir)
+          offsets.zipWithIndex.map { case (o, i) => (i, o.toSeq) }.toSeq
+            .toDF("cid", "ovec").coalesce(1)
+            .write.mode("overwrite").parquet(s"$dump/offsets.parquet")
+          persistArtifacts(s, dump, codes, codebooks)
+        } else codes.cache()
+      out.count() // materialize before dropping the encode frames
+      resid.unpersist(); assigned.unpersist()
+      (out, codebooks, offsets)
     })
   }
 
@@ -212,6 +358,69 @@ object PqIndex {
               zip_with(slice(col("nq"), mi * lit(dsub) + 1, lit(dsub)), cw,
                 (a, b) => (a - b) * (a - b)),
               lit(0.0d), (acc, x) => acc + x)))).as("adc"))
+  }
+
+  /** RESIDUAL batch-ADC tables: one flat 128-double lookup row per
+    * (query, probed cell) — `adc(mi*NumCodewords+k) =
+    * ‖(q̂ − ĉ_cell)_sub(mi) − cw(mi)(k)‖²`, so
+    * `‖q̂ − x̂‖² = ‖(q̂ − ĉ) − r‖² ≈ Σ_m adc[m][code_m]` for a candidate
+    * x̂ = ĉ + r encoded in that cell. Input frame needs
+    * (qid, centroid_id, qv); output (qid, centroid_id, adc). The frame
+    * is |queries| × nprobe rows — answer-sized, so the interpreted
+    * higher-order functions are fine here (the corpus-sized
+    * per-candidate work stays the codegen [[adcScoreOver]]); the same
+    * PERSIST-before-join rule as [[adcTable]] applies. `offsets` must
+    * be the per-cell encode-offset dictionary the codes were built
+    * against ([[buildResidual]]'s third return — unit centroids in
+    * residual mode, zeros in flat mode, where this degenerates to the
+    * flat per-query table replicated per cell). */
+  def adcTableResidual(pairsWithQv: DataFrame, offsets: Array[Array[Double]],
+      codebooks: Codebooks): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val ncLit = typedLit(offsets.map(_.toSeq).toSeq)
+    val nq = transform(col("qv"),
+      x => x.cast("double") / sqrt(aggregate(col("qv"), lit(0.0d),
+        (a, v) => a + v.cast("double") * v.cast("double"))))
+    pairsWithQv
+      .select(col("qid"), col("centroid_id"), nq.as("nq"))
+      .select(col("qid"), col("centroid_id"),
+        transform(col("nq"), (x, i) =>
+          x - element_at(element_at(ncLit, col("centroid_id") + 1), i + 1)).as("rq"))
+      .select(col("qid"), col("centroid_id"),
+        flatten(transform(cbLit, (cbm, mi) =>
+          transform(cbm, cw =>
+            aggregate(
+              zip_with(slice(col("rq"), mi * lit(dsub) + 1, lit(dsub)), cw,
+                (a, b) => (a - b) * (a - b)),
+              lit(0.0d), (acc, x) => acc + x)))).as("adc"))
+  }
+
+  /** Driver-side flat residual ADC table for ONE query against ONE
+    * probed cell's encode offset (`mi*NumCodewords + k` layout,
+    * matching [[adcScoreOver]]) — the single-query twin of
+    * [[adcTableResidual]], same left-to-right accumulation. */
+  def flatResidualTable(qNorm: Array[Double], ncentCell: Array[Double],
+      codebooks: Codebooks): Seq[Double] = {
+    val dsub = qNorm.length / codebooks.length
+    val out = new Array[Double](codebooks.length * NumCodewords)
+    var mi = 0
+    while (mi < codebooks.length) {
+      var k = 0
+      while (k < codebooks(mi).length) {
+        val cw = codebooks(mi)(k)
+        var d = 0.0; var j = 0
+        while (j < dsub) {
+          val off = mi * dsub + j
+          val diff = (qNorm(off) - ncentCell(off)) - cw(j)
+          d += diff * diff; j += 1
+        }
+        out(mi * NumCodewords + k) = d
+        k += 1
+      }
+      mi += 1
+    }
+    out.toSeq
   }
 
   /** Approximate distance of a packed `code` against a per-row `adc`

@@ -251,17 +251,21 @@ class AnnSpec extends AnyFunSuite {
     // partitions = 4 in this suite), and that the read-back still
     // covers every vector.
     graft.operators.PqIndex.build(spark, sf)
-    graft.operators.IvfIndex.build(spark, sf)
+    val (idx, cents) = graft.operators.IvfIndex.build(spark, sf)
+    graft.operators.PqIndex.buildResidual(spark, sf, idx, cents)
     def parts(p: String): Seq[java.io.File] = {
       val fs = Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
       fs.toSeq.filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
     }
     val codeParts = parts(s"${graft.operators.PqIndex.dumpDir(sf)}/codes.parquet")
+    val resParts = parts(s"${graft.operators.PqIndex.resDumpDir(sf)}/codes.parquet")
     val assignParts = parts(s"${graft.operators.IvfIndex.dumpDir(sf)}/assign.parquet")
     assert(codeParts.size > 1, s"pq codes dump must be sharded, got ${codeParts.size} file(s)")
+    assert(resParts.size > 1, s"residual codes dump must be sharded, got ${resParts.size} file(s)")
     assert(assignParts.size > 1, s"ivf assignment dump must be sharded, got ${assignParts.size} file(s)")
     val n = graft.Tables.embeddings(spark, sf).count()
     assert(spark.read.parquet(s"${graft.operators.PqIndex.dumpDir(sf)}/codes.parquet").count() == n)
+    assert(spark.read.parquet(s"${graft.operators.PqIndex.resDumpDir(sf)}/codes.parquet").count() == n)
     assert(spark.read.parquet(s"${graft.operators.IvfIndex.dumpDir(sf)}/assign.parquet").count() == n)
   }
 
@@ -552,6 +556,65 @@ class AnnSpec extends AnyFunSuite {
     // real-geometry single-approximation recalls are
     // measured in SURVEY §6 (batch IVF recall@5 = 1.0 at the 10× SF)
     assert(mean >= 0.4, s"mean batch ivf-pq recall@5 $mean below 0.4")
+  }
+
+  test("by_residual: variance rule engages on clustered corpora and lifts ADC ranking") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a corpus with REAL cluster structure (20 tight direction
+    // clusters) — the regime FAISS's by_residual exists for; the
+    // driver's synthetic corpora are near-uniform on the sphere, where
+    // the same rule measurably selects flat (asserted below)
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    def normalize(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n)
+    }
+    val centers = Array.fill(20)(normalize(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      val v = normalize(c.map(x => x + 0.05 * rnd.nextGaussian()))
+      (i.toLong, v.map(_.toFloat).toSeq, i % 20)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val (index, centroids) = IvfIndex.build(spark, tmp)
+    val (_, _, offsets) = graft.operators.PqIndex.buildResidual(spark, tmp, index, centroids)
+    assert(offsets.exists(_.exists(_ != 0.0)),
+      "the variance rule must select residual mode on a clustered corpus")
+    // ...and flat (zero offsets) on the near-uniform gate corpus, where
+    // residuals measure LARGER than the vectors (SURVEY §6)
+    val (indexU, centroidsU) = IvfIndex.build(spark, sf)
+    val (_, _, offsetsU) = graft.operators.PqIndex.buildResidual(spark, sf, indexU, centroidsU)
+    assert(offsetsU.forall(_.forall(_ == 0.0)),
+      "the variance rule must select flat mode on the near-uniform gate corpus")
+    // ADC ranking quality at a TIGHT shortlist (10 candidates feed the
+    // exact re-rank, so the quantizer's ranking is what's measured):
+    // residual codebooks spend the same 32 bits inside the cluster
+    // ball and must beat flat codes on the same probes
+    def recall(mode: Option[Boolean]): Double = {
+      val got = graft.operators.IvfPq.knnIvfPqBatch(spark, tmp, k = 5, shortlist = 10,
+        forceMode = mode).collect()
+      val exact = IvfIndex.searchBatch(spark, index, centroids,
+        graft.Tables.embeddings(spark, tmp).filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        k = 5, nprobe = centroids.length).collect()
+      val eq = exact.groupBy(_.getLong(0)).map { case (q, r) => q -> r.map(_.getLong(1)).toSet }
+      val gq = got.groupBy(_.getLong(0))
+      val rs = eq.map { case (q, want) =>
+        (gq.getOrElse(q, Array.empty).map(_.getLong(1)).toSet & want).size.toDouble / want.size
+      }
+      rs.sum / rs.size
+    }
+    val resRecall = recall(Some(true))
+    val flatRecall = recall(Some(false))
+    info(s"clustered-corpus recall@5 (shortlist 10): residual $resRecall, flat $flatRecall")
+    assert(resRecall > flatRecall,
+      s"residual ADC must out-rank flat on clustered data: $resRecall vs $flatRecall")
+    // measured 0.68 vs 0.48 at this geometry (deterministic build);
+    // the floor leaves headroom for Spark k-means implementation drift
+    assert(resRecall >= 0.6, s"residual recall floor on clustered data: $resRecall")
   }
 
   test("ab-overlap sample modulus: 1/20 floor on small corpora, absolute cap on large") {
