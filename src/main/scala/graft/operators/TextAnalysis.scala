@@ -104,20 +104,19 @@ object TextAnalysis {
     * 4-gram shingles, take the min over each sliding window of 4
     * consecutive shingle hashes, count the distinct selected hashes. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    // Sliding-window mins computed as per-doc ARRAY ops (hash array →
-    // windowed array_min → array_distinct): no shuffle of the shingle
-    // stream — each doc is bounded local work, the shape that stays
-    // embarrassingly parallel at 100 TB. The md5-bound hashing is
-    // compute-dense, so the input is spread past byte-split
-    // parallelism first (no-op at real corpus sizes).
+    // Per-doc ARRAY work, no shuffle of the shingle stream — each doc
+    // is bounded local work, the shape that stays embarrassingly
+    // parallel at 100 TB. The shingle→hash→window-min pipeline runs
+    // as ONE fused codegen kernel (graft.functions.WinnowMins,
+    // bit-identical to the HOF formulation it replaced — spec-pinned;
+    // the three stacked interpreted transforms measured 27 s of the
+    // sf1 wall). The md5-bound hashing is compute-dense, so the input
+    // is spread past byte-split parallelism first (no-op at real
+    // corpus sizes).
     Tables.spread(s, dir, "documents")
       .select(col("doc_id"),
-        transform(shingles(tokens(col("text")), 4),
-          x => PortableHash.phash(x, 4242)).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"),
-        transform(sequence(lit(0), size(col("hs")) - 1),
-          i => array_min(slice(col("hs"), i + 1, lit(4)))).as("wm"))
+        graft.functions.WinnowMins.of(tokens(col("text")), 4, 4, 4242).as("wm"))
+      .filter(size(col("wm")) > 0)
       .select(col("doc_id"),
         size(array_distinct(col("wm"))).cast("long").as("n_fingerprints"),
         array_min(col("wm")).as("fp_min"),

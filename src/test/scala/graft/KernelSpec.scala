@@ -78,6 +78,49 @@ class KernelSpec extends AnyFunSuite {
     assert(interpreted == codegen)
   }
 
+  test("WinnowMins matches the stacked-HOF winnowing bit-for-bit") {
+    import graft.functions.{PortableHash, TextFunctions, WinnowMins}
+    // the exact formulation the fused kernel replaced in
+    // TextAnalysis.fingerprint — shingle strings, seeded phash per
+    // shingle, array_min over each 4-slice
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val viaHof = toks
+      .select(col("doc_id"),
+        transform(TextFunctions.shingles(col("toks"), 4),
+          x => PortableHash.phash(x, 4242)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("hs")) - 1),
+          i => array_min(slice(col("hs"), i + 1, lit(4)))).as("wm"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaKernel = toks
+      .select(col("doc_id"), WinnowMins.of(col("toks"), 4, 4, 4242).as("wm"))
+      .filter(size(col("wm")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaKernel.keySet == viaHof.keySet)
+    viaHof.foreach { case (id, wm) =>
+      assert(viaKernel(id) == wm, s"winnow kernel deviates for doc $id")
+    }
+    // short-doc contract: fewer than n tokens → empty array, like shingles()
+    import spark.implicits._
+    val short = Seq((1L, Seq("a", "b", "c")), (2L, Seq("a", "b", "c", "d")))
+      .toDF("doc_id", "toks")
+      .select(col("doc_id"), size(WinnowMins.of(col("toks"), 4, 4, 7)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(short(1L) == 0 && short(2L) == 1)
+    // interpreted eval agrees with the codegen path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val e = graft.functions.WinnowMins(
+      Literal.create(Seq("x", "y", "z", "w", "v"), ArrayType(StringType)), 4, 4, 4242)
+    val interp = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    val viaDf = Seq(Tuple1(Seq("x", "y", "z", "w", "v"))).toDF("toks")
+      .select(WinnowMins.of(col("toks"), 4, 4, 4242)).collect()(0).getSeq[Long](0)
+    assert(interp == viaDf)
+  }
+
   test("TopKByDist equals window row_number top-k") {
     val pairs = emb.crossJoin(
       emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")))
