@@ -293,15 +293,22 @@ object IvfIndex {
   def searchBatch(s: SparkSession, index: DataFrame,
       centroids: Array[Array[Double]],
       queriesDf: DataFrame, k: Int, nprobe: Int = 0): DataFrame = {
-    index
-      // the (qid, centroid) pair table is |queries|×nprobe rows — tiny
-      // for a sampled query table but corpus-sized for the 100 TB
-      // batch-serving story, so the join stays UN-HINTED: AQE
-      // broadcasts it at local scale (plan-pinned in AnnSpec) and
-      // falls back to a shuffle equi-join when the query table grows.
-      // A forced broadcast() here overflowed exactly that case.
-      .join(probePairs(s, queriesDf, centroids, nprobe), "centroid_id")
+    // the query payload joins onto the (qid, centroid) PAIR table —
+    // |queries|×nprobe rows — BEFORE the index join explodes
+    // candidates: every join precedes the explosion, so the candidate
+    // stream flows straight into the codegen kernel and the map-side
+    // partial agg, never through a sort or shuffle (joining qv onto
+    // the exploded stream instead lets AQE pick a sort-merge join
+    // there once the query table outgrows broadcast, sorting the
+    // candidate stream — the measured 30× mining failure mode).
+    val pp = probePairs(s, queriesDf, centroids, nprobe)
       .join(queriesDf.select(col("qid"), col("qv")), "qid")
+    index
+      // the pair join stays UN-HINTED: AQE broadcasts it at local
+      // scale (plan-pinned in AnnSpec) and falls back to a shuffle
+      // equi-join when the query table grows. A forced broadcast()
+      // here overflowed exactly that case.
+      .join(pp, "centroid_id")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         graft.functions.SafeRound.round(

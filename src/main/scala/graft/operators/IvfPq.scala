@@ -140,24 +140,13 @@ object IvfPq {
     // the (qid, probed-centroid) pair table drives BOTH the candidate
     // join and the per-(query, cell) residual ADC tables
     val pairs = IvfIndex.probePairs(s, queriesDf, centroids, nprobe)
-    val cand = index
-      // un-hinted like IvfIndex.searchBatch: |queries|×nprobe rows is
-      // broadcast-sized for a sampled query table (AQE does it at
-      // local scale, plan-pinned in AnnSpec) but corpus-sized for the
-      // 100 TB batch-serving story, where a forced broadcast overflows.
-      .join(pairs, "centroid_id")
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("centroid_id"))
     // MATERIALIZATION BOUNDARY, not just reuse: without the persist,
     // the build-side projection that constructs each (query, cell)'s
     // 128-double residual ADC array (interpreted higher-order
     // functions) is re-evaluated once per JOINED CANDIDATE row rather
     // than once per (query, cell) — measured 7.3 s → 0.7 s on the sf1
     // candidate stream for the pre-residual form. Same trap class as
-    // model_ab_overlap's dense-vector build (SURVEY §4). The join is
-    // un-hinted like the pair join above: |queries|×nprobe ADC rows
-    // broadcast fine for sampled query tables (AQE does it locally),
-    // and a corpus-sized query table must be free to shuffle.
+    // model_ab_overlap's dense-vector build (SURVEY §4).
     // cache key carries the RESOLVED probe depth: the table now has a
     // row per (query, probed cell), so a full-probe run must not reuse
     // a default-depth table (the inner join would silently drop
@@ -166,9 +155,22 @@ object IvfPq {
       s"ivfPqAdcRes:$dir:${centroids.length}:" +
         s"${IvfIndex.resolveNprobe(centroids.length, nprobe)}:$forceMode")(
       PqIndex.adcTableResidual(pairs.join(queriesDf, "qid"), offsets, codebooks))
-    val short = codes
-      .join(cand, Seq("vec_id"))
-      .join(adc, Seq("qid", "centroid_id"))
+    // every join precedes the candidate explosion (the searchBatch /
+    // pairMiningIvfAt rule): codes attach to the assignment table on
+    // the 8-byte vec_id (corpus-sized × corpus-sized equi-join — both
+    // are persisted artifacts a real deployment co-buckets), the ADC
+    // rows attach to the PAIR table, and the one centroid_id join
+    // between them streams the exploded candidates straight into the
+    // codegen unpack-and-sum and the map-side partial agg — no sort
+    // or shuffle ever touches the exploded stream. All joins stay
+    // un-hinted: AQE broadcasts the pair side at local scale
+    // (plan-pinned in AnnSpec) and shuffles when the query table
+    // grows; a forced broadcast overflowed exactly that case.
+    val ppAdc = pairs.join(adc, Seq("qid", "centroid_id"))
+    val short = index.select(col("vec_id"), col("centroid_id"))
+      .join(codes, "vec_id")
+      .join(ppAdc, "centroid_id")
+      .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         PqIndex.adcScoreOver(col("adc"), col("code")).as("adist"))
       .groupBy(col("qid"))

@@ -329,12 +329,22 @@ object Multimodal {
     // probe ranking is the SAME code path as batch serving
     // (IvfIndex.probePairs); unlike searchBatch the pair table here is
     // anchors × nprobe = corpus-sized, so the index join stays
-    // un-hinted (shuffle join at scale) instead of broadcast.
+    // un-hinted (shuffle join at scale) instead of broadcast. The
+    // anchor payload (qv, source) joins onto the PAIR table — N×nprobe
+    // rows — BEFORE the index join explodes candidates: every join
+    // then precedes the explosion and the candidate stream flows
+    // straight into the codegen kernel and the map-side partial agg,
+    // never through a sort or shuffle. (The previous order joined
+    // anchors onto the exploded stream; at the 30× calibrated depth
+    // AQE picked a sort-merge join there and SORTED the ~1B-row
+    // candidate stream — measured heap exhaustion. Join order only;
+    // same rows, oracle untouched.)
+    val pp = IvfIndex.probePairs(s, anchors, centroids, np)
+      .join(anchors.select(col("qid"), col("qv"), col("q_source")), "qid")
     index
       .join(src.select(col("doc_id"), col("source").as("neg_source")),
         col("vec_id") === col("doc_id")).drop("doc_id")
-      .join(IvfIndex.probePairs(s, anchors, centroids, np), "centroid_id")
-      .join(anchors.select(col("qid"), col("qv"), col("q_source")), "qid")
+      .join(pp, "centroid_id")
       .filter(col("vec_id") =!= col("qid") && col("neg_source") =!= col("q_source"))
       .select(col("qid"), col("vec_id"),
         round(graft.functions.FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))
