@@ -131,8 +131,13 @@ object Bench {
     // optional comma-separated filter for focused profiling runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // an explicit ONLY filter overrides the scale-SF kept-negative
+    // skip: a focused profiling run that NAMES a kept-negative query
+    // (e.g. measuring the LSH twin to destruction again) should time
+    // it, not silently time nothing.
     val skipped: Set[String] =
-      if (isScaleSf(sfDir)) SparkEntry.queries.keySet & KeptNegatives
+      if (isScaleSf(sfDir))
+        (SparkEntry.queries.keySet & KeptNegatives) -- only.getOrElse(Set.empty)
       else Set.empty
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) && !skipped.contains(n) }

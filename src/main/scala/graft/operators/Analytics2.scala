@@ -63,6 +63,13 @@ object Analytics2 {
         year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("raw_rev"),
         count(lit(1)).as("nrows"))
+      // referenced twice below (pair selection + final join): cached
+      // so the 5-way lineitem join runs ONCE per execution — without
+      // this the physical plan duplicates the whole aggregate subtree.
+      // Dictionary-sized (≤ nations² × years rows), so the cache is
+      // bytes; blocks are released by the ContextCleaner when the
+      // frame goes unreachable.
+      .cache()
     val top = agg
       .groupBy(least(col("supp_nation"), col("cust_nation")).as("na"),
         greatest(col("supp_nation"), col("cust_nation")).as("nb"))

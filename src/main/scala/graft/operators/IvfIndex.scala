@@ -81,6 +81,15 @@ object IvfIndex {
   private[graft] val sqlNprobe: String =
     s"greatest($NumProbe, CAST(round(sqrt((SELECT count(*) FROM c))) AS INT))"
 
+  /** DuckDB twin of [[calibrationMod]] at the default stride: the
+    * oracle derives the capped sampling modulus from the same corpus
+    * count the engine derives it from (integer ceil(n/cap) agrees
+    * across engines — both compute it in double from exact int64
+    * counts far below 2^53). */
+  private[graft] val sqlCalibMod: String =
+    "(SELECT greatest(50, CAST(ceil(count(*) / " +
+      s"${CalibrationSampleCap}.0) AS BIGINT)) FROM embeddings)"
+
   /** Explicit-geometry overrides for SIZING MEASUREMENT runs only
     * (0 = unset = the adaptive defaults above). `build` persists oracle
     * artifacts only for the adaptive default geometry, so an override
@@ -89,6 +98,40 @@ object IvfIndex {
     sys.env.get("SPARK_GRAFT_IVF_NLIST").map(_.toInt).getOrElse(0)
   private[graft] def envNprobe: Int =
     sys.env.get("SPARK_GRAFT_IVF_NPROBE").map(_.toInt).getOrElse(0)
+
+  /** Absolute ceiling on the TARGET-ACCURACY calibration sample. The
+    * r7 sample was FRACTIONAL (every 50th vector), so the exact
+    * ground-truth pass cost (N/50)·N = N²/50 kernel evaluations and
+    * force-broadcast a corpus-proportional table — at 10⁹ vectors,
+    * ~2·10¹⁶ evals and a multi-GB broadcast, ~1000× the job being
+    * calibrated. The cap makes the pass O(N·cap) (linear in the
+    * corpus, like one batch-serving run with 2k queries) and bounds
+    * the broadcast at cap·dim floats (~0.5 MB at dim 64) at ANY
+    * corpus size. 2k queries holds the recall estimate's sampling
+    * error near 1% — the resolution the 0.95-style targets need. */
+  val CalibrationSampleCap = 2000L
+
+  /** Effective sampling modulus: the caller's stride, widened just
+    * enough that the sample never exceeds [[CalibrationSampleCap]]
+    * rows. Pure in (n, sampleMod) and mirrored verbatim by the
+    * vs_knn_ivf_acc oracle SQL, so both engines select the identical
+    * query set at every corpus size. Below cap·sampleMod rows
+    * (100k at the defaults) this is the caller's stride unchanged —
+    * the driver SFs sit there, so their hashes are unaffected. */
+  private[graft] def calibrationMod(n: Long, sampleMod: Int): Long =
+    math.max(sampleMod.toLong,
+      math.ceil(n.toDouble / CalibrationSampleCap).toLong)
+
+  /** The calibration query sample: a deterministic stride over vec_id
+    * at the absolutely-capped modulus. Split out so specs can pin the
+    * cap without running a full calibration. */
+  private[graft] def calibrationSample(s: SparkSession, dir: String,
+      sampleMod: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val effMod = calibrationMod(emb.count(), sampleMod)
+    emb.filter(col("vec_id") % effMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+  }
 
   /** TARGET-ACCURACY mode for the blocked candidate paths: when set,
     * dedup_embedding_ivf and mm_pair_mining_ivf calibrate their probe
@@ -145,6 +188,9 @@ object IvfIndex {
     built.keys.filter(_._1.sparkContext.isStopped).foreach(built.remove)
     counted.keys.filter(_._1.sparkContext.isStopped).foreach(counted.remove)
   }
+  // also run at context stop, so the LAST session of a JVM is dropped
+  // without waiting for a next build call (ADVICE r7)
+  graft.functions.SessionEvict.register(() => evictStopped())
   private[graft] def cacheSize: Int = built.size
   private[graft] def clearCache(): Unit = { built.clear(); counted.clear() }
 
@@ -161,6 +207,7 @@ object IvfIndex {
     * artifacts rather than skipping them). */
   def build(s: SparkSession, dir: String,
       k: Int = 0): (DataFrame, Array[Array[Double]]) = {
+    graft.functions.SessionEvict.hook(s)
     evictStopped()
     val default = defaultNlist(corpusCount(s, dir))
     val nlist = if (k > 0) k else default
@@ -324,9 +371,11 @@ object IvfIndex {
   /** TARGET ACCURACY → nprobe calibration — the reference's actual
     * index-tuning interface (/root/reference/scripts/
     * 01_pdf_to_vector.sql:97: `WITH TARGET ACCURACY 95`). At build
-    * time, measure recall on a deterministic query sample and return
+    * time, measure recall on a deterministic query sample (absolutely
+    * capped — see [[CalibrationSampleCap]]) and return
     * the smallest nprobe that meets the target. One exact pass over
-    * (sample × corpus) — the standard one-off calibration cost — then
+    * (sample × corpus) — O(N·cap), the cost of one batch-serving run,
+    * at any corpus size — then
     * a closed form instead of per-nprobe re-probing: a true top-k
     * neighbor is recovered at probe depth n iff its centroid ranks
     * ≤ n in the query's centroid ordering, so recall(n) is a running
@@ -353,12 +402,12 @@ object IvfIndex {
       radius: Option[Double] = None,
       truthFilter: DataFrame => DataFrame = identity): Int = {
     import s.implicits._
-    val sample = Tables.embeddings(s, dir)
-      .filter(col("vec_id") % sampleMod === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val sample = calibrationSample(s, dir, sampleMod)
     // exact ground truth per sample query (broadcast the sample,
     // bounded top-k agg / radius filter — shuffle volume is the
-    // answer size)
+    // answer size). The broadcast hint is legitimate BECAUSE the
+    // sample is absolutely capped: ≤ [[CalibrationSampleCap]] rows
+    // regardless of corpus size.
     val scored = truthFilter(index
       .crossJoin(broadcast(sample))
       .filter(col("vec_id") =!= col("qid"))
@@ -466,12 +515,29 @@ object IvfIndex {
     *
     * Pair semantics match dedup_embedding: (vec_a < vec_b, dist ≤
     * [[Dedup.CosRadius]]); a pair is a candidate when EITHER side
-    * probes the other's assigned cell (least/greatest + distinct
-    * unions the two probe directions). Candidates carry bare 8-byte
-    * ids through the distinct; embeddings re-join afterwards. Reuses
+    * probes the other's assigned cell. Reuses
     * the same persisted artifacts as the serving ops — no second
     * index build — and the oracle reproduces probe ranking, cell
-    * restriction, verification, and the radius filter from them. */
+    * restriction, verification, and the radius filter from them.
+    *
+    * VERIFY-BEFORE-DEDUP (r8): r7 deduplicated the candidate pair
+    * space first (bare-id distinct — a full shuffle of the N^1.75-row
+    * candidate stream) and verified the survivors through two
+    * embedding re-joins (two more candidate-stream shuffles). That
+    * distinct dominated the 30× default run (449.5 s, SURVEY §6).
+    * Now the query payload joins the PAIR table before the cell join
+    * — the searchBatch/mining reorder — so every candidate row
+    * already carries both embeddings and the exact kernel + radius
+    * filter run MAP-SIDE on the exploded stream; only the
+    * answer-sized survivors (actual near-dup pairs) reach the
+    * distinct that unions the two probe directions. Zero shuffles of
+    * the candidate stream; the cosine kernel is evaluated per probe
+    * direction instead of per pair (≤ 2× the flops) — codegen flops
+    * traded for the shuffle that actually dominated. dist is
+    * direction-safe: dot and norms accumulate index-ascending, so
+    * cosine(x,y) ≡ cosine(y,x) bit-for-bit and both directions
+    * yield an identical (vec_a, vec_b, dist) row for the distinct.
+    * Same verified pair set; the oracle is untouched. */
   def dedupPairs(s: SparkSession, dir: String): DataFrame = {
     val (index, centroids) = build(s, dir, k = envNlist)
     // probe depth: the scan-bounded adaptive default, an explicit
@@ -487,23 +553,29 @@ object IvfIndex {
         c
       case None => envNprobe
     }
+    dedupPairsAt(s, dir, index, centroids, np)
+  }
+
+  /** The blocked-dedup pipeline at an explicit probe depth (0 =
+    * adaptive) — split out so specs and sizing runs can pin the plan
+    * and recall at a chosen depth without the env knobs. */
+  private[graft] def dedupPairsAt(s: SparkSession, dir: String,
+      index: DataFrame, centroids: Array[Array[Double]], np: Int): DataFrame = {
     val probes = Tables.embeddings(s, dir)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    // corpus-sized probe table: the cell join stays un-hinted (AQE
-    // broadcasts at local scale, shuffle equi-join at 100 TB).
-    val cand = index.select(col("vec_id"), col("centroid_id"))
-      .join(probePairs(s, probes, centroids, np), "centroid_id")
+    // corpus-sized probe table: both joins stay un-hinted (AQE
+    // broadcasts at local scale, shuffle equi-join at 100 TB) and
+    // both PRECEDE the explosion — the exploded stream itself never
+    // crosses a sort or shuffle before the radius filter.
+    val pp = probePairs(s, probes, centroids, np).join(probes, "qid")
+    index
+      .join(pp, "centroid_id")
       .filter(col("qid") =!= col("vec_id"))
       .select(least(col("qid"), col("vec_id")).as("vec_a"),
-        greatest(col("qid"), col("vec_id")).as("vec_b"))
-      .distinct()
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    cand
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        round(FloatVecDistance.cosine(col("ea"), col("eb")), 4).as("dist"))
+        greatest(col("qid"), col("vec_id")).as("vec_b"),
+        round(FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))
       .filter(col("dist") <= Dedup.CosRadius)
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 
@@ -587,7 +659,8 @@ object IvfIndex {
          |WHERE dist <= ${Dedup.CosRadius} ORDER BY vec_a, vec_b""".stripMargin,
     "vs_knn_ivf_acc" ->
       s"""WITH $artifactCtes,
-         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |       WHERE vec_id % $sqlCalibMod = 0),
          |td AS (
          |  SELECT qs.qid, e.vec_id, ${VectorSearch.dCosine("e.embedding", "qv")} AS dist
          |  FROM qs, embeddings e WHERE e.vec_id <> qs.qid),

@@ -83,6 +83,14 @@ object PqIndex {
   private[graft] def cacheSize: Int = built.size + builtRes.size
   private[graft] def clearCache(): Unit = { built.clear(); builtRes.clear() }
 
+  // stop-time twin of the evict-on-access passes in build/buildResidual:
+  // the last stopped session of a JVM has no next build call to evict
+  // it, so it would otherwise pin its frames and codebook arrays
+  graft.functions.SessionEvict.register(() => {
+    built.keys.filter(_._1.sparkContext.isStopped).foreach(built.remove)
+    builtRes.keys.filter(_._1.sparkContext.isStopped).foreach(builtRes.remove)
+  })
+
   private def normalized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       transform(col("embedding"),
@@ -164,6 +172,7 @@ object PqIndex {
     * codes table (vec_id, code int) and the codebooks. Memoized per
     * (session, dir): the PQ index is a persistent artifact. */
   def build(s: SparkSession, dir: String): (DataFrame, Codebooks) = {
+    graft.functions.SessionEvict.hook(s)
     built.keys.filter(_._1.sparkContext.isStopped).foreach(built.remove)
     built.getOrElseUpdate((s, dir), {
       val norm = normalized(Tables.embeddings(s, dir)).cache()
@@ -239,6 +248,7 @@ object PqIndex {
       index: DataFrame, centroids: Array[Array[Double]],
       forceMode: Option[Boolean] = None)
       : (DataFrame, Codebooks, Array[Array[Double]]) = {
+    graft.functions.SessionEvict.hook(s)
     builtRes.keys.filter(_._1.sparkContext.isStopped).foreach(builtRes.remove)
     val isDefaultGeometry =
       centroids.length == IvfIndex.defaultNlist(IvfIndex.corpusCount(s, dir))
