@@ -52,6 +52,11 @@ object DfCache {
       df
     }
 
+  private[graft] def sizeFor(s: SparkSession): Int =
+    cache.keys.count(_._1 eq s)
+  private[graft] def contains(s: SparkSession, key: String): Boolean =
+    cache.contains((s, key))
+
   def clear(): Unit = synchronized {
     cache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     cache.clear()

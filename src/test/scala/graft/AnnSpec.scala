@@ -467,6 +467,39 @@ class AnnSpec extends AnyFunSuite {
     assert(unmasked <= np, s"unmasked=$unmasked masked=$np")
   }
 
+  test("default-depth mining meets the RELAXED hard-negative contract at sf0.1") {
+    // SURVEY §6 conclusion (3), now measured instead of narrated: a
+    // hard-negative miner doesn't need the anchor's exact top-3 — any
+    // near-top wrong-source negative serves for contrastive training.
+    // Contract: a mined negative is a hit when it sits in the anchor's
+    // TRUE top-10 wrong-source neighbors (tools/ivf_recall.py reports
+    // the same metric on Verify dumps). At the scan-bounded default
+    // depth the strict top-3 recall is ~0.56 at sf0.1 while this
+    // relaxed rate measured 0.9755 — the measured justification for
+    // pricing the default depth below full TARGET-ACCURACY calibration.
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.operators.Multimodal
+    val dir = "/root/testdata/sf0.1"
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val emb = Tables.embeddings(spark, dir)
+      .join(src, col("vec_id") === col("doc_id")).drop("doc_id")
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("source").as("qs"))
+    val truth = emb.crossJoin(q)
+      .filter(col("vec_id") =!= col("qid") && col("source") =!= col("qs"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.FloatVecDistance.cosine(col("embedding"), col("qv")).as("dist"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topkByDist(col("dist"), col("vec_id"), 10).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mined = Multimodal.pairMiningIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mined.nonEmpty)
+    val rate = mined.count(truth.contains).toDouble / mined.length
+    assert(rate >= 0.9, s"relaxed hardness $rate < 0.9 over ${mined.length} mined")
+  }
+
   test("un-hinted probe-pair joins still broadcast at local scale (AQE)") {
     import org.apache.spark.sql.functions.col
     val (index, centroids) = IvfIndex.build(spark, sf)

@@ -271,4 +271,51 @@ class PlanSpec extends AnyFunSuite {
     assert(Tables.underSplitParallelism(1L, par))
     assert(!Tables.underSplitParallelism(par.toLong * GraftSession.TargetPartitionBytes, par))
   }
+
+  test("TARGET-ACCURACY mode: calibration sample absolutely capped, calibrated plans never sort the candidate stream") {
+    import graft.operators.Multimodal
+    // the ground-truth pass is O(N·cap) at ANY corpus size: the stride
+    // widens so n/mod ≤ cap — at 10⁹ vectors the r7 fractional sample
+    // was 2·10⁷ queries (N²/50 exact scorings); the cap holds it at 2k
+    val cap = IvfIndex.CalibrationSampleCap
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L, 100000000000L)) {
+      val m = IvfIndex.calibrationMod(n, 50)
+      assert(n / m <= cap, s"n=$n mod=$m samples=${n / m}")
+    }
+    // below cap·stride rows the caller's stride is unchanged — the
+    // driver SFs sit there, so the vs_knn_ivf_acc hashes were
+    // unaffected by introducing the cap
+    assert(IvfIndex.calibrationMod(100000L, 50) == 50L)
+    assert(IvfIndex.calibrationMod(100001L, 50) == 51L)
+    assert(IvfIndex.calibrationSample(spark, sf).count() <= cap)
+    // plan shape at a CALIBRATED depth (the env-knob modes run this
+    // exact code path via dedupPairsAt/pairMiningIvfAt): every payload
+    // join precedes the candidate explosion, so the FINAL (post-AQE)
+    // plan must not sort-merge-join or cartesian the exploded stream —
+    // the measured 30× failure mode was AQE sorting ~1B candidate rows
+    // when the payload joined AFTER the explosion. Executed-plan
+    // inspection, like the AnnSpec un-hinted-join pin: the static plan
+    // legitimately schedules SMJ for the un-hinted pre-explosion joins
+    // (their inputs are pair tables, not the candidate stream) and AQE
+    // rewrites them to broadcasts at local scale.
+    val (index, centroids) = IvfIndex.build(spark, sf)
+    val np = IvfIndex.calibrateNprobe(spark, index, centroids, sf,
+      targetAccuracy = 0.9, sampleMod = 5, radius = Some(Dedup.CosRadius))
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan"
+    // (where SMJ is the legitimate static choice) — assert on the
+    // Final Plan section only
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    val pDedup = finalPlan(IvfIndex.dedupPairsAt(spark, sf, index, centroids, np))
+    assert(pDedup.contains("isFinalPlan=true"), pDedup)
+    assert(!pDedup.contains("SortMergeJoin"), pDedup)
+    assert(!pDedup.contains("CartesianProduct"), pDedup)
+    val npM = Multimodal.calibrateMiningNprobe(spark, index, centroids, sf, 0.9)
+    val pMine = finalPlan(Multimodal.pairMiningIvfAt(spark, sf, index, centroids, npM))
+    assert(pMine.contains("isFinalPlan=true"), pMine)
+    assert(!pMine.contains("SortMergeJoin"), pMine)
+    assert(!pMine.contains("CartesianProduct"), pMine)
+  }
 }

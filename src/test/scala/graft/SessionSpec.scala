@@ -30,4 +30,27 @@ class SessionSpec extends AnyFunSuite {
     // and the derived partitions for local test SFs equal parallelism
     assert(shufflePartitionsFor(b, 32) == 32)
   }
+
+  test("DfCache bounds live sessions: LRU eviction past MaxPerSession, recent keys survive") {
+    import graft.functions.DfCache
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    DfCache.clear()
+    try {
+      // overfill by 5: a service iterating many corpus dirs must not
+      // accumulate persisted frames without limit (r7 kept only the
+      // stopped-session hygiene; live sessions grew unboundedly)
+      val n = DfCache.MaxPerSession + 5
+      (0 until n).foreach { i =>
+        DfCache.getOrElseUpdate(spark, s"lru-spec-$i")(Seq(i).toDF("v"))
+      }
+      assert(DfCache.sizeFor(spark) == DfCache.MaxPerSession)
+      // least-recently-used dropped, most recent retained
+      assert(!DfCache.contains(spark, "lru-spec-0"))
+      assert(DfCache.contains(spark, s"lru-spec-${n - 1}"))
+      // re-inserting an evicted key works (rebuild path, no stale state)
+      val df = DfCache.getOrElseUpdate(spark, "lru-spec-0")(Seq(42).toDF("v"))
+      assert(df.collect().map(_.getInt(0)).toSeq == Seq(42))
+    } finally DfCache.clear()
+  }
 }
