@@ -39,18 +39,24 @@ object DfCache {
     lastUsed.remove(k)
   }
 
-  def getOrElseUpdate(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    synchronized {
-      SessionEvict.hook(s)
+  def getOrElseUpdate(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    SessionEvict.hook(s)
+    // fast path: a hit only touches bookkeeping under the lock — it
+    // never queues behind another key's in-flight build
+    val hit = synchronized {
       cache.keys.filter(_._1.sparkContext.isStopped).foreach(drop)
       lastUsed((s, key)) = tick.incrementAndGet()
+      cache.get((s, key))
+    }
+    hit.getOrElse(synchronized {
       val df = cache.getOrElseUpdate((s, key), build.persist(StorageLevel.MEMORY_AND_DISK))
       val mine = cache.keys.filter(_._1 eq s).toSeq
       if (mine.size > MaxPerSession)
         mine.filterNot(_._2 == key).sortBy(k => lastUsed.getOrElse(k, 0L))
           .take(mine.size - MaxPerSession).foreach(drop)
       df
-    }
+    })
+  }
 
   private[graft] def sizeFor(s: SparkSession): Int =
     cache.keys.count(_._1 eq s)

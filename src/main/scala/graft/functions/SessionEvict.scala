@@ -29,16 +29,20 @@ object SessionEvict {
   def register(evictStopped: Runnable): Unit = evictors.add(evictStopped)
 
   /** Ensure the session's context runs all evictors at stop. One
-    * listener per context, however many sessions share it. */
+    * listener per context, however many sessions share it. A stopped
+    * context is a no-op (addSparkListener would throw on its dead
+    * listener bus — the caller's evict-on-access pass handles those
+    * entries), and a registration failure rolls back so a later live
+    * context isn't mistaken for hooked. */
   def hook(s: SparkSession): Unit = {
     val sc = s.sparkContext
-    if (hookedCtx.putIfAbsent(sc, true).isEmpty)
-      sc.addSparkListener(new SparkListener {
+    if (!sc.isStopped && hookedCtx.putIfAbsent(sc, true).isEmpty)
+      try sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
           evictors.forEach(_.run())
           hookedCtx.remove(sc)
         }
-      })
+      }) catch { case _: IllegalStateException => hookedCtx.remove(sc) }
   }
 
   private[graft] def hookedCount: Int = hookedCtx.size

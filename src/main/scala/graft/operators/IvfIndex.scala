@@ -85,8 +85,13 @@ object IvfIndex {
     * oracle derives the capped sampling modulus from the same corpus
     * count the engine derives it from (integer ceil(n/cap) agrees
     * across engines — both compute it in double from exact int64
-    * counts far below 2^53). */
-  private[graft] val sqlCalibMod: String =
+    * counts far below 2^53). A `def`, NOT a val: a val here would
+    * initialize before [[CalibrationSampleCap]] (object vals run in
+    * declaration order) and bake `/ 0.0` into the SQL — DuckDB
+    * resolves ceil(n/0.0) to NULL and greatest(50, NULL) to 50, so
+    * the oracle's modulus would silently stay uncapped-equivalent
+    * while the engine caps, breaking parity above 100k vectors. */
+  private[graft] def sqlCalibMod: String =
     "(SELECT greatest(50, CAST(ceil(count(*) / " +
       s"${CalibrationSampleCap}.0) AS BIGINT)) FROM embeddings)"
 
@@ -127,9 +132,10 @@ object IvfIndex {
     * cap without running a full calibration. */
   private[graft] def calibrationSample(s: SparkSession, dir: String,
       sampleMod: Int = 50): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val effMod = calibrationMod(emb.count(), sampleMod)
-    emb.filter(col("vec_id") % effMod === 0)
+    // memoized corpus count — calibration always follows a build for
+    // the same (session, dir), so this launches no extra count job
+    val effMod = calibrationMod(corpusCount(s, dir), sampleMod)
+    Tables.embeddings(s, dir).filter(col("vec_id") % effMod === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
   }
 

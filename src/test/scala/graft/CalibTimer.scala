@@ -18,13 +18,17 @@ import graft.operators.{Dedup, IvfIndex}
 object CalibTimer {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // size the session for the LARGEST dir in the run: partitions
+    // tuned to args.head alone would distort the later, bigger dirs —
+    // the exact scaling witness this tool exists to produce
+    val maxBytes = args.map(GraftSession.dirBytes).max
     val spark = GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true"),
-      GraftSession.dirBytes(args.head), cpus.toInt).getOrCreate()
+      maxBytes, cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { dir =>
       val n = Tables.embeddings(spark, dir).count()

@@ -84,8 +84,12 @@ def main():
     print(f"vs_knn_ivf_batch recall@5 vs exact: {r5:.4f} over {n5} queries")
     if len(sys.argv) > 3:
         h, nm = relaxed_hardness(ivf, sys.argv[3])
-        print(f"mm_pair_mining_ivf relaxed hardness (mined ∈ true top-10 "
-              f"wrong-source): {h:.4f} over {nm} mined negatives")
+        if nm == 0:
+            print("mm_pair_mining_ivf relaxed hardness: EMPTY mining dump "
+                  "(0 mined negatives) — nothing to score")
+        else:
+            print(f"mm_pair_mining_ivf relaxed hardness (mined ∈ true top-10 "
+                  f"wrong-source): {h:.4f} over {nm} mined negatives")
 
 
 if __name__ == "__main__":
