@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions.lit
   * strings carry the same `1e-9 +` shift.
   */
 object SafeRound {
+  // FastHalfUpRound replaces functions.round: identical HALF_UP
+  // semantics (bit-compatible — see its scaladoc and KernelSpec's
+  // property pin) without the per-row BigDecimal/Double.toString the
+  // builtin pays, which measured as expensive as the cosine kernel on
+  // ANN candidate streams. The +1e-9 boundary shift is unchanged and
+  // the cast keeps non-double inputs (ints, decimals) on the same
+  // widening path functions.round used.
   def round(c: Column, scale: Int): Column =
-    org.apache.spark.sql.functions.round(c + lit(1e-9), scale)
+    org.apache.spark.sql.GraftColumnBridge.toColumn(FastHalfUpRound(
+      org.apache.spark.sql.GraftColumnBridge.toExpr((c + lit(1e-9)).cast("double")),
+      scale))
 
   /** Strict-superset prefilter slack for `round(x, 4) <= r` radius
     * filters on candidate streams. HALF_UP at 4 dp keeps a row iff

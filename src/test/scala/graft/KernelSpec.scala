@@ -155,4 +155,38 @@ class KernelSpec extends AnyFunSuite {
       (1L, Seq(3L, 1L, 2L), Seq(8L, 8L, 11L)),
       (2L, Seq(10L, 10L, 10L), Seq(10L, 10L, 10L))))
   }
+
+  test("FastHalfUpRound is bit-identical to the BigDecimal reference") {
+    import graft.functions.FastHalfUpRound.{round => fast, slow}
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    def check(x: Double, s: Int): Unit =
+      assert(bits(fast(x, s)) == bits(slow(x, s)),
+        s"x=$x scale=$s fast=${fast(x, s)} slow=${slow(x, s)}")
+    // adversarial: the full scale-4 grid ± boundary offsets, both signs
+    val offs = Seq(0.0, 1e-9, -1e-9, 5e-5, -5e-5, 5e-5 + 1e-12, 5e-5 - 1e-12,
+      4.9999e-5, 5.0001e-5, 2.5e-5, 7.5e-5)
+    for (k <- -30000 to 30000; o <- offs) check(k / 1e4 + o, 4)
+    // money-scale grid with half-cent boundaries
+    for (k <- -5000 to 5000; o <- Seq(0.0, 0.005, 0.0049999, 0.0050001, -0.005))
+      check(k * 1.37 + o, 2)
+    // deterministic random sweep across magnitudes and scales
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200000) {
+      val x = (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(16) - 6)
+      check(x, rnd.nextInt(9))
+    }
+    // specials: NaN, infinities, zeros, guard boundaries, huge scales
+    for (x <- Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      0.0, -0.0, 1e12, -1e12, 9.999999e11, 1.1e12, 1e300, Double.MinPositiveValue))
+      for (s <- Seq(0, 2, 4, 8)) check(x, s)
+    // and through the column API: SafeRound over a spread of values
+    // agrees with functions.round (the expression it replaced)
+    import spark.implicits._
+    val df = (1 to 5000).map(i => i * 0.013577 - 30.0).toDF("v")
+    val diff = df.select(
+      graft.functions.SafeRound.round(col("v"), 4).as("a"),
+      org.apache.spark.sql.functions.round(col("v") + lit(1e-9), 4).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+  }
 }
