@@ -43,4 +43,11 @@ object SafeRound {
     * stage fell 12.9 s → 6.9 s with the prefilter, identical rows).
     * Scale-4-specific, like the dedup distance contract. */
   val PreRoundSlack = 5.1e-5
+
+  /** The prefilter predicate itself, so every two-phase radius site
+    * shares one spelling of the superset invariant: apply to the RAW
+    * kernel value, and keep the exact `round(dist, 4) <= r` filter
+    * after it. */
+  def radiusPrefilter(raw: Column, r: Double): Column =
+    raw <= lit(r + PreRoundSlack)
 }

@@ -80,8 +80,8 @@ object EmbeddingLsh {
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       // raw-kernel prefilter then the exact rounded contract filter
       // (strict superset — SafeRound.PreRoundSlack; identical rows)
-      .filter(FloatVecDistance.cosine(col("ea"), col("eb")) <=
-        Radius + graft.functions.SafeRound.PreRoundSlack)
+      .filter(graft.functions.SafeRound.radiusPrefilter(
+        FloatVecDistance.cosine(col("ea"), col("eb")), Radius))
       .select(col("vec_a"), col("vec_b"),
         round(FloatVecDistance.cosine(col("ea"), col("eb")), 4).as("dist"))
       .filter(col("dist") <= Radius)

@@ -425,7 +425,7 @@ object IvfIndex {
         // raw prefilter before the rounded contract filter (strict
         // superset — SafeRound.PreRoundSlack): skips Round's
         // BigDecimal path on the non-near bulk of the N·cap stream
-        scored.filter(col("dist") <= r + graft.functions.SafeRound.PreRoundSlack)
+        scored.filter(graft.functions.SafeRound.radiusPrefilter(col("dist"), r))
           .filter(round(col("dist"), 4) <= r)
           .select(col("qid"), col("vec_id"))
       case None =>
@@ -587,8 +587,8 @@ object IvfIndex {
       // short-circuits, so Round's BigDecimal path runs only on
       // near-radius survivors: measured 12.9 → 6.9 s on the sf1
       // candidate stream, bit-identical output.
-      .filter(FloatVecDistance.cosine(col("embedding"), col("qv")) <=
-        Dedup.CosRadius + graft.functions.SafeRound.PreRoundSlack)
+      .filter(graft.functions.SafeRound.radiusPrefilter(
+        FloatVecDistance.cosine(col("embedding"), col("qv")), Dedup.CosRadius))
       .select(least(col("qid"), col("vec_id")).as("vec_a"),
         greatest(col("qid"), col("vec_id")).as("vec_b"),
         round(FloatVecDistance.cosine(col("embedding"), col("qv")), 4).as("dist"))

@@ -79,7 +79,8 @@ object DeiProbe {
     // prefilter survivors
     val two = index.join(pp, "centroid_id")
       .filter(col("qid") =!= col("vec_id"))
-      .filter(FloatVecDistance.cosine(col("embedding"), col("qv")) <= Dedup.CosRadius + 5.1e-5)
+      .filter(graft.functions.SafeRound.radiusPrefilter(
+        FloatVecDistance.cosine(col("embedding"), col("qv")), Dedup.CosRadius))
       .select(least(col("qid"), col("vec_id")).as("vec_a"),
         greatest(col("qid"), col("vec_id")).as("vec_b"),
         graft.functions.SafeRound.round(
