@@ -210,6 +210,26 @@ class CoreSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.length == rows.length)
   }
 
+  test("capped containment: subset of ground truth with exact scores, recall floor") {
+    import graft.operators.Dedup
+    val exact = Dedup.containment(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val capped = Dedup.containmentCapped(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // sound, with EXACT scores: the hot-side completion recovers the
+    // full intersection for every surviving pair, so a capped row is
+    // the ground-truth row bit-for-bit — never just "approximately in"
+    capped.foreach { case (k, v) =>
+      assert(exact.get(k).contains(v), s"pair $k: capped=$v exact=${exact.get(k)}")
+    }
+    // recall floor: only pairs whose ENTIRE overlap is df>cap shingles
+    // can be missed (corpus-wide boilerplate — dedup_substring's
+    // coverage signal owns those); the driver corpus keeps >= 90%
+    assert(exact.nonEmpty)
+    assert(capped.size >= math.ceil(exact.size * 0.9).toInt,
+      s"recall ${capped.size}/${exact.size}")
+  }
+
   test("every query has oracle sql or is documented rows-only") {
     // as of r5 the rows-only list is EMPTY: even the sketch query has
     // a hash-checked contract surface. Keep the set explicit so any

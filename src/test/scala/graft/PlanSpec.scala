@@ -175,6 +175,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("capped containment: candidate joins are equi-joins, no cartesian") {
+    val p = plan(Dedup.containmentCapped(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q6 pushes every predicate (date range, discount band, quantity cap) to the scan") {
     val p = plan(Analytics2.q6Forecast(spark, sf))
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
