@@ -18,13 +18,36 @@ import org.apache.spark.storage.StorageLevel
   * can't accumulate persisted frames without limit (each corpus dir
   * contributes a handful of keys; the bound is ~6 dirs' worth).
   * `clear()` unpersists everything (tests).
+  *
+  * Locking: the global lock covers only map bookkeeping (eviction
+  * sweep, LRU stamp, memo insertion) — never a build. Builds run
+  * under the PER-KEY memo's own monitor (a lazy val), so a hit, or a
+  * build of a DIFFERENT key, never queues behind an in-flight build
+  * (some builds run eager Spark jobs — Dedup.components executes its
+  * whole label-propagation loop inside one). Two callers of the SAME
+  * key still serialize, which is the point of the memo.
   */
 object DfCache {
   /** Per-live-session entry bound; least-recently-used entries are
     * unpersisted and dropped once a session exceeds it. */
   val MaxPerSession = 64
 
-  private val cache = TrieMap.empty[(SparkSession, String), DataFrame]
+  /** One cache slot: the build thunk runs at most once, under this
+    * memo's monitor only. `built` lets eviction unpersist exactly the
+    * frames that were actually materialized — an entry dropped while
+    * its build is still in flight has nothing to unpersist yet (and
+    * can't be LRU-picked anyway: its stamp was just bumped); its
+    * blocks are reclaimed by the stopped-session sweep / clear(). */
+  private final class Memo(build: () => DataFrame) {
+    @volatile private[DfCache] var built: DataFrame = _
+    lazy val df: DataFrame = {
+      val d = build().persist(StorageLevel.MEMORY_AND_DISK)
+      built = d
+      d
+    }
+  }
+
+  private val cache = TrieMap.empty[(SparkSession, String), Memo]
   private val tick = new AtomicLong()
   private val lastUsed = TrieMap.empty[(SparkSession, String), Long]
 
@@ -34,28 +57,30 @@ object DfCache {
     cache.keys.filter(_._1.sparkContext.isStopped).foreach(drop))
 
   private def drop(k: (SparkSession, String)): Unit = {
-    cache.remove(k).foreach(df =>
-      try df.unpersist() catch { case _: Throwable => () })
+    cache.remove(k).foreach { m =>
+      val d = m.built
+      if (d != null) try d.unpersist() catch { case _: Throwable => () }
+    }
     lastUsed.remove(k)
   }
 
   def getOrElseUpdate(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     SessionEvict.hook(s)
-    // fast path: a hit only touches bookkeeping under the lock — it
-    // never queues behind another key's in-flight build
-    val hit = synchronized {
+    val k = (s, key)
+    // bookkeeping only under the global lock: sweep stopped sessions,
+    // stamp recency, insert the (unevaluated) memo, trim LRU overflow
+    val memo = synchronized {
       cache.keys.filter(_._1.sparkContext.isStopped).foreach(drop)
-      lastUsed((s, key)) = tick.incrementAndGet()
-      cache.get((s, key))
-    }
-    hit.getOrElse(synchronized {
-      val df = cache.getOrElseUpdate((s, key), build.persist(StorageLevel.MEMORY_AND_DISK))
+      lastUsed(k) = tick.incrementAndGet()
+      val m = cache.getOrElseUpdate(k, new Memo(() => build))
       val mine = cache.keys.filter(_._1 eq s).toSeq
       if (mine.size > MaxPerSession)
-        mine.filterNot(_._2 == key).sortBy(k => lastUsed.getOrElse(k, 0L))
+        mine.filterNot(_._2 == key).sortBy(kk => lastUsed.getOrElse(kk, 0L))
           .take(mine.size - MaxPerSession).foreach(drop)
-      df
-    })
+      m
+    }
+    // build (or read) outside the global lock, under the per-key monitor
+    memo.df
   }
 
   private[graft] def sizeFor(s: SparkSession): Int =
@@ -64,7 +89,10 @@ object DfCache {
     cache.contains((s, key))
 
   def clear(): Unit = synchronized {
-    cache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    cache.values.foreach { m =>
+      val d = m.built
+      if (d != null) try d.unpersist() catch { case _: Throwable => () }
+    }
     cache.clear()
     lastUsed.clear()
   }

@@ -53,23 +53,25 @@ object Analytics2 {
       .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
     val n2 = Tables.nation(s, dir)
       .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
-    val agg = l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("snk"))
-      .join(broadcast(n2), col("c_nationkey") === col("cnk"))
-      .filter(col("supp_nation") =!= col("cust_nation"))
-      .groupBy(col("supp_nation"), col("cust_nation"),
-        year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("raw_rev"),
-        count(lit(1)).as("nrows"))
-      // referenced twice below (pair selection + final join): cached
-      // so the 5-way lineitem join runs ONCE per execution — without
-      // this the physical plan duplicates the whole aggregate subtree.
-      // Dictionary-sized (≤ nations² × years rows), so the cache is
-      // bytes; blocks are released by the ContextCleaner when the
-      // frame goes unreachable.
-      .cache()
+    // referenced twice below (pair selection + final join): persisted
+    // so the 5-way lineitem join runs ONCE per execution — without
+    // this the physical plan duplicates the whole aggregate subtree.
+    // Dictionary-sized (≤ nations² × years rows), so the cache is
+    // bytes. Routed through the LRU-bounded, session-evicted DfCache
+    // (not a bare .cache()) so a service iterating many corpus dirs
+    // can't pin one InMemoryRelation per dir for the session lifetime.
+    val agg = graft.functions.DfCache.getOrElseUpdate(s, s"q7agg:$dir") {
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("snk"))
+        .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("raw_rev"),
+          count(lit(1)).as("nrows"))
+    }
     val top = agg
       .groupBy(least(col("supp_nation"), col("cust_nation")).as("na"),
         greatest(col("supp_nation"), col("cust_nation")).as("nb"))

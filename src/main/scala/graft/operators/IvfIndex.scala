@@ -81,6 +81,12 @@ object IvfIndex {
   private[graft] val sqlNprobe: String =
     s"greatest($NumProbe, CAST(round(sqrt((SELECT count(*) FROM c))) AS INT))"
 
+  /** Default calibration-sample stride (every Nth vec_id). ONE shared
+    * constant for the engine ([[calibrationSample]]'s default) and
+    * the oracle ([[sqlCalibMod]]) — a literal 50 on either side would
+    * let the twins drift apart silently (ADVICE r8). */
+  val DefaultSampleMod = 50
+
   /** DuckDB twin of [[calibrationMod]] at the default stride: the
     * oracle derives the capped sampling modulus from the same corpus
     * count the engine derives it from (integer ceil(n/cap) agrees
@@ -88,11 +94,11 @@ object IvfIndex {
     * counts far below 2^53). A `def`, NOT a val: a val here would
     * initialize before [[CalibrationSampleCap]] (object vals run in
     * declaration order) and bake `/ 0.0` into the SQL — DuckDB
-    * resolves ceil(n/0.0) to NULL and greatest(50, NULL) to 50, so
+    * resolves ceil(n/0.0) to NULL and greatest(mod, NULL) to mod, so
     * the oracle's modulus would silently stay uncapped-equivalent
     * while the engine caps, breaking parity above 100k vectors. */
   private[graft] def sqlCalibMod: String =
-    "(SELECT greatest(50, CAST(ceil(count(*) / " +
+    s"(SELECT greatest($DefaultSampleMod, CAST(ceil(count(*) / " +
       s"${CalibrationSampleCap}.0) AS BIGINT)) FROM embeddings)"
 
   /** Explicit-geometry overrides for SIZING MEASUREMENT runs only
@@ -131,7 +137,7 @@ object IvfIndex {
     * at the absolutely-capped modulus. Split out so specs can pin the
     * cap without running a full calibration. */
   private[graft] def calibrationSample(s: SparkSession, dir: String,
-      sampleMod: Int = 50): DataFrame = {
+      sampleMod: Int = DefaultSampleMod): DataFrame = {
     // memoized corpus count — calibration always follows a build for
     // the same (session, dir), so this launches no extra count job
     val effMod = calibrationMod(corpusCount(s, dir), sampleMod)
@@ -404,7 +410,7 @@ object IvfIndex {
     * the probe depth down to 1. Must preserve those three columns. */
   def calibrateNprobe(s: SparkSession, index: DataFrame,
       centroids: Array[Array[Double]], dir: String,
-      targetAccuracy: Double, k: Int = 10, sampleMod: Int = 50,
+      targetAccuracy: Double, k: Int = 10, sampleMod: Int = DefaultSampleMod,
       radius: Option[Double] = None,
       truthFilter: DataFrame => DataFrame = identity): Int = {
     import s.implicits._

@@ -53,4 +53,40 @@ class SessionSpec extends AnyFunSuite {
       assert(df.collect().map(_.getInt(0)).toSeq == Seq(42))
     } finally DfCache.clear()
   }
+
+  test("DfCache: a hit never queues behind another key's in-flight build") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import graft.functions.DfCache
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    DfCache.clear()
+    try {
+      DfCache.getOrElseUpdate(spark, "latch-hit")(Seq(1).toDF("v"))
+      val started = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      // some builds run eager Spark jobs (Dedup.components executes
+      // its whole propagation loop inside one); model that with a
+      // build parked on a latch
+      val builder = new Thread(() => {
+        DfCache.getOrElseUpdate(spark, "latch-slow") {
+          started.countDown()
+          release.await(30, TimeUnit.SECONDS)
+          Seq(2).toDF("v")
+        }
+        ()
+      })
+      builder.start()
+      assert(started.await(30, TimeUnit.SECONDS), "builder never started")
+      // while latch-slow's build is parked, a hit on another key must
+      // return promptly — pre-r10 it queued on the same monitor
+      val t0 = System.nanoTime()
+      val hit = DfCache.getOrElseUpdate(spark, "latch-hit")(
+        fail("latch-hit must be served from cache"))
+      val hitMs = (System.nanoTime() - t0) / 1e6
+      release.countDown()
+      builder.join(30000)
+      assert(hit.collect().map(_.getInt(0)).toSeq == Seq(1))
+      assert(hitMs < 2000, s"hit blocked ${hitMs}ms behind an in-flight build")
+    } finally DfCache.clear()
+  }
 }
