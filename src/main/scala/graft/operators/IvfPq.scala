@@ -130,16 +130,33 @@ object IvfPq {
     * same two persisted artifact sets. */
   def knnIvfPqBatch(s: SparkSession, dir: String, k: Int = 5, shortlist: Int = 50,
       nlist: Int = 0, nprobe: Int = 0,
-      forceMode: Option[Boolean] = None): DataFrame = {
+      forceMode: Option[Boolean] = None,
+      targetAcc: Option[Double] = None): DataFrame = {
     val (index, centroids) = IvfIndex.build(s, dir, k = nlist)
     val (codes, codebooks, offsets) =
       PqIndex.buildResidual(s, dir, index, centroids, forceMode)
+    // TARGET-ACCURACY mode (the reference's index-tuning clause, now
+    // on the layout a 100 TB deployment actually serves): the probe
+    // geometry is the SAME persisted IVF layout the plain paths read,
+    // so the depth comes from the shared closed-form calibration
+    // (IvfIndex.calibrateNprobe — absolutely-capped sample, O(N·cap))
+    // at the serving k. Cell recall@k upper-bounds the composed
+    // path's end-to-end recall; the ADC gap under it is bounded by
+    // the shortlist/k margin and measured in AnnSpec + SURVEY §6.
+    val np = targetAcc match {
+      case Some(t) =>
+        val c = IvfIndex.calibrateNprobe(s, index, centroids, dir, t, k = k)
+        System.err.println(
+          s"[graft] vs_knn_ivf_pq_batch TARGET_ACC=$t -> nprobe=$c/${centroids.length}")
+        c
+      case None => nprobe
+    }
     val queriesDf = Tables.embeddings(s, dir)
       .filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     // the (qid, probed-centroid) pair table drives BOTH the candidate
     // join and the per-(query, cell) residual ADC tables
-    val pairs = IvfIndex.probePairs(s, queriesDf, centroids, nprobe)
+    val pairs = IvfIndex.probePairs(s, queriesDf, centroids, np)
     // MATERIALIZATION BOUNDARY, not just reuse: without the persist,
     // the build-side projection that constructs each (query, cell)'s
     // 128-double residual ADC array (interpreted higher-order
@@ -153,7 +170,7 @@ object IvfPq {
     // candidates of cells the cached table never probed)
     val adc = graft.functions.DfCache.getOrElseUpdate(s,
       s"ivfPqAdcRes:$dir:${centroids.length}:" +
-        s"${IvfIndex.resolveNprobe(centroids.length, nprobe)}:$forceMode")(
+        s"${IvfIndex.resolveNprobe(centroids.length, np)}:$forceMode")(
       PqIndex.adcTableResidual(pairs.join(queriesDf, "qid"), offsets, codebooks))
     // every join precedes the candidate explosion (the searchBatch /
     // pairMiningIvfAt rule): codes attach to the assignment table on
@@ -194,9 +211,12 @@ object IvfPq {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vs_knn_ivf_pq" -> ((s, dir) => knnIvfPq(s, dir)),
     // honors the production-geometry sizing knobs like vs_knn_ivf_batch
-    // (no-ops when unset; artifacts persist only for the adaptive default)
+    // and the declared-recall TARGET-ACCURACY mode like
+    // dedup_embedding_ivf (all no-ops when unset — the gate
+    // configuration; artifacts persist only for the adaptive default)
     "vs_knn_ivf_pq_batch" -> ((s, dir) =>
-      knnIvfPqBatch(s, dir, nlist = IvfIndex.envNlist, nprobe = IvfIndex.envNprobe)))
+      knnIvfPqBatch(s, dir, nlist = IvfIndex.envNlist, nprobe = IvfIndex.envNprobe,
+        targetAcc = IvfIndex.envTargetAcc)))
 
   /** DuckDB oracle over BOTH persisted artifact sets: the IVF
     * assignment/centroid tables (__IVFDIR__) drive probe ranking and
