@@ -34,13 +34,45 @@ object Streaming {
   case class SessionAgg(user_id: Long, n_events: Long, sum_value: Double)
 
   /** Collect a memory-sink table into a local frame and drop the view,
-    * so repeated runs don't accumulate result copies in the catalog. */
+    * so repeated runs don't accumulate result copies in the catalog.
+    * For DICTIONARY-SIZED results only (bounded by the group space —
+    * windows × types, routes, segments): the collect transits the
+    * driver. Corpus-proportional results (one row per session, per
+    * joined pair, per window×user) drain through [[drainToParquet]]
+    * instead. */
   private def drainMemorySink(s: SparkSession, name: String): DataFrame = {
     val src = s.table(name)
     val rows = src.collect()
     val schema = src.schema
     s.catalog.dropTempView(name)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Drain a bounded stream through a foreachBatch PARQUET sink (the
+    * stream_quality_route pattern) and read the result back as a
+    * distributed frame — for corpus-proportional outputs, where a
+    * memory sink would collect the whole result to the driver. Append
+    * mode appends each micro-batch; Complete mode overwrites with the
+    * full state each trigger, so the final batch's rewrite is the
+    * answer. Checkpoint and sink live under a wiped fixed scratch
+    * path (stale appends would double-count; temp dirs would leak). */
+  private def drainToParquet(df: DataFrame, mode: OutputMode, tag: String,
+      dir: String): DataFrame = {
+    val s = df.sparkSession
+    val root = graft.functions.Scratch.fresh(tag, dir)
+    val out = s"$root/out"
+    val writeMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
+    val q = df.writeStream
+      .outputMode(mode)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode(writeMode).parquet(out)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
   }
 
   /** Run a stateful streaming query with its state-partition count
@@ -146,16 +178,11 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("user_id"), col("n"))
-    val name = s"stream_trending_${System.nanoTime()}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // windows × users rows — corpus-proportional, so the drain goes
+    // through the parquet sink and the rank runs distributed on the
+    // read-back (never through the driver)
     val w = Window.partitionBy(col("hour")).orderBy(col("n").desc, col("user_id"))
-    drainMemorySink(s, name)
+    drainToParquet(agg, OutputMode.Complete, "trending", dir)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .orderBy("hour", "rnk")
@@ -219,15 +246,10 @@ object Streaming {
 
     val out = evs.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
-    val name = s"stream_sessionize_${System.nanoTime()}"
-    val q = out.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    drainMemorySink(s, name).orderBy("user_id", "n_events", "sum_value")
+    // one row per closed session — linear in the corpus, so the drain
+    // goes through the parquet sink, never the driver
+    drainToParquet(out.toDF(), OutputMode.Append, "sessionize", dir)
+      .orderBy("user_id", "n_events", "sum_value")
   }
 
   /** Stream-stream interval join: each purchase joined to the same
@@ -252,15 +274,10 @@ object Streaming {
         col("ets") <= col("pts") + expr("INTERVAL 30 MINUTES"))
       .select(col("purchase_id"), col("error_id"), col("user_id"),
         (col("ets").cast("long") - col("pts").cast("long")).as("gap_sec"))
-    val name = s"stream_interval_join_${System.nanoTime()}"
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    drainMemorySink(s, name).orderBy("purchase_id", "error_id")
+    // join output grows with the event stream — parquet drain, not a
+    // driver-resident memory table
+    drainToParquet(joined, OutputMode.Append, "intervaljoin", dir)
+      .orderBy("purchase_id", "error_id")
   }
 
   /** Exactly-once ingestion semantics over an at-least-once source:
