@@ -34,10 +34,12 @@ object DfCache {
 
   /** One cache slot: the build thunk runs at most once, under this
     * memo's monitor only. `built` lets eviction unpersist exactly the
-    * frames that were actually materialized — an entry dropped while
-    * its build is still in flight has nothing to unpersist yet (and
-    * can't be LRU-picked anyway: its stamp was just bumped); its
-    * blocks are reclaimed by the stopped-session sweep / clear(). */
+    * frames that were actually materialized; the LRU trim SKIPS
+    * in-flight entries (built == null) — dropping one would orphan
+    * the persisted frame its build is about to produce (nothing to
+    * unpersist at drop time, no map entry left to unpersist it
+    * later), so a long build under key churn waits for the next trim
+    * after it completes instead. */
   private final class Memo(build: () => DataFrame) {
     @volatile private[DfCache] var built: DataFrame = _
     lazy val df: DataFrame = {
@@ -75,12 +77,23 @@ object DfCache {
       val m = cache.getOrElseUpdate(k, new Memo(() => build))
       val mine = cache.keys.filter(_._1 eq s).toSeq
       if (mine.size > MaxPerSession)
-        mine.filterNot(_._2 == key).sortBy(kk => lastUsed.getOrElse(kk, 0L))
+        // never trim this key or an in-flight build (see Memo)
+        mine.filter(kk => kk._2 != key && cache.get(kk).forall(_.built != null))
+          .sortBy(kk => lastUsed.getOrElse(kk, 0L))
           .take(mine.size - MaxPerSession).foreach(drop)
       m
     }
-    // build (or read) outside the global lock, under the per-key monitor
-    memo.df
+    // build (or read) outside the global lock, under the per-key monitor.
+    // A THROWING build removes its own entry (a never-built memo would
+    // otherwise squat an LRU slot; lazy-val retry would also replay the
+    // FIRST caller's captured thunk instead of the next caller's own).
+    try memo.df catch {
+      case t: Throwable =>
+        synchronized {
+          if (cache.get(k).exists(_ eq memo)) { cache.remove(k); lastUsed.remove(k) }
+        }
+        throw t
+    }
   }
 
   private[graft] def sizeFor(s: SparkSession): Int =

@@ -55,7 +55,13 @@ object Streaming {
     * mode appends each micro-batch; Complete mode overwrites with the
     * full state each trigger, so the final batch's rewrite is the
     * answer. Checkpoint and sink live under a wiped fixed scratch
-    * path (stale appends would double-count; temp dirs would leak). */
+    * path (stale appends would double-count; temp dirs would leak) —
+    * the returned LAZY frame is therefore valid until the next run of
+    * the same (query, dir), the same at-rest contract as the other
+    * fixed-path sinks (DedupStream.candidates, qualityRoute); a
+    * caller holding results across runs materializes them. A drain
+    * that fired zero batches (empty source glob) returns an empty
+    * frame of the stream's schema, like the memory sink did. */
   private def drainToParquet(df: DataFrame, mode: OutputMode, tag: String,
       dir: String): DataFrame = {
     val s = df.sparkSession
@@ -72,7 +78,9 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(out)
+    if (!new java.io.File(out).exists())
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), df.schema)
+    else s.read.parquet(out)
   }
 
   /** Run a stateful streaming query with its state-partition count

@@ -619,11 +619,19 @@ class AnnSpec extends AnyFunSuite {
     // items spread over more cells than true neighbors, so pruning
     // overlap sits somewhat below the cell-recall target — the
     // end-to-end depth/recall table lives in SURVEY §6)
+    // hoist every composed search into a val: ScalaTest assert clues
+    // evaluate eagerly, so an inline topsAt in both the condition and
+    // the clue would run the full distributed search twice
     val full = topsAt(centroids.length)
-    def pruneRecall(np: Int): Double =
-      mean(topsAt(np).map { case (q, ids) => (ids & full(q)).size / 5.0 })
-    assert(pruneRecall(np95) >= 0.9, s"np95=$np95 pruning recall ${pruneRecall(np95)}")
-    assert(pruneRecall(np90) >= 0.75, s"np90=$np90 pruning recall ${pruneRecall(np90)}")
+    val tops90 = topsAt(np90)
+    val tops95 = topsAt(np95)
+    val topsDef = topsAt(npDef)
+    def pruneRecall(tops: Map[Long, Set[Long]]): Double =
+      mean(tops.map { case (q, ids) => (ids & full(q)).size / 5.0 })
+    val pr95 = pruneRecall(tops95)
+    val pr90 = pruneRecall(tops90)
+    assert(pr95 >= 0.9, s"np95=$np95 pruning recall $pr95")
+    assert(pr90 >= 0.75, s"np90=$np90 pruning recall $pr90")
     // end-to-end recall vs EXACT at the calibrated depth beats the
     // scan-bounded default (0.70+ vs 0.58 measured)
     val queriesDf = graft.Tables.embeddings(spark, sf)
@@ -634,7 +642,7 @@ class AnnSpec extends AnyFunSuite {
       .view.mapValues(_.map(_.getLong(1)).toSet).toMap
     def exactRecall(tops: Map[Long, Set[Long]]): Double =
       mean(tops.map { case (q, ids) => (ids & exact(q)).size / 5.0 })
-    assert(exactRecall(topsAt(np90)) >= exactRecall(topsAt(npDef)),
+    assert(exactRecall(tops90) >= exactRecall(topsDef),
       "calibrated depth must not lose recall vs the scan-bounded default")
   }
 

@@ -54,6 +54,23 @@ class SessionSpec extends AnyFunSuite {
     } finally DfCache.clear()
   }
 
+  test("DfCache: a throwing build leaves no entry; the next caller rebuilds") {
+    import graft.functions.DfCache
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    DfCache.clear()
+    try {
+      intercept[RuntimeException] {
+        DfCache.getOrElseUpdate(spark, "boom")(throw new RuntimeException("transient"))
+      }
+      // a never-built memo must not squat the map (LRU slot + a stale
+      // first-caller thunk); the retry runs the NEW caller's build
+      assert(!DfCache.contains(spark, "boom"))
+      val df = DfCache.getOrElseUpdate(spark, "boom")(Seq(7).toDF("v"))
+      assert(df.collect().map(_.getInt(0)).toSeq == Seq(7))
+    } finally DfCache.clear()
+  }
+
   test("DfCache: a hit never queues behind another key's in-flight build") {
     import java.util.concurrent.{CountDownLatch, TimeUnit}
     import graft.functions.DfCache
