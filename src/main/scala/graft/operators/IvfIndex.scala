@@ -212,6 +212,32 @@ object IvfIndex {
   private[graft] def corpusCount(s: SparkSession, dir: String): Long =
     counted.getOrElseUpdate((s, dir), Tables.embeddings(s, dir).count())
 
+  /** Training-sample budget per centroid for the k-means fit — the
+    * FAISS convention (max_points_per_centroid = 256 in faiss's
+    * Clustering defaults): beyond ~256 points per centroid the
+    * centroid estimate stops improving, so training on more is pure
+    * cost. The fit therefore trains on a deterministic vec_id-stride
+    * sample of min(N, 256·nlist) rows ([[trainMod]]) while ASSIGNMENT
+    * still covers every vector. At the gate and scale-test corpora
+    * the cap never binds (N ≤ 256·nlist up through the 30× corpus:
+    * 60k vs 62.7k) so every persisted artifact, hash, and recall
+    * measurement is bit-unchanged; it engages above ~100k vectors,
+    * where the full-corpus fit was the dominant build cost (measured
+    * 52.2 s at 200k, 262.2 s at 600k — SURVEY §6). The oracle is
+    * indifferent by construction: it re-derives everything from the
+    * persisted centroids/assignments and never refits. */
+  val TrainPointsPerCentroid = 256
+
+  /** Sampling modulus for the k-means training set: 1 (no sampling)
+    * until N exceeds 256·nlist, then the stride that caps the sample
+    * near the budget. Pure in (n, nlist) so specs can pin both
+    * regimes without fitting anything. Stride-on-vec_id like
+    * [[calibrationSample]] — deterministic, artifact-reproducible; a
+    * corpus with non-dense ids would hash-sample instead. */
+  private[graft] def trainMod(n: Long, nlist: Int): Long =
+    math.max(1L, math.ceil(
+      n.toDouble / (TrainPointsPerCentroid.toLong * nlist)).toLong)
+
   /** `k = 0` (the default) means the corpus-adaptive [[defaultNlist]];
     * an explicit k is a sizing override. Artifacts are persisted iff
     * the resolved geometry IS the adaptive default (so an explicit
@@ -221,11 +247,14 @@ object IvfIndex {
       k: Int = 0): (DataFrame, Array[Array[Double]]) = {
     graft.functions.SessionEvict.hook(s)
     evictStopped()
-    val default = defaultNlist(corpusCount(s, dir))
+    val n = corpusCount(s, dir)
+    val default = defaultNlist(n)
     val nlist = if (k > 0) k else default
     built.getOrElseUpdate((s, dir, nlist), {
       val emb = Tables.embeddings(s, dir)
-      val model = fitModel(emb, nlist)
+      val tm = trainMod(n, nlist)
+      val train = if (tm > 1L) emb.filter(col("vec_id") % tm === 0) else emb
+      val model = fitModel(train, nlist)
       val indexed = assign(model, emb).repartition(col("centroid_id"))
       val centroids = model.clusterCenters.map(_.toArray)
       // persist the oracle-checkable artifacts for the default index:

@@ -591,6 +591,23 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.4, s"mean batch ivf-pq recall@5 $mean below 0.4")
   }
 
+  test("ivf training sample: FAISS-style cap never binds at gate corpora, engages above 256·nlist") {
+    // gate corpus: full-set training → persisted artifacts bit-unchanged
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(IvfIndex.trainMod(n, IvfIndex.defaultNlist(n)) == 1L,
+      "gate corpus must train on the full set")
+    // 30× corpus shape (60k vectors, 245 cells → 62.7k budget ≥ N): still full
+    assert(IvfIndex.trainMod(60000L, 245) == 1L)
+    // the regime the cap exists for (600k vectors, 775 cells → ~198k budget):
+    // stride engages and the sample lands within (half, full] of the budget
+    val m = IvfIndex.trainMod(600000L, 775)
+    val budget = 256L * 775
+    assert(m > 1L && 600000L / m <= budget && 600000L / m > budget / 2,
+      s"mod $m samples ${600000L / m} of budget $budget")
+    // more data never shrinks the stride
+    assert(IvfIndex.trainMod(1200000L, 775) >= m)
+  }
+
   test("ivf-pq TARGET-ACCURACY: calibrated depth is monotone, carries pruning recall, and beats the default") {
     import org.apache.spark.sql.functions.col
     val (index, centroids) = IvfIndex.build(spark, sf)
