@@ -97,6 +97,27 @@ object PqIndex {
         x => x.cast("double") / sqrt(aggregate(col("embedding"), lit(0.0d),
           (a, v) => a + v.cast("double") * v.cast("double")))).as("nvec"))
 
+  /** Training budget per codeword for the codebook fit — faiss's
+    * max_points_per_centroid convention applied to PQ (each
+    * subquantizer clusters into [[NumCodewords]] cells, so the sample
+    * is 256·16 = 4096 rows): beyond that the codeword estimates stop
+    * improving and training cost is pure waste. Never binds at the
+    * gate corpora (N ≤ 2000 ≤ 4096 — artifacts and hashes
+    * bit-unchanged, spec-pinned); where it engages the 8 sub-fits
+    * train on a constant-size sample instead of 8 passes over the
+    * corpus (measured 78.0 → const-bound at 200k vectors, 196.3 s →
+    * const-bound at 600k — SURVEY §6). Encoding still covers every
+    * vector, like IVF assignment. */
+  val TrainPointsPerCodeword = 256
+
+  /** Sampling modulus for the codebook training set — 1 until N
+    * exceeds 256·NumCodewords; pure in n so specs can pin both
+    * regimes. Stride-on-vec_id like IvfIndex.trainMod: deterministic,
+    * so the bit-exact-reproducibility property below is preserved. */
+  private[graft] def trainMod(n: Long): Long =
+    math.max(1L, math.ceil(
+      n.toDouble / (TrainPointsPerCodeword.toLong * NumCodewords)).toLong)
+
   /** Fit the per-subspace codebooks on an already-normalized frame.
     * NOT memoized — AnnSpec fits twice to assert that a fixed seed on
     * fixed data yields bit-identical codebooks, the reproducibility
@@ -104,8 +125,10 @@ object PqIndex {
   private[graft] def fitOn(norm: DataFrame, dim: Int): Codebooks = {
     val m = NumSubspaces
     val dsub = dim / m
+    val tm = trainMod(norm.count())
+    val train = if (tm > 1L) norm.filter(col("vec_id") % tm === 0) else norm
     (0 until m).toArray.map { mi =>
-      val sliced = norm.select(
+      val sliced = train.select(
         array_to_vector(slice(col("nvec"), mi * dsub + 1, dsub)).as("features"))
       new KMeans().setK(NumCodewords).setSeed(Seed + mi).setMaxIter(20)
         .setFeaturesCol("features").setPredictionCol("cw")

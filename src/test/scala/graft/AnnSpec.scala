@@ -606,6 +606,14 @@ class AnnSpec extends AnyFunSuite {
       s"mod $m samples ${600000L / m} of budget $budget")
     // more data never shrinks the stride
     assert(IvfIndex.trainMod(1200000L, 775) >= m)
+    // PQ codebook twin: same convention, 256·NumCodewords budget —
+    // full-set at every gate corpus, capped-sample above it
+    assert(graft.operators.PqIndex.trainMod(2000L) == 1L)
+    assert(graft.operators.PqIndex.trainMod(4096L) == 1L)
+    val pm = graft.operators.PqIndex.trainMod(200000L)
+    val pqBudget = 256L * graft.operators.PqIndex.NumCodewords
+    assert(pm > 1L && 200000L / pm <= pqBudget && 200000L / pm > pqBudget / 2,
+      s"pq mod $pm samples ${200000L / pm} of budget $pqBudget")
   }
 
   test("ivf-pq TARGET-ACCURACY: calibrated depth is monotone, carries pruning recall, and beats the default") {
