@@ -42,10 +42,30 @@ object DfCache {
     * after it completes instead. */
   private final class Memo(build: () => DataFrame) {
     @volatile private[DfCache] var built: DataFrame = _
-    lazy val df: DataFrame = {
-      val d = build().persist(StorageLevel.MEMORY_AND_DISK)
-      built = d
-      d
+    private var result: Option[scala.util.Try[DataFrame]] = None
+    /** Run (or await) the build under this memo's monitor, recording
+      * the outcome so it runs AT MOST once — success or failure. A
+      * plain lazy val retries a failed init with the ORIGINAL caller's
+      * captured thunk, so a waiter blocked behind a throwing build
+      * would replay it after the entry was already removed; if the
+      * replay succeeded, the persisted frame would be orphaned
+      * (no map entry left to ever unpersist it) and the next caller
+      * would persist a duplicate (ADVICE r10). The Boolean reports
+      * whether THIS call executed the thunk: the builder rethrows its
+      * own failure, a waiter observing one re-enters with its own
+      * thunk instead. */
+    def run(): (scala.util.Try[DataFrame], Boolean) = synchronized {
+      result match {
+        case Some(r) => (r, false)
+        case None =>
+          val r = scala.util.Try {
+            val d = build().persist(StorageLevel.MEMORY_AND_DISK)
+            built = d
+            d
+          }
+          result = Some(r)
+          (r, true)
+      }
     }
   }
 
@@ -66,6 +86,7 @@ object DfCache {
     lastUsed.remove(k)
   }
 
+  @annotation.tailrec
   def getOrElseUpdate(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     SessionEvict.hook(s)
     val k = (s, key)
@@ -83,16 +104,20 @@ object DfCache {
           .take(mine.size - MaxPerSession).foreach(drop)
       m
     }
-    // build (or read) outside the global lock, under the per-key monitor.
-    // A THROWING build removes its own entry (a never-built memo would
-    // otherwise squat an LRU slot; lazy-val retry would also replay the
-    // FIRST caller's captured thunk instead of the next caller's own).
-    try memo.df catch {
-      case t: Throwable =>
+    // build (or read) outside the global lock, under the per-key
+    // monitor. A THROWING build removes its own entry (a never-built
+    // memo would otherwise squat an LRU slot); the memo records the
+    // failure, so the BUILDER rethrows while a WAITER that merely
+    // observed it re-enters with its OWN thunk — never replaying the
+    // builder's captured one (the r10 orphaned-persist race).
+    memo.run() match {
+      case (scala.util.Success(d), _) => d
+      case (scala.util.Failure(t), wasBuilder) =>
         synchronized {
           if (cache.get(k).exists(_ eq memo)) { cache.remove(k); lastUsed.remove(k) }
         }
-        throw t
+        if (wasBuilder) throw t
+        else getOrElseUpdate(s, key)(build)
     }
   }
 

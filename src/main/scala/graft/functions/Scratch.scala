@@ -18,16 +18,72 @@ object Scratch {
   }
 
   /** Stable location — for callers that write with mode("overwrite"),
-    * which clears the previous run's content itself. */
+    * which clears the previous run's content itself. Same
+    * cross-process lock as [[fresh]]: an overwrite during another
+    * tenant's lazy read corrupts it just as surely as a wipe. */
   def stable(name: String, dir: String): String = {
+    lock(pathOf(name, dir))
     val p = java.nio.file.Paths.get(pathOf(name, dir))
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
 
+  /** Existence check through the path's OWN Hadoop FileSystem, for
+    * sink/state paths under a scratch root (ADVICE r10): scratch is
+    * local in this harness, but a drain that asks java.io.File binds
+    * itself to the local FS — on any non-local default FS it would
+    * report "missing" over real data or fail the subsequent read. */
+  def exists(s: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Locks held by THIS JVM, keyed by scratch path. The channel stays
+    * open for the JVM's lifetime: fresh() wipes the location, so its
+    * contents are only valid "until the next run of the same
+    * (query, dir)" — within one process that's fine (sequential runs),
+    * but a SECOND process wiping the same path would corrupt the
+    * first's half-written drains (VERDICT r10 punch 7). OS file locks
+    * release on process death, so a crashed tenant never wedges the
+    * path. */
+  private val held = scala.collection.concurrent.TrieMap.empty[String, java.nio.channels.FileChannel]
+
+  /** Acquire (or re-enter) this JVM's exclusive cross-process lock on
+    * a scratch path. Re-entrant per path within the JVM — repeated
+    * verify/bench runs of the same (query, dir) in one process reuse
+    * the held lock. A path held by ANOTHER process fails loudly
+    * rather than letting two tenants interleave wipe/write/read. */
+  private def lock(path: String): Unit = synchronized {
+    if (held.contains(path)) return
+    val lockFile = java.nio.file.Paths.get(path + ".lock")
+    java.nio.file.Files.createDirectories(lockFile.getParent)
+    val ch = java.nio.channels.FileChannel.open(lockFile,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val acquired =
+      try ch.tryLock() != null
+      catch {
+        // same-JVM overlap we did NOT record (a second tenant sharing
+        // the process outside this map, e.g. a test holding the raw
+        // file lock): treat as foreign
+        case _: java.nio.channels.OverlappingFileLockException => false
+      }
+    if (!acquired) {
+      ch.close()
+      throw new IllegalStateException(
+        s"scratch path $path is locked by another session; " +
+          "concurrent tenants on one (query, dir) scratch would corrupt " +
+          "each other's drains — use distinct java.io.tmpdir roots")
+    }
+    held.put(path, ch)
+    ()
+  }
+
   /** Wiped location — for append sinks and stream checkpoints, where
-    * stale content would duplicate rows or silently skip the ingest. */
+    * stale content would duplicate rows or silently skip the ingest.
+    * Holds a cross-process lock on the path for the JVM's lifetime
+    * (see [[lock]]). */
   def fresh(name: String, dir: String): String = {
+    lock(pathOf(name, dir))
     val p = java.nio.file.Paths.get(pathOf(name, dir))
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._

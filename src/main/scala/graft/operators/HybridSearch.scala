@@ -162,7 +162,7 @@ object HybridSearch {
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val stats = dl.agg(sum(col("dl")).as("toktot"))
-      .crossJoin(nDocs)
+      .crossJoin(broadcast(nDocs))
       .select(col("n"), (col("toktot").cast("double") / col("n")).as("avgdl"))
     val qtoks = toks.filter(col("token").isInCollection(QueryTerms))
     val tf = qtoks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))

@@ -238,6 +238,31 @@ object IvfIndex {
     math.max(1L, math.ceil(
       n.toDouble / (TrainPointsPerCentroid.toLong * nlist)).toLong)
 
+  /** Training sample at stride `tm`, guarded against sparse or
+    * already-strided id spaces (ADVICE r10): `vec_id % tm` assumes
+    * dense contiguous ids, and on e.g. an id space that is itself a
+    * multiple-of-`tm` stride it silently returns a skewed or empty
+    * sample (KMeans throws on an empty fit). If the stride yields
+    * fewer than `minRows` survivors, fall back to the id-distribution-
+    * free hash stride `pmod(hash(vec_id), tm) = 0`, and if even that
+    * undersamples (adversarially tiny corpora), to the full frame.
+    * The guard counts only run in the `tm > 1` regime — corpora past
+    * the 256-points-per-centroid budget, where one metadata-cheap
+    * count is noise next to the fit it protects; the gate corpora
+    * take the `tm == 1` branch untouched, so every persisted
+    * artifact and hash stays bit-unchanged. */
+  private[graft] def guardedStrideSample(df: DataFrame, tm: Long,
+      minRows: Long): DataFrame =
+    if (tm <= 1L) df
+    else {
+      val stride = df.filter(col("vec_id") % tm === 0)
+      if (stride.count() >= minRows) stride
+      else {
+        val hashed = df.filter(pmod(hash(col("vec_id")), lit(tm)) === 0)
+        if (hashed.count() >= minRows) hashed else df
+      }
+    }
+
   /** `k = 0` (the default) means the corpus-adaptive [[defaultNlist]];
     * an explicit k is a sizing override. Artifacts are persisted iff
     * the resolved geometry IS the adaptive default (so an explicit
@@ -253,7 +278,7 @@ object IvfIndex {
     built.getOrElseUpdate((s, dir, nlist), {
       val emb = Tables.embeddings(s, dir)
       val tm = trainMod(n, nlist)
-      val train = if (tm > 1L) emb.filter(col("vec_id") % tm === 0) else emb
+      val train = guardedStrideSample(emb, tm, minRows = nlist)
       val model = fitModel(train, nlist)
       val indexed = assign(model, emb).repartition(col("centroid_id"))
       val centroids = model.clusterCenters.map(_.toArray)

@@ -126,7 +126,9 @@ object PqIndex {
     val m = NumSubspaces
     val dsub = dim / m
     val tm = trainMod(norm.count())
-    val train = if (tm > 1L) norm.filter(col("vec_id") % tm === 0) else norm
+    // undersample guard shared with the IVF fit (ADVICE r10): sparse
+    // id spaces fall back to hash-stride, then to the full frame
+    val train = IvfIndex.guardedStrideSample(norm, tm, minRows = NumCodewords)
     (0 until m).toArray.map { mi =>
       val sliced = train.select(
         array_to_vector(slice(col("nvec"), mi * dsub + 1, dsub)).as("features"))

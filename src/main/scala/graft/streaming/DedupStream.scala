@@ -68,7 +68,7 @@ object DedupStream {
         val bands = Dedup.bandsOf(Dedup.minhashSigOf(Dedup.shingleSetOf(
             graft.Tables.spreadFrame(batch))))
           .persist()
-        val priorExists = new java.io.File(statePath).exists()
+        val priorExists = graft.functions.Scratch.exists(s, statePath)
         val withinBatch = bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -78,7 +78,12 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    if (!new java.io.File(out).exists())
+    // zero-batch detection through the path's OWN FileSystem, not
+    // java.io.File (ADVICE r10): Scratch is local here, but a
+    // non-local default FS would make the File check report "missing"
+    // despite data (empty frame returned over a real drain) or fail
+    // the read — resolve existence wherever the path actually lives.
+    if (!graft.functions.Scratch.exists(s, out))
       s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), df.schema)
     else s.read.parquet(out)
   }
@@ -362,10 +367,11 @@ object Streaming {
       .start()
     q.awaitTermination()
     def routeOf(name: String): DataFrame = {
-      val p = new java.io.File(s"$root/$name")
-      if (!p.exists()) s.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0.0).as("quality")).limit(0)
-        .select(lit(name).as("route"), col("doc_id"), col("quality"))
-      else s.read.parquet(p.toString).select(lit(name).as("route"), col("doc_id"), col("quality"))
+      val p = s"$root/$name"
+      if (!graft.functions.Scratch.exists(s, p))
+        s.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0.0).as("quality")).limit(0)
+          .select(lit(name).as("route"), col("doc_id"), col("quality"))
+      else s.read.parquet(p).select(lit(name).as("route"), col("doc_id"), col("quality"))
     }
     routeOf("accept").unionByName(routeOf("reject"))
       .groupBy(col("route"))

@@ -167,6 +167,11 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(HybridSearch.bm25(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+    // every scalar crossJoin in the hybrid family is explicitly
+    // broadcast-hinted (r10: the stats×nDocs join was the one relying
+    // on AQE) — the single-row sides must never reach a shuffle or
+    // CartesianProduct at any scale
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("containment dedup: shared-shingle equi-join, never cartesian") {

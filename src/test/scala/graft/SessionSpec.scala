@@ -106,4 +106,77 @@ class SessionSpec extends AnyFunSuite {
       assert(hitMs < 2000, s"hit blocked ${hitMs}ms behind an in-flight build")
     } finally DfCache.clear()
   }
+
+  test("DfCache: a waiter behind a throwing build retries with ITS OWN thunk") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import graft.functions.DfCache
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    DfCache.clear()
+    try {
+      val started = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      @volatile var builderThrew = false
+      val builder = new Thread(() => {
+        try {
+          DfCache.getOrElseUpdate(spark, "race-key") {
+            started.countDown()
+            release.await(30, TimeUnit.SECONDS)
+            throw new RuntimeException("builder fails")
+          }
+          ()
+        } catch { case _: RuntimeException => builderThrew = true }
+      })
+      builder.start()
+      assert(started.await(30, TimeUnit.SECONDS), "builder never started")
+      // the waiter arrives while the doomed build is in flight; when
+      // it throws, a lazy-val memo would REPLAY the builder's captured
+      // thunk under the waiter (throwing its exception at the wrong
+      // caller — or succeeding into an orphaned persist the removed
+      // entry can never unpersist). The Try-recording memo makes the
+      // waiter re-enter with its own thunk instead (ADVICE r10).
+      @volatile var waiterResult: Seq[Int] = Nil
+      val waiter = new Thread(() => {
+        waiterResult = DfCache.getOrElseUpdate(spark, "race-key")(Seq(9).toDF("v"))
+          .collect().map(_.getInt(0)).toSeq
+      })
+      waiter.start()
+      Thread.sleep(300) // let the waiter park on the memo monitor
+      release.countDown()
+      builder.join(30000); waiter.join(30000)
+      assert(builderThrew, "builder must rethrow its own failure")
+      assert(waiterResult == Seq(9), "waiter must get its own build's result")
+      // the waiter's successful entry is tracked — eviction can reach it
+      assert(DfCache.contains(spark, "race-key"))
+    } finally DfCache.clear()
+  }
+
+  test("Scratch: same-JVM re-entry succeeds; a foreign lock holder fails loudly") {
+    import graft.functions.Scratch
+    // re-entrant within the JVM: repeated runs of one (query, dir)
+    val p1 = Scratch.fresh("lockspec", "/tmp/lockspec_dir")
+    val p2 = Scratch.fresh("lockspec", "/tmp/lockspec_dir")
+    assert(p1 == p2)
+    // foreign tenant: hold the raw OS lock on a key this JVM's Scratch
+    // has never acquired — to FileChannel.tryLock an overlapping
+    // same-JVM lock is exactly what another process's lock is, so this
+    // models the concurrent-session wipe the lock exists to prevent
+    val other = Scratch.pathOf("lockspec2", "/tmp/lockspec_dir")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(other).getParent)
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(other + ".lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val fl = ch.lock()
+    try {
+      intercept[IllegalStateException] {
+        Scratch.fresh("lockspec2", "/tmp/lockspec_dir")
+      }
+      ()
+    } finally { fl.release(); ch.close() }
+    // released → the next tenant acquires and proceeds
+    Scratch.fresh("lockspec2", "/tmp/lockspec_dir")
+    ()
+  }
 }
