@@ -82,13 +82,29 @@ object Bench {
   private[graft] val KeptNegatives: Set[String] =
     Set("mm_pair_mining_lsh", "dedup_embedding_lsh")
 
-  /** True for the scale-measurement dirs (the sf1 witness): the SFs
-    * where kept negatives are skipped. */
+  /** Documented GROUND-TRUTH baselines (SURVEY §6): the deliberately
+    * quadratic exact twins of already-benched production paths
+    * (capped containment/ngram, IVF-blocked embedding dedup and
+    * mining, composed batch serving). Their scale exponents are
+    * measured and recorded; at r10 they were ~33% of the sf1 wall,
+    * re-demonstrating known O(N²) on every refresh (VERDICT r10
+    * punch 3). Scale-SF benches skip timing them so the witness
+    * tracks the PRODUCTION surface; driver SFs still time them, and
+    * their correctness rows are unaffected (Verify runs the full
+    * registry). */
+  private[graft] val GroundTruthBaselines: Set[String] =
+    Set("dedup_containment", "dedup_ngram_jaccard", "dedup_embedding",
+      "mm_pair_mining", "vs_knn_batch")
+
+  /** True for the scale-measurement dirs (sf ≥ 1 — the sf1 witness
+    * and the 30×/100× exponent tilings): the SFs where kept negatives
+    * and ground-truth baselines are skipped. */
   private[graft] def isScaleSf(sfDir: String): Boolean =
     (try Paths.get(sfDir).toAbsolutePath.normalize().getFileName.toString
      catch { case _: Throwable => "" }) match {
-      case "sf1" | "graft_sf1" => true
-      case _                   => false
+      case "sf1" | "graft_sf1" | "sf3" | "graft_sf3" |
+           "sf10" | "graft_sf10" => true
+      case _ => false
     }
 
   def main(args: Array[String]): Unit = {
@@ -131,14 +147,19 @@ object Bench {
     // optional comma-separated filter for focused profiling runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // an explicit ONLY filter overrides the scale-SF kept-negative
-    // skip: a focused profiling run that NAMES a kept-negative query
-    // (e.g. measuring the LSH twin to destruction again) should time
-    // it, not silently time nothing.
-    val skipped: Set[String] =
+    // an explicit ONLY filter overrides the scale-SF skips: a focused
+    // profiling run that NAMES a kept negative or a ground-truth
+    // baseline (e.g. measuring the exact twin to destruction for the
+    // exponent table) should time it, not silently time nothing.
+    val skippedNeg: Set[String] =
       if (isScaleSf(sfDir))
         (SparkEntry.queries.keySet & KeptNegatives) -- only.getOrElse(Set.empty)
       else Set.empty
+    val skippedGt: Set[String] =
+      if (isScaleSf(sfDir))
+        (SparkEntry.queries.keySet & GroundTruthBaselines) -- only.getOrElse(Set.empty)
+      else Set.empty
+    val skipped: Set[String] = skippedNeg ++ skippedGt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) && !skipped.contains(n) }
       .map { case (name, fn) =>
@@ -178,8 +199,9 @@ object Bench {
     val fullSamples = results
       .map { case (k, _, _, ss) => s"\"" + k + "\":" + ss.map(r3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val skippedJson = skipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"samples":$fullSamples,"failed":$failedNames,"skipped_kept_negatives":$skippedJson,"sf":"$sfDir","n_queries":${results.size}}"""
+    val skippedJson = skippedNeg.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skippedGtJson = skippedGt.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"samples":$fullSamples,"failed":$failedNames,"skipped_kept_negatives":$skippedJson,"skipped_ground_truth":$skippedGtJson,"sf":"$sfDir","n_queries":${results.size}}"""
     Files.write(Paths.get(outFile), (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
     // self-snapshot the round-over-round witness: a zero-failure run of
     // the FULL inventory at a tracked SF overwrites its snapshot file.
@@ -198,7 +220,7 @@ object Bench {
     val top = results.filterNot(_._3).sortBy(-_._2).take(20)
       .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"failed":$failedNames,"skipped_kept_negatives":$skippedJson,"sf":"$sfDir","n_queries":${results.size},"queries_file":"$outFile","note":"stdout queries = top-20 slowest; full per-query JSON in queries_file"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"failed":$failedNames,"skipped_kept_negatives":$skippedJson,"skipped_ground_truth":$skippedGtJson,"sf":"$sfDir","n_queries":${results.size},"queries_file":"$outFile","note":"stdout queries = top-20 slowest; full per-query JSON in queries_file"}""")
     spark.stop()
   }
 }

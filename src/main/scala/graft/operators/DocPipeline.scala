@@ -43,8 +43,15 @@ object DocPipeline {
   val EmbedSeed = 101
 
   /** UTL_TO_CHUNKS: (doc_id, chunk_id, n_tokens, chunk_text). */
-  def chunks(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  def chunks(s: SparkSession, dir: String): DataFrame =
+    chunksOf(Tables.documents(s, dir))
+
+  /** UTL_TO_CHUNKS over any (doc_id, text) frame — the corpus-dir
+    * entry above binds it to the parquet documents table; the real
+    * PDF decode ([[graft.sources.PdfText.utlToText]]) feeds the SAME
+    * DAG its decoded frame, so binary ingestion changes nothing
+    * downstream of the UTL_TO_TEXT boundary. */
+  def chunksOf(d: DataFrame): DataFrame = {
     d.select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .withColumn("n_chunks",
@@ -236,8 +243,12 @@ object DocPipeline {
     graft.functions.DfCache.getOrElseUpdate(s, s"chunkWeights:$dir")(chunkWeightsPlan(s, dir))
 
   private def chunkWeightsPlan(s: SparkSession, dir: String): DataFrame =
-    chunks(s, dir)
-      .select(col("doc_id"), col("chunk_id"),
+    chunkWeightsOf(chunks(s, dir))
+
+  /** Sparse hashed embedding weights over any chunks frame (see
+    * [[chunksOf]] for why the DAG is corpus-source-agnostic). */
+  def chunkWeightsOf(ch: DataFrame): DataFrame =
+    ch.select(col("doc_id"), col("chunk_id"),
         explode(split(col("chunk_text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("doc_id"), col("chunk_id"), bucketOf(col("token")).as("bucket"))
@@ -246,12 +257,23 @@ object DocPipeline {
 
   /** UTL_TO_EMBEDDINGS end-to-end: per-chunk embedding stats
     * (doc_id, chunk_id, n_tokens, nnz, norm). */
-  def docPipeline(s: SparkSession, dir: String): DataFrame = {
-    val stats = chunkWeights(s, dir)
+  def docPipeline(s: SparkSession, dir: String): DataFrame =
+    docPipelineFrom(chunks(s, dir), chunkWeights(s, dir))
+
+  /** The full pipeline tail over any (doc_id, text) frame — the real
+    * PDF ingestion path: decode → chunk → embed → stats with zero
+    * corpus-dir binding. */
+  def docPipelineOf(docs: DataFrame): DataFrame = {
+    val ch = chunksOf(docs)
+    docPipelineFrom(ch, chunkWeightsOf(ch))
+  }
+
+  private def docPipelineFrom(ch: DataFrame, w: DataFrame): DataFrame = {
+    val stats = w
       .groupBy("doc_id", "chunk_id")
       .agg(count(lit(1)).as("nnz"),
         round(sqrt(sum(col("w") * col("w")).cast("double")), 4).as("norm"))
-    chunks(s, dir)
+    ch
       .join(stats, Seq("doc_id", "chunk_id"), "left")
       .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
         coalesce(col("nnz"), lit(0L)).as("nnz"),

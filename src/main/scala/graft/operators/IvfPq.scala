@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -48,6 +49,141 @@ import graft.Tables
   * the same persisted artifacts both engines read.
   */
 object IvfPq {
+
+  /** Memoized composed-path calibrations per (session, geometry,
+    * target, k, floor, mode): Bench's min-of-2 and repeated serving
+    * calls must not re-pay the calibration pass, and determinism per
+    * artifact set is part of the contract. Stopped sessions are swept
+    * on access and at context stop (the IvfIndex.built pattern). */
+  private val calibrated =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int, Double, Int, Int, Option[Boolean]), (Int, Int)]
+  graft.functions.SessionEvict.register(() =>
+    calibrated.keys.filter(_._1.sparkContext.isStopped).foreach(calibrated.remove))
+
+  /** TARGET ACCURACY → (nprobe, shortlist) calibration against the
+    * COMPOSED path's own ground truth — the r10 fix for the
+    * depth-only knob. PqAccProbe's r10 table proved end-to-end recall
+    * is SHORTLIST-bound (full probe ceilings 0.53–0.74 at the fixed
+    * 50-item ADC shortlist), so calibrating probe depth against IVF
+    * cell recall — an upper bound on composed recall — systematically
+    * under-delivered the declared target. This calibration instead
+    * measures, per true neighbor of the capped deterministic sample
+    * ([[IvfIndex.calibrationSample]]), BOTH survival coordinates:
+    *
+    *  - `crank`: the rank of its cell in its query's centroid
+    *    ordering (survives probe depth n iff crank ≤ n — the
+    *    [[IvfIndex.calibrateNprobe]] closed form), and
+    *  - `nbelow`: how many candidates the ADC codec scores BELOW it
+    *    at FULL probe (survives an S-item shortlist iff nbelow < S).
+    *
+    * A true neighbor with crank ≤ np and full-probe nbelow < S is
+    * GUARANTEED recovered at (np, S): pruning at depth np can only
+    * remove competitors (pruned nbelow ≤ full-probe nbelow), the
+    * shortlist is the ADC top-S of the probed candidates, and the
+    * exact re-rank cannot demote a true top-k item behind more than
+    * k−1 others. The calibrated pair therefore LOWER-bounds sample
+    * recall at the target — the reference's `WITH TARGET ACCURACY 95`
+    * (scripts/01_pdf_to_vector.sql:97) read as an end-to-end promise,
+    * not a cell-recall proxy.
+    *
+    * Search order: smallest shortlist meeting the target at full
+    * probe (the quantile of the truth nbelow distribution), then the
+    * smallest depth meeting it jointly — shortlist prices the
+    * re-rank (S full vectors per query), depth prices the scan
+    * (nprobe/nlist of the codes), and the scan is the 100 TB cost.
+    * The returned shortlist never drops below the caller's floor, so
+    * TARGET-ACCURACY mode can only widen the default.
+    *
+    * Cost: one ADC pass of the capped sample against the full codes
+    * table (N·cap codegen lookups — cheaper per row than the
+    * N·cap-cosine exact pass [[IvfIndex.calibrateNprobe]] already
+    * pays) plus answer-sized aggregations; collected state is one row
+    * per (sample query, true neighbor) — ≤ cap·k. */
+  private[graft] def calibrateComposed(s: SparkSession, dir: String,
+      index: DataFrame, centroids: Array[Array[Double]],
+      codes: DataFrame, codebooks: PqIndex.Codebooks,
+      offsets: Array[Array[Double]],
+      target: Double, k: Int, shortlistFloor: Int,
+      forceMode: Option[Boolean]): (Int, Int) =
+    calibrated.getOrElseUpdate(
+      (s, dir, centroids.length, target, k, shortlistFloor, forceMode), {
+      import s.implicits._
+      val sample = IvfIndex.calibrationSample(s, dir)
+      // exact ground truth top-k per sample query (capped broadcast,
+      // bounded agg — the calibrateNprobe shape)
+      val truthIds = index.crossJoin(broadcast(sample))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          graft.functions.FloatVecDistance.cosine(col("embedding"), col("qv")).as("dist"),
+          col("vec_id"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topkByDist(col("dist"), col("vec_id"), k).as("top"))
+        .select(col("qid"), explode(col("top.id")).as("vec_id"))
+      // per-query centroid ranking (sample × nlist, windowed per query)
+      val cdf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("centroid_id", "cvec")
+      val w = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("centroid_id"))
+      val cranks = sample.crossJoin(broadcast(cdf))
+        .select(col("qid"), col("centroid_id"),
+          graft.functions.FloatVecDistance.cosine(col("qv"), col("cvec")).as("cdist"))
+        .withColumn("crank", row_number().over(w))
+        .select(col("qid"), col("centroid_id"), col("crank"))
+      // full-probe ADC score of every candidate for every sample
+      // query: residual tables for ALL (query, cell) pairs (sample ×
+      // nlist rows — answer-sized), then the codegen unpack-and-sum
+      // over the codes. PERSIST before the join — the adcTable
+      // materialization-boundary rule (see knnIvfPqBatch).
+      val adcAll = PqIndex.adcTableResidual(
+        sample.crossJoin(broadcast(cdf.select(col("centroid_id")))),
+        offsets, codebooks).persist()
+      val adist = index.select(col("vec_id"), col("centroid_id"))
+        .join(codes, "vec_id")
+        .join(adcAll, "centroid_id")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          PqIndex.adcScoreOver(col("adc"), col("code")).as("adist"))
+      // nbelow per true neighbor: competitors that beat it in the
+      // serving shortlist's (adist, vec_id) order. The truth side is
+      // ≤ cap·k rows — broadcast — and the count is a map-side
+      // partial agg over the N·cap stream.
+      val tA = adist.join(truthIds, Seq("qid", "vec_id"))
+        .select(col("qid"), col("vec_id").as("tvid"), col("adist").as("tdist"))
+      val counts = adist.join(broadcast(tA), Seq("qid"))
+        .filter(col("adist") < col("tdist") ||
+          (col("adist") === col("tdist") && col("vec_id") < col("tvid")))
+        .groupBy(col("qid"), col("tvid")).agg(count(lit(1)).as("nbelow"))
+      val rows = truthIds
+        .join(index.select(col("vec_id"), col("centroid_id")), "vec_id")
+        .join(cranks, Seq("qid", "centroid_id"))
+        .join(counts.withColumnRenamed("tvid", "vec_id"),
+          Seq("qid", "vec_id"), "left")
+        .na.fill(0L, Seq("nbelow"))
+        .select(col("crank"), col("nbelow"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      adcAll.unpersist()
+      val denom = rows.length.toDouble
+      if (denom == 0)
+        (IvfIndex.resolveNprobe(centroids.length, 0), shortlistFloor)
+      else {
+        // smallest shortlist meeting the target at FULL probe: the
+        // target-quantile of the truth nbelow distribution, +1
+        val sortedBelow = rows.map(_._2).sorted
+        val needIdx = (1 to rows.length)
+          .find(i => i / denom >= target).getOrElse(rows.length) - 1
+        val sStar = (sortedBelow(needIdx) + 1).toInt
+        val sEff = math.max(shortlistFloor, math.max(k, sStar))
+        // smallest depth meeting the target JOINTLY with that shortlist
+        val byRank = rows.filter(_._2 < sEff).groupBy(_._1)
+          .view.mapValues(_.length.toLong).toMap
+        var cum = 0L
+        val np = (1 to centroids.length).find { n =>
+          cum += byRank.getOrElse(n, 0L)
+          cum / denom >= target
+        }.getOrElse(centroids.length)
+        (np, sEff)
+      }
+    })
 
   /** vs_knn_ivf_pq: approximate top-`k` for the vec_id=0 query via
     * IVF-pruned ADC over PQ codes with exact re-rank. */
@@ -137,19 +273,24 @@ object IvfPq {
       PqIndex.buildResidual(s, dir, index, centroids, forceMode)
     // TARGET-ACCURACY mode (the reference's index-tuning clause, now
     // on the layout a 100 TB deployment actually serves): the probe
-    // geometry is the SAME persisted IVF layout the plain paths read,
-    // so the depth comes from the shared closed-form calibration
-    // (IvfIndex.calibrateNprobe — absolutely-capped sample, O(N·cap))
-    // at the serving k. Cell recall@k upper-bounds the composed
-    // path's end-to-end recall; the ADC gap under it is bounded by
-    // the shortlist/k margin and measured in AnnSpec + SURVEY §6.
-    val np = targetAcc match {
+    // depth AND the ADC shortlist are co-selected against the
+    // composed path's own ground truth ([[calibrateComposed]]) — the
+    // r10 depth-only knob calibrated against cell recall, which only
+    // upper-bounds composed recall, and measurably under-delivered
+    // (target 0.9 → ~0.82; the binding approximation was the fixed
+    // 50-item shortlist, ADVICE r10). The calibrated pair
+    // lower-bounds sample recall at the target instead. Unset (the
+    // gate configuration), both stay the caller's values and the
+    // plan is bit-unchanged.
+    val (np, sl) = targetAcc match {
       case Some(t) =>
-        val c = IvfIndex.calibrateNprobe(s, index, centroids, dir, t, k = k)
+        val (c, se) = calibrateComposed(s, dir, index, centroids, codes,
+          codebooks, offsets, t, k, shortlist, forceMode)
         System.err.println(
-          s"[graft] vs_knn_ivf_pq_batch TARGET_ACC=$t -> nprobe=$c/${centroids.length}")
-        c
-      case None => nprobe
+          s"[graft] vs_knn_ivf_pq_batch TARGET_ACC=$t -> " +
+            s"nprobe=$c/${centroids.length} shortlist=$se")
+        (c, se)
+      case None => (nprobe, shortlist)
     }
     val queriesDf = Tables.embeddings(s, dir)
       .filter(col("vec_id") % 50 === 0)
@@ -191,7 +332,7 @@ object IvfPq {
       .select(col("qid"), col("vec_id"),
         PqIndex.adcScoreOver(col("adc"), col("code")).as("adist"))
       .groupBy(col("qid"))
-      .agg(graft.functions.TopKAgg.topkByDist(col("adist"), col("vec_id"), shortlist)
+      .agg(graft.functions.TopKAgg.topkByDist(col("adist"), col("vec_id"), sl)
         .as("short"))
       .select(col("qid"), explode(col("short.id")).as("vec_id"))
     short.join(Tables.embeddings(s, dir), "vec_id")

@@ -616,6 +616,27 @@ class AnnSpec extends AnyFunSuite {
       s"pq mod $pm samples ${200000L / pm} of budget $pqBudget")
   }
 
+  test("ivf training sample: stride undersample falls back to hash sampling (ADVICE r10)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // dense ids: the guard is a pure pass-through of the raw stride —
+    // the bit-unchanged contract for every gate corpus
+    val dense = (0L until 1000L).toDF("vec_id")
+    val g = IvfIndex.guardedStrideSample(dense, tm = 4L, minRows = 100L)
+    assert(g.collect().map(_.getLong(0)).toSet ==
+      dense.filter(col("vec_id") % 4 === 0).collect().map(_.getLong(0)).toSet)
+    // adversarial id space: every id ≡ 1 (mod 4) — the raw stride
+    // returns ZERO rows (KMeans would throw); the guard must fall back
+    // to the id-distribution-free hash stride and still sample ~n/tm
+    val sparse = (0L until 1000L).map(i => i * 4 + 1).toDF("vec_id")
+    val h = IvfIndex.guardedStrideSample(sparse, tm = 4L, minRows = 100L)
+    val cnt = h.count()
+    assert(cnt >= 100L && cnt < 1000L,
+      s"hash fallback sampled $cnt of 1000 at stride 4")
+    // tm == 1 regime is untouched input, no counting jobs
+    assert(IvfIndex.guardedStrideSample(sparse, 1L, 100L) eq sparse)
+  }
+
   test("ivf-pq TARGET-ACCURACY: calibrated depth is monotone, carries pruning recall, and beats the default") {
     import org.apache.spark.sql.functions.col
     val (index, centroids) = IvfIndex.build(spark, sf)
@@ -627,13 +648,22 @@ class AnnSpec extends AnyFunSuite {
     val np100 = IvfIndex.calibrateNprobe(spark, index, centroids, sf, 1.0, k = 5)
     assert(np90 <= np95 && np95 <= np100 && np100 <= centroids.length,
       s"np90=$np90 np95=$np95 np100=$np100 nlist=${centroids.length}")
-    // the TARGET-ACC entry point must resolve to exactly the
-    // explicit-depth plan (same calibration, same serving path)
+    // the TARGET-ACC entry point co-selects (depth, shortlist) against
+    // the COMPOSED ground truth (r11 — the depth-only knob calibrated
+    // against cell recall and under-delivered) and must resolve to
+    // exactly that explicit plan
+    val (codes, codebooks, offsets) =
+      graft.operators.PqIndex.buildResidual(spark, sf, index, centroids)
+    val (npC, slC) = graft.operators.IvfPq.calibrateComposed(spark, sf,
+      index, centroids, codes, codebooks, offsets,
+      target = 0.95, k = 5, shortlistFloor = 50, forceMode = None)
+    assert(slC >= 50, s"co-selected shortlist $slC must respect the caller floor")
     val viaTarget = graft.operators.IvfPq.knnIvfPqBatch(spark, sf, k = 5,
       targetAcc = Some(0.95)).collect().map(_.toSeq).toSeq
     val viaDepth = graft.operators.IvfPq.knnIvfPqBatch(spark, sf, k = 5,
-      nprobe = np95).collect().map(_.toSeq).toSeq
-    assert(viaTarget == viaDepth, "targetAcc mode must equal the calibrated explicit depth")
+      nprobe = npC, shortlist = slC).collect().map(_.toSeq).toSeq
+    assert(viaTarget == viaDepth,
+      "targetAcc mode must equal the calibrated explicit (depth, shortlist) plan")
     def topsAt(np: Int): Map[Long, Set[Long]] =
       graft.operators.IvfPq.knnIvfPqBatch(spark, sf, k = 5, nprobe = np)
         .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
@@ -669,6 +699,30 @@ class AnnSpec extends AnyFunSuite {
       mean(tops.map { case (q, ids) => (ids & exact(q)).size / 5.0 })
     assert(exactRecall(tops90) >= exactRecall(topsDef),
       "calibrated depth must not lose recall vs the scan-bounded default")
+  }
+
+  test("ivf-pq TARGET-ACCURACY tracks END-TO-END recall (the r11 shortlist co-selection)") {
+    import org.apache.spark.sql.functions.col
+    val (index, centroids) = IvfIndex.build(spark, sf)
+    val queriesDf = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = IvfIndex.searchBatch(spark, index, centroids, queriesDf, k = 5,
+      nprobe = centroids.length).collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val served = graft.operators.IvfPq.knnIvfPqBatch(spark, sf, k = 5,
+      targetAcc = Some(0.9))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = served.map { case (q, ids) => (ids & exact(q)).size / 5.0 }
+      .sum / served.size
+    // the calibration LOWER-bounds recall on the capped sample, and at
+    // this corpus size the sample IS the %50 serving set — so recall
+    // must sit AT OR ABOVE the declared target up to exact-re-rank
+    // rounding ties (0.02 margin). r10's depth-only knob measurably
+    // could NOT reach this: the full-probe composed ceiling was 0.74
+    // under the fixed 50-item shortlist (PqAccProbe r10); the
+    // co-selected (depth, shortlist) measured 0.92 here (r11).
+    assert(recall >= 0.88, s"targetAcc=0.9 delivered end-to-end recall $recall")
   }
 
   test("by_residual: variance rule engages on clustered corpora and lifts ADC ranking") {

@@ -39,6 +39,20 @@ object PqAccProbe {
       val rPrune = mean(rows.map { case (q, ids) => (ids & full(q)).size / 5.0 })
       println(f"PQACC np=$np%3d recallExact=$rEx%.4f pruneRecall=$rPrune%.4f sec=$sec%.1f")
     }
+    // r11 co-selected (depth, shortlist): end-to-end recall must TRACK
+    // the declared target — the calibration lower-bounds recall on the
+    // capped sample, which at these corpus sizes IS the %50 serving
+    // query set, so recallExact ≥ target up to re-rank tie rounding
+    Seq(0.8, 0.9, 0.95).foreach { t =>
+      val t0 = System.nanoTime()
+      val rows = graft.operators.IvfPq.knnIvfPqBatch(spark, dir, k = 5,
+        targetAcc = Some(t))
+        .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rEx = mean(rows.map { case (q, ids) =>
+        (ids & exact(q).map(_.getLong(1)).toSet).size / 5.0 })
+      println(f"PQACC target=$t%.2f recallExact=$rEx%.4f sec=$sec%.1f")
+    }
     spark.stop()
   }
 }
