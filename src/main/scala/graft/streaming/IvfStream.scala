@@ -49,7 +49,25 @@ object IvfStream {
     // probes derive nprobe from the fitted centroid count in BOTH
     // engines, so the oracle needs no pinned constants.
     val base = emb.filter(col("vec_id") % 2 === 0)
-    val model = IvfIndex.fitModel(base, IvfIndex.defaultNlist(base.count()))
+    val baseN = base.count()
+    val nlist = IvfIndex.defaultNlist(baseN)
+    // FAISS-style capped training sample, like the batch build
+    // (256·nlist budget — VERDICT r10 punch 2: the one-off base fit
+    // dominated the 30× streamed build). The base half is ITSELF a
+    // vec_id stride (even ids), so composing another vec_id stride
+    // would silently not reduce at all for even moduli — hash-stride
+    // is id-distribution-free; the count guard falls back to the full
+    // base half if it ever undersamples. Gate and ≤30× corpora sit
+    // under the budget (tm == 1): fit, artifacts, hashes bit-unchanged.
+    val train = {
+      val tm = IvfIndex.trainMod(baseN, nlist)
+      if (tm <= 1L) base
+      else {
+        val h = base.filter(pmod(hash(col("vec_id")), lit(tm)) === 0)
+        if (h.count() >= nlist) h else base
+      }
+    }
+    val model = IvfIndex.fitModel(train, nlist)
     val root = graft.functions.Scratch.fresh("ivfstream", dir)
     val indexPath = s"$root/index"
 
