@@ -95,6 +95,19 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfText.extractText(Array[Byte](1, 2, 3, 4)) == "")
   }
 
+  test("extractText: octal escapes, line continuations, nested parens, odd hex pad") {
+    import graft.sources.PdfText
+    val content = ("BT\n" +
+      "(\\110ello \\167orld) Tj\n" + // octal H / w
+      "(split \\\nacross lines) Tj\n" + // escaped-EOL continuation: no char
+      "(nested (parens) stay) Tj\n" +
+      "<4F4B2> Tj\n" + // odd digit count pads 0: "OK " (0x20)
+      "ET").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val txt = PdfText.extractText(buildPdf(content, flate = false))
+    assert(txt == "Hello worldsplit across linesnested (parens) stayOK ".trim,
+      s"got [$txt]")
+  }
+
   test("doc_pipeline over REAL PDF bytes equals the same pipeline over the plain text") {
     import spark.implicits._
     import graft.sources.PdfText
