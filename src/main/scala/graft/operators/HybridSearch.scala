@@ -213,7 +213,8 @@ object HybridSearch {
     def sim(a: Array[Float], b: Array[Float]): Double =
       1.0 - graft.functions.VecMath.dist("cosine", a, b)
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
-    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    val remaining = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
+    remaining ++= cands
     while (selected.size < k && remaining.nonEmpty) {
       val scored = remaining.map { case (id, qs, v) =>
         val maxSel = if (selected.isEmpty) 0.0
