@@ -144,11 +144,18 @@ object IvfPq {
         .select(col("qid"), col("vec_id"),
           PqIndex.adcScoreOver(col("adc"), col("code")).as("adist"))
       // nbelow per true neighbor: competitors that beat it in the
-      // serving shortlist's (adist, vec_id) order. The truth side is
-      // ≤ cap·k rows — broadcast — and the count is a map-side
-      // partial agg over the N·cap stream.
-      val tA = adist.join(truthIds, Seq("qid", "vec_id"))
-        .select(col("qid"), col("vec_id").as("tvid"), col("adist").as("tdist"))
+      // serving shortlist's (adist, vec_id) order. The truth rows'
+      // OWN ADC scores are computed answer-sized (cap·k rows join
+      // their cell's adc directly — scoring them through `adist`
+      // would re-run the full N·cap pass a second time); the count
+      // is then ONE map-side partial agg over the N·cap stream
+      // against the broadcast ≤ cap·k truth side.
+      val tA = truthIds
+        .join(index.select(col("vec_id"), col("centroid_id")), "vec_id")
+        .join(codes, "vec_id")
+        .join(adcAll, Seq("qid", "centroid_id"))
+        .select(col("qid"), col("vec_id").as("tvid"),
+          PqIndex.adcScoreOver(col("adc"), col("code")).as("tdist"))
       val counts = adist.join(broadcast(tA), Seq("qid"))
         .filter(col("adist") < col("tdist") ||
           (col("adist") === col("tdist") && col("vec_id") < col("tvid")))
