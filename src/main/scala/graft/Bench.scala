@@ -96,6 +96,16 @@ object Bench {
     Set("dedup_containment", "dedup_ngram_jaccard", "dedup_embedding",
       "mm_pair_mining", "vs_knn_batch")
 
+  /** Queries with a DOCUMENTED cross-round drift history (SURVEY §6):
+    * the shingle-join trio moved 1.3–1.6× across r9–r11 with untouched
+    * code — their shuffle-heavy profile couples hardest to host load.
+    * They start at min-of-3 (the >2×-disagreement escalation,
+    * generalized to a standing floor) so a future REAL regression is
+    * attributable to code, not to an unlucky pair of draws
+    * (VERDICT r11 punch 6). */
+  private[graft] val DriftProne: Set[String] =
+    Set("dedup_containment_capped", "dedup_ngram_capped", "dedup_ngram_jaccard")
+
   /** True for the scale-measurement dirs (sf ≥ 1 — the sf1 witness
     * and the 30×/100× exponent tilings): the SFs where kept negatives
     * and ground-truth baselines are skipped. */
@@ -176,7 +186,9 @@ object Bench {
       // four 4-7× ghost regressions that way), escalate to min-of-5 so
       // a ghost regression needs five consecutive bad draws to
       // survive. All samples land in bench_full.json.
-      val base = Vector(timed(), timed())
+      val base =
+        if (DriftProne.contains(name)) Vector(timed(), timed(), timed())
+        else Vector(timed(), timed())
       val regressedVsPrev =
         prev.get(name).exists(p => p > 0 && base.min > 2 * p)
       val samples =

@@ -53,7 +53,12 @@ object Scratch {
     * verify/bench runs of the same (query, dir) in one process reuse
     * the held lock. A path held by ANOTHER process fails loudly
     * rather than letting two tenants interleave wipe/write/read. */
-  private def lock(path: String): Unit = synchronized {
+  private def lock(rawPath: String): Unit = synchronized {
+    // normalize the registry key: two alias spellings of one path
+    // (trailing slash, `..` segments) must re-enter the SAME held
+    // lock, not collide with it via OverlappingFileLockException and
+    // misreport "locked by another session" (ADVICE r11)
+    val path = java.nio.file.Paths.get(rawPath).toAbsolutePath.normalize.toString
     if (held.contains(path)) return
     val lockFile = java.nio.file.Paths.get(path + ".lock")
     java.nio.file.Files.createDirectories(lockFile.getParent)

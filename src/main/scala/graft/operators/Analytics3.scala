@@ -206,7 +206,11 @@ object Analytics3 {
     val rankStats = s.range(1L, v + 1L).toDF("r")
       .select(log(col("r").cast("double")).as("lr"))
       .agg(sum(col("lr")).as("slr"), sum(col("lr") * col("lr")).as("slr2"))
-    blockStats.crossJoin(rankStats)
+    // both sides are single-row aggregates; hint the scalar join so it
+    // is a BroadcastNestedLoopJoin BY DECLARATION, not by AQE's
+    // runtime stats — the plan must never degrade to CartesianProduct
+    // on an estimator miss at scale (the bm25 stats×nDocs rule)
+    blockStats.crossJoin(broadcast(rankStats))
       .select(lit(v).as("n_tokens"),
         ((lit(v) * col("slrlf") - col("slr") * col("slf")) /
           (lit(v) * col("slr2") - col("slr") * col("slr"))).as("slope"),

@@ -111,11 +111,18 @@ object IvfPq {
       import s.implicits._
       val sample = IvfIndex.calibrationSample(s, dir)
       // exact ground truth top-k per sample query (capped broadcast,
-      // bounded agg — the calibrateNprobe shape)
+      // bounded agg — the calibrateNprobe shape). The distance is
+      // rounded EXACTLY as the serving re-rank rounds it (SafeRound 4,
+      // see knnIvfPqBatch) so calibration truth and serving share one
+      // (dist, id) ordering — otherwise a rounding-induced tie could
+      // demote a true neighbor only on one side and the "GUARANTEED
+      // recovered" lower bound would not be strict (ADVICE r11).
       val truthIds = index.crossJoin(broadcast(sample))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"),
-          graft.functions.FloatVecDistance.cosine(col("embedding"), col("qv")).as("dist"),
+          graft.functions.SafeRound.round(
+            graft.functions.FloatVecDistance.cosine(col("embedding"), col("qv")), 4)
+            .as("dist"),
           col("vec_id"))
         .groupBy(col("qid"))
         .agg(graft.functions.TopKAgg.topkByDist(col("dist"), col("vec_id"), k).as("top"))

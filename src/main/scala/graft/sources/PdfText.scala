@@ -2,6 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import scala.util.control.NonFatal
+
 /** Real binary→text decode for PDF documents — the optional
   * UTL_TO_TEXT-equivalent behind doc_pipeline's stub boundary
   * (reference: DBMS_VECTOR_CHAIN.UTL_TO_TEXT,
@@ -10,19 +12,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * graft's gate corpus is already text).
   *
   * Pure-JVM by necessity (no Tika/PDFBox in the container, and the
-  * build may add no dependencies): a minimal extractor for the
+  * build may add no dependencies): a structured extractor for the
   * mainstream encoding class —
   *
+  *  - the file is parsed into `N G obj … endobj` objects with their
+  *    dictionaries (a real recursive dict parser: nested `<< >>`,
+  *    arrays, `N 0 R` references, names, numbers, strings) and stream
+  *    payloads;
+  *  - text comes ONLY from streams referenced as a page's /Contents —
+  *    embedded font programs, image XObjects and other binary streams
+  *    are never fed to the text scanner (a DCTDecode body that happens
+  *    to contain `BT` cannot inject garbage). When a file has no
+  *    parseable page tree (fragments, damaged xref-less tails) the
+  *    extractor falls back to scanning streams whose dictionaries are
+  *    NOT images / font files and whose /Filter is Flate or absent;
   *  - content streams stored raw or /FlateDecode-compressed
   *    (java.util.zip.Inflater — Flate is THE PDF stream codec);
   *  - text shown inside BT…ET blocks via the `Tj`, `'`, `"` and `TJ`
   *    operators, with literal `(…)` strings (nested parens, all
   *    escape forms incl. octal and line continuations) and `<…>` hex
-  *    strings;
-  *  - byte→char via Latin-1, i.e. the standard simple-font encodings
-  *    where code == char. Subset-embedded fonts with custom CMaps
-  *    (what a Tika dependency would add) are out of scope and decode
-  *    to their raw codes.
+  *    strings; inline `<< … >>` dicts (marked content) and
+  *    `BI…ID…EI` inline images inside content are skipped, not
+  *    misparsed;
+  *  - byte→char via the font's embedded /ToUnicode CMap when the page
+  *    resources carry one (bfchar + bfrange, 1- or 2-byte codes,
+  *    UTF-16BE targets — the public CMap text format), tracked per
+  *    `Tf` font switch; fonts without a CMap decode via Latin-1,
+  *    i.e. the standard simple-font encodings where code == char.
+  *
+  * Robustness contract: garbage in, empty out — [[extractText]] never
+  * throws. Each content stream is decoded under its own guard so one
+  * malformed stream degrades to its text being skipped, not the whole
+  * document (let alone the Spark task) failing.
   *
   * Scale shape: decode is a NARROW per-row map over the binary
   * column — no shuffle, column-prunable upstream, exactly the
@@ -34,53 +55,166 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PdfText {
 
-  /** Extract the shown text of a PDF byte stream. Returns the
-    * concatenation of all BT…ET text runs in content-stream order,
-    * with `Td`/`TD`/`T*` line moves rendered as newlines and TJ
-    * kerning adjustments ignored (they are layout, not content). */
-  def extractText(bytes: Array[Byte]): String = {
-    val out = new StringBuilder
-    streams(bytes).foreach { case (dict, data) =>
-      val content =
-        if (dict.contains("/FlateDecode")) inflate(data) else data
-      extractFromContent(content, out)
-    }
-    out.result().trim
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  // ---------------------------------------------------------------------
+  // Object model: the small slice of PDF values the extractor reads.
+  // ---------------------------------------------------------------------
+
+  private sealed trait PVal
+  private final case class PName(v: String) extends PVal
+  private final case class PNum(v: Double) extends PVal
+  private final case class PRef(num: Int) extends PVal
+  private final case class PArr(v: Vector[PVal]) extends PVal
+  private final case class PDict(v: Map[String, PVal]) extends PVal
+  private case object POther extends PVal
+
+  private final case class PdfObj(num: Int, dictSrc: String, stream: Option[Array[Byte]]) {
+    lazy val dict: PDict =
+      try new DictParser(dictSrc).parseTopDict()
+      catch { case NonFatal(_) => PDict(Map.empty) }
   }
 
-  /** All (object dictionary, stream payload) pairs in the file. The
-    * payload begins after `stream` + EOL and ends at the matching
-    * `endstream`; the dictionary is the text between the enclosing
-    * `obj` keyword and `stream` (enough to read the /Filter). */
-  private def streams(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
-    // Latin-1 maps bytes 1:1 to chars, so offsets in this string are
-    // byte offsets — binary payload bytes survive round-tripping
-    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val found = Seq.newBuilder[(String, Array[Byte])]
-    var i = s.indexOf("stream")
-    while (i >= 0) {
-      // skip `endstream` hits and require the keyword boundary
-      val isEnd = i >= 3 && s.regionMatches(i - 3, "endstream", 0, 9)
-      if (!isEnd) {
-        var dataStart = i + "stream".length
-        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
-        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-        val end = s.indexOf("endstream", dataStart)
-        if (end > dataStart) {
-          val objAt = s.lastIndexOf(" obj", i)
-          val dict = if (objAt >= 0) s.substring(objAt, i) else ""
-          // the EOL before `endstream` belongs to the marker, not the data
-          var dataEnd = end
-          if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\n') dataEnd -= 1
-          if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
-          found += ((dict,
-            s.substring(dataStart, dataEnd)
-              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
-          i = s.indexOf("stream", end + 9)
-        } else i = -1
-      } else i = s.indexOf("stream", i + 6)
+  /** Recursive-descent parser for a PDF dictionary/value source slice.
+    * Tolerant: unknown tokens become [[POther]]; it never throws past
+    * the PdfObj.dict guard. */
+  private final class DictParser(s: String) {
+    private var i = 0
+    private def ws(): Unit = {
+      var go = true
+      while (go && i < s.length) {
+        val c = s.charAt(i)
+        if (c.isWhitespace) i += 1
+        else if (c == '%') { while (i < s.length && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1 }
+        else go = false
+      }
     }
-    found.result()
+    private def isDelim(c: Char) = c.isWhitespace || "()<>[]{}/%".indexOf(c) >= 0
+
+    /** Parse the first `<< … >>` in the slice (an object body). */
+    def parseTopDict(): PDict = {
+      val at = s.indexOf("<<")
+      if (at < 0) PDict(Map.empty)
+      else { i = at; parseVal() match { case d: PDict => d; case _ => PDict(Map.empty) } }
+    }
+
+    def parseVal(): PVal = {
+      ws()
+      if (i >= s.length) return POther
+      val c = s.charAt(i)
+      if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') parseDict()
+      else if (c == '<') { i = skipHexString(s, i); POther }
+      else if (c == '(') { i = skipLiteralString(s, i); POther }
+      else if (c == '[') parseArr()
+      else if (c == '/') parseName()
+      else if (c == '+' || c == '-' || c == '.' || c.isDigit) parseNumOrRef()
+      else { // keyword (true/false/null/R stray) — consume the bareword
+        val start = i
+        while (i < s.length && !isDelim(s.charAt(i))) i += 1
+        if (i == start) i += 1 // lone delimiter we don't model: step over
+        POther
+      }
+    }
+
+    private def parseDict(): PVal = {
+      i += 2 // <<
+      val m = Map.newBuilder[String, PVal]
+      var go = true
+      while (go) {
+        ws()
+        if (i + 1 < s.length && s.charAt(i) == '>' && s.charAt(i + 1) == '>') { i += 2; go = false }
+        else if (i >= s.length) go = false
+        else parseVal() match {
+          case PName(k) => m += k -> parseVal()
+          case _ => () // malformed key: value already consumed, keep scanning
+        }
+      }
+      PDict(m.result())
+    }
+
+    private def parseArr(): PVal = {
+      i += 1 // [
+      val items = Vector.newBuilder[PVal]
+      var go = true
+      while (go) {
+        ws()
+        if (i < s.length && s.charAt(i) == ']') { i += 1; go = false }
+        else if (i >= s.length) go = false
+        else items += parseVal()
+      }
+      PArr(items.result())
+    }
+
+    private def parseName(): PVal = {
+      i += 1 // /
+      val start = i
+      while (i < s.length && !isDelim(s.charAt(i))) i += 1
+      PName(s.substring(start, i))
+    }
+
+    private def parseNumOrRef(): PVal = {
+      val start = i
+      if (s.charAt(i) == '+' || s.charAt(i) == '-') i += 1
+      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+      val txt = s.substring(start, i)
+      val n = try txt.toDouble catch { case _: NumberFormatException => return POther }
+      // lookahead for `G R` making this an indirect reference
+      if (n >= 0 && n == n.floor && !txt.contains('.')) {
+        val save = i
+        ws()
+        val gStart = i
+        while (i < s.length && s.charAt(i).isDigit) i += 1
+        if (i > gStart) {
+          ws()
+          if (i < s.length && s.charAt(i) == 'R' &&
+            (i + 1 >= s.length || isDelim(s.charAt(i + 1)))) {
+            i += 1
+            return PRef(n.toInt)
+          }
+        }
+        i = save
+      }
+      PNum(n)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // File parse: N G obj … endobj, with stream payloads.
+  // ---------------------------------------------------------------------
+
+  private val ObjPat = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+
+  private def parseObjects(s: String): Vector[PdfObj] = {
+    val out = Vector.newBuilder[PdfObj]
+    val m = ObjPat.matcher(s)
+    while (m.find()) {
+      val num = try m.group(1).toInt catch { case _: NumberFormatException => -1 }
+      if (num >= 0) {
+        val bodyStart = m.end()
+        val endObj = s.indexOf("endobj", bodyStart)
+        val bodyEnd = if (endObj < 0) s.length else endObj
+        // the `stream` keyword inside the body, if any (must not be the
+        // tail of `endstream`, and must sit at a token boundary)
+        var sAt = s.indexOf("stream", bodyStart)
+        while (sAt >= 0 && sAt < bodyEnd &&
+          sAt >= 3 && s.regionMatches(sAt - 3, "endstream", 0, 9))
+          sAt = s.indexOf("stream", sAt + 6)
+        if (sAt >= 0 && sAt < bodyEnd) {
+          var dataStart = sAt + "stream".length
+          if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+          if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+          val end = s.indexOf("endstream", dataStart)
+          if (end > dataStart) {
+            var dataEnd = end
+            if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+            if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+            out += PdfObj(num, s.substring(bodyStart, sAt),
+              Some(s.substring(dataStart, dataEnd).getBytes(Latin1)))
+          } else out += PdfObj(num, s.substring(bodyStart, sAt), None)
+        } else out += PdfObj(num, s.substring(bodyStart, bodyEnd), None)
+      }
+    }
+    out.result()
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
@@ -100,25 +234,262 @@ object PdfText {
     } finally inf.end()
   }
 
-  /** Scan one decoded content stream for text-showing operators. */
-  private def extractFromContent(content: Array[Byte], out: StringBuilder): Unit = {
-    val s = new String(content, java.nio.charset.StandardCharsets.ISO_8859_1)
+  /** Stream payload decoded through its declared filter chain; None if
+    * the filter is one we cannot decode (DCT, LZW, …). */
+  private def decodedStream(o: PdfObj): Option[Array[Byte]] = o.stream.flatMap { data =>
+    filterNames(o.dict) match {
+      case Nil => Some(data)
+      case "FlateDecode" :: Nil => Some(inflate(data))
+      case _ => None
+    }
+  }
+
+  private def filterNames(d: PDict): List[String] = d.v.get("Filter") match {
+    case Some(PName(n)) => List(n)
+    case Some(PArr(xs)) => xs.collect { case PName(n) => n }.toList
+    case _ => Nil
+  }
+
+  // ---------------------------------------------------------------------
+  // ToUnicode CMaps.
+  // ---------------------------------------------------------------------
+
+  /** A font's code→Unicode map from its /ToUnicode CMap stream.
+    * `codeBytes` comes from the codespacerange (2 for Identity-H
+    * Type0 subsets, 1 for simple fonts). */
+  private[sources] final case class UniMap(codeBytes: Int, map: Map[Int, String]) {
+    def decode(raw: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        if (codeBytes == 2 && i + 1 < raw.length) {
+          val code = (raw.charAt(i) << 8) | raw.charAt(i + 1)
+          sb.append(map.getOrElse(code, code.toChar.toString))
+          i += 2
+        } else {
+          val code = raw.charAt(i).toInt
+          sb.append(map.getOrElse(code, code.toChar.toString))
+          i += 1
+        }
+      }
+      sb.result()
+    }
+  }
+
+  /** Parse a ToUnicode CMap (the public bfchar/bfrange text format). */
+  private[sources] def parseCMap(text: String): UniMap = {
+    // code width from the first codespacerange source: hex digits / 2
+    var codeBytes = 1
+    val cs = text.indexOf("begincodespacerange")
+    if (cs >= 0) {
+      val lt = text.indexOf('<', cs)
+      val gt = if (lt >= 0) text.indexOf('>', lt) else -1
+      if (lt >= 0 && gt > lt) codeBytes = math.max(1, (gt - lt - 1) / 2)
+    }
+    val m = Map.newBuilder[Int, String]
+    def hexTokens(section: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = section.indexOf('<')
+      while (i >= 0) {
+        val gt = section.indexOf('>', i)
+        if (gt < 0) i = -1
+        else { out += section.substring(i + 1, gt).filter(isHex); i = section.indexOf('<', gt) }
+      }
+      out.result()
+    }
+    def hexInt(h: String): Int =
+      if (h.isEmpty) 0 else (java.lang.Long.parseLong(h.take(8), 16) & 0x7fffffffL).toInt
+    def hexUtf16(h: String): String = {
+      // UTF-16BE code units, 4 hex digits apiece (surrogates included)
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 4 <= h.length) { sb.append(hexInt(h.substring(i, i + 4)).toChar); i += 4 }
+      if (sb.isEmpty && h.nonEmpty) sb.append(hexInt(h).toChar) // short dst: single char
+      sb.result()
+    }
+    def sections(open: String, close: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var at = text.indexOf(open)
+      while (at >= 0) {
+        val end = text.indexOf(close, at)
+        if (end < 0) at = -1
+        else { out += text.substring(at + open.length, end); at = text.indexOf(open, end) }
+      }
+      out.result()
+    }
+    sections("beginbfchar", "endbfchar").foreach { sec =>
+      val toks = hexTokens(sec)
+      var i = 0
+      while (i + 1 < toks.length) { m += hexInt(toks(i)) -> hexUtf16(toks(i + 1)); i += 2 }
+    }
+    sections("beginbfrange", "endbfrange").foreach { sec =>
+      // entries: <lo> <hi> <dstStart>   or   <lo> <hi> [<d0> <d1> …]
+      var i = 0
+      val n = sec.length
+      def nextToken(from: Int): (Int, Int, String) = { // (start, end, kind+payload) — kind '<' hex, '[' array open, ']' close
+        var j = from
+        while (j < n && sec.charAt(j) != '<' && sec.charAt(j) != '[' && sec.charAt(j) != ']') j += 1
+        if (j >= n) (n, n, "")
+        else if (sec.charAt(j) == '[') (j, j + 1, "[")
+        else if (sec.charAt(j) == ']') (j, j + 1, "]")
+        else {
+          val gt = sec.indexOf('>', j)
+          if (gt < 0) (n, n, "")
+          else (j, gt + 1, "<" + sec.substring(j + 1, gt).filter(isHex))
+        }
+      }
+      var done = false
+      while (!done) {
+        val (_, e1, t1) = nextToken(i)
+        val (_, e2, t2) = nextToken(e1)
+        if (t1.startsWith("<") && t2.startsWith("<")) {
+          val lo = hexInt(t1.drop(1)); val hi = hexInt(t2.drop(1))
+          val (_, e3, t3) = nextToken(e2)
+          if (t3 == "[") {
+            var j = e3
+            var code = lo
+            var closed = false
+            while (!closed) {
+              val (_, je, jt) = nextToken(j)
+              if (jt.startsWith("<")) { m += code -> hexUtf16(jt.drop(1)); code += 1; j = je }
+              else { closed = true; j = je }
+            }
+            i = j
+          } else if (t3.startsWith("<")) {
+            val dst = hexUtf16(t3.drop(1))
+            var code = lo
+            // increment the final UTF-16 unit across the range (spec rule)
+            val head = if (dst.isEmpty) "" else dst.dropRight(1)
+            val last = if (dst.isEmpty) 0 else dst.last.toInt
+            while (code <= hi && code - lo <= 0xFFFF) {
+              m += code -> (head + (last + (code - lo)).toChar)
+              code += 1
+            }
+            i = e3
+          } else done = true
+        } else done = true
+        if (i >= n) done = true
+      }
+    }
+    UniMap(codeBytes, m.result())
+  }
+
+  private def isHex(c: Char) =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  // ---------------------------------------------------------------------
+  // Extraction.
+  // ---------------------------------------------------------------------
+
+  /** Extract the shown text of a PDF byte stream. Returns the
+    * concatenation of the BT…ET text runs of the page /Contents
+    * streams in page order, with `Td`/`TD`/`T*` line moves rendered as
+    * newlines and TJ kerning adjustments ignored (layout, not
+    * content). Never throws: malformed input yields whatever decoded
+    * cleanly, or the empty string. */
+  def extractText(bytes: Array[Byte]): String = try {
+    // Latin-1 maps bytes 1:1 to chars, so offsets in this string are
+    // byte offsets — binary payload bytes survive round-tripping
+    val s = new String(bytes, Latin1)
+    val objs = parseObjects(s)
+    val byNum = objs.groupBy(_.num).map { case (k, v) => k -> v.last } // later wins (incremental update)
+    val out = new StringBuilder
+
+    def scanGuarded(o: PdfObj, fonts: Map[String, UniMap]): Unit =
+      try decodedStream(o).foreach(c => scanContent(new String(c, Latin1), fonts, out))
+      catch { case NonFatal(_) => () } // one bad stream: skip its text, keep the doc
+
+    val pages = objs.filter(_.dict.v.get("Type").contains(PName("Page")))
+    val contentRefs = pages.flatMap(p => p.dict.v.get("Contents") match {
+      case Some(PRef(n)) => Seq(p -> n)
+      case Some(PArr(xs)) => xs.collect { case PRef(n) => p -> n }
+      case _ => Nil
+    })
+    if (contentRefs.nonEmpty) {
+      val fontCache = collection.mutable.Map.empty[Int, Map[String, UniMap]]
+      contentRefs.foreach { case (page, n) =>
+        byNum.get(n).foreach { o =>
+          val fonts = fontCache.getOrElseUpdate(page.num,
+            try fontsOf(page.dict, byNum) catch { case NonFatal(_) => Map.empty })
+          scanGuarded(o, fonts)
+        }
+      }
+    } else {
+      // No parseable page tree (fragment / damaged file): scan streams
+      // that are plausibly content — never images, font programs, or
+      // filters we cannot decode.
+      objs.foreach { o =>
+        val d = o.dict
+        val isImage = d.v.get("Subtype").contains(PName("Image"))
+        val isFont = d.v.keys.exists(_.startsWith("FontFile")) ||
+          d.v.get("Type").contains(PName("Font"))
+        val codecOk = filterNames(d) match {
+          case Nil | ("FlateDecode" :: Nil) => true
+          case _ => false
+        }
+        if (o.stream.isDefined && !isImage && !isFont && codecOk)
+          scanGuarded(o, Map.empty)
+      }
+    }
+    out.result().trim
+  } catch { case NonFatal(_) => "" }
+
+  /** The page's font resources resolved to their ToUnicode maps:
+    * /Resources (inline or ref) → /Font (inline or ref) → per name, a
+    * font object whose /ToUnicode stream parses to a [[UniMap]].
+    * Fonts without a CMap are simply absent (Latin-1 passthrough). */
+  private def fontsOf(pageDict: PDict, byNum: Map[Int, PdfObj]): Map[String, UniMap] = {
+    def asDict(v: Option[PVal]): Option[PDict] = v match {
+      case Some(d: PDict) => Some(d)
+      case Some(PRef(n)) => byNum.get(n).map(_.dict)
+      case _ => None
+    }
+    val fonts = asDict(asDict(pageDict.v.get("Resources")).flatMap(_.v.get("Font")))
+    fonts.fold(Map.empty[String, UniMap]) { fd =>
+      fd.v.flatMap { case (name, v) =>
+        (for {
+          fontDict <- asDict(Some(v))
+          toUniRef <- fontDict.v.get("ToUnicode") match {
+            case Some(PRef(n)) => Some(n); case _ => None
+          }
+          obj <- byNum.get(toUniRef)
+          data <- try decodedStream(obj) catch { case NonFatal(_) => None }
+        } yield name -> parseCMap(new String(data, Latin1))).toSeq
+      }
+    }
+  }
+
+  /** Scan one decoded content stream for text-showing operators,
+    * decoding string bytes through the current font's CMap. */
+  private def scanContent(s: String, fonts: Map[String, UniMap], out: StringBuilder): Unit = {
     var i = 0
     var inText = false // inside BT…ET
-    var pending = new StringBuilder // strings seen since the last operator
+    var curFont: Option[UniMap] = None
+    var lastName = ""
+    var pending = new StringBuilder // decoded strings seen since the last operator
     def flushShown(): Unit = { out.append(pending); pending = new StringBuilder }
+    def appendRaw(raw: String): Unit =
+      if (inText) pending.append(curFont.fold(raw)(_.decode(raw)))
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '%') { // comment to EOL
         while (i < s.length && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
       } else if (c == '(') {
         val (str, next) = literalString(s, i)
-        if (inText) pending.append(str)
+        appendRaw(str)
         i = next
-      } else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) != '<') {
+      } else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') {
+        i = skipDict(s, i) // inline dict (marked content, BDC props): not text
+      } else if (c == '<') {
         val (str, next) = hexString(s, i)
-        if (inText) pending.append(str)
+        appendRaw(str)
         i = next
+      } else if (c == '/') { // name token: an operand, remember it for Tf
+        i += 1
+        val start = i
+        while (i < s.length && !s.charAt(i).isWhitespace &&
+          !"()<>[]{}/%".contains(s.charAt(i))) i += 1
+        lastName = s.substring(start, i)
       } else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
         val start = i
         while (i < s.length && !s.charAt(i).isWhitespace &&
@@ -129,15 +500,51 @@ object PdfText {
           case "Tj" | "TJ" => if (inText) flushShown()
           case "'" => if (inText) { out.append('\n'); flushShown() }
           case "\"" => if (inText) { out.append('\n'); flushShown() }
+          case "Tf" => curFont = fonts.get(lastName); pending = new StringBuilder
           case "Td" | "TD" | "T*" =>
             if (inText) {
               pending = new StringBuilder // positioning args are not text
               if (out.nonEmpty && out.last != '\n') out.append('\n')
             }
+          case "BI" => i = skipInlineImage(s, i) // binary body: never scan it
           case _ => if (inText) pending = new StringBuilder
         }
       } else i += 1
     }
+  }
+
+  /** Skip a balanced `<< … >>` dict starting at `start`, honouring
+    * strings (a `>>` inside a string does not close the dict). */
+  private def skipDict(s: String, start: Int): Int = {
+    var i = start + 2
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (c == '>' && i + 1 < s.length && s.charAt(i + 1) == '>') { depth -= 1; i += 2 }
+      else if (c == '(') i = skipLiteralString(s, i)
+      else if (c == '<') i = skipHexString(s, i)
+      else i += 1
+    }
+    i
+  }
+
+  private def skipLiteralString(s: String, start: Int): Int = literalString(s, start)._2
+  private def skipHexString(s: String, start: Int): Int = hexString(s, start)._2
+
+  /** Skip an inline image: past the `ID` data marker to the `EI`
+    * terminator at a token boundary. */
+  private def skipInlineImage(s: String, from: Int): Int = {
+    val id = s.indexOf("ID", from)
+    if (id < 0) return s.length
+    var i = id + 2
+    while (i < s.length) {
+      if (s.charAt(i) == 'E' && i + 1 < s.length && s.charAt(i + 1) == 'I' &&
+        (i == 0 || s.charAt(i - 1).isWhitespace) &&
+        (i + 2 >= s.length || s.charAt(i + 2).isWhitespace)) return i + 2
+      i += 1
+    }
+    s.length
   }
 
   /** Parse a `(…)` literal string starting at `start`; returns (text,
@@ -176,14 +583,16 @@ object PdfText {
     (sb.result(), i)
   }
 
-  /** Parse a `<…>` hex string starting at `start`. */
+  /** Parse a `<…>` hex string starting at `start`. Non-hex bytes
+    * inside the brackets are ignored (tolerated, per the spec's
+    * whitespace rule generalized — malformed input must not throw). */
   private def hexString(s: String, start: Int): (String, Int) = {
     val sb = new StringBuilder
     var i = start + 1
     val digits = new StringBuilder
     while (i < s.length && s.charAt(i) != '>') {
       val c = s.charAt(i)
-      if (!c.isWhitespace) digits.append(c)
+      if (isHex(c)) digits.append(c)
       i += 1
     }
     if (digits.length % 2 == 1) digits.append('0') // spec: odd count pads 0

@@ -133,6 +133,10 @@ class PlanSpec extends AnyFunSuite {
     // only Sort is the window's own pass over the √N-bounded block table
     assert(p.contains("Range ("), p)
     assert("\\(\\d+\\) Sort".r.findAllIn(p).size <= 1, s"only the block-table sort allowed\n$p")
+    // the final scalar×scalar join is broadcast-hinted, not left to AQE
+    // (the bm25 stats×nDocs rule — its siblings' pin)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"scalar join must be broadcast\n$p")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("fingerprint is shuffle-free up to the final sort") {
