@@ -57,7 +57,8 @@ object IvfPq {
     * on access and at context stop (the IvfIndex.built pattern). */
   private val calibrated =
     scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, Int, Double, Int, Int, Option[Boolean]), (Int, Int)]
+      .empty[(SparkSession, String, Int, Double, Int, Int, Option[Boolean], Int),
+        (Int, Int)]
   graft.functions.SessionEvict.register(() =>
     calibrated.keys.filter(_._1.sparkContext.isStopped).foreach(calibrated.remove))
 
@@ -107,7 +108,8 @@ object IvfPq {
       target: Double, k: Int, shortlistFloor: Int,
       forceMode: Option[Boolean]): (Int, Int) =
     calibrated.getOrElseUpdate(
-      (s, dir, centroids.length, target, k, shortlistFloor, forceMode), {
+      (s, dir, centroids.length, target, k, shortlistFloor, forceMode,
+        codebooks.length), {
       import s.implicits._
       val sample = IvfIndex.calibrationSample(s, dir)
       // exact ground truth top-k per sample query (capped broadcast,
@@ -149,7 +151,7 @@ object IvfPq {
         .join(adcAll, "centroid_id")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          PqIndex.adcScoreOver(col("adc"), col("code")).as("adist"))
+          PqIndex.adcScoreOver(col("adc"), col("code"), codebooks.length).as("adist"))
       // nbelow per true neighbor: competitors that beat it in the
       // serving shortlist's (adist, vec_id) order. The truth rows'
       // OWN ADC scores are computed answer-sized (cap·k rows join
@@ -162,7 +164,7 @@ object IvfPq {
         .join(codes, "vec_id")
         .join(adcAll, Seq("qid", "centroid_id"))
         .select(col("qid"), col("vec_id").as("tvid"),
-          PqIndex.adcScoreOver(col("adc"), col("code")).as("tdist"))
+          PqIndex.adcScoreOver(col("adc"), col("code"), codebooks.length).as("tdist"))
       val counts = adist.join(broadcast(tA), Seq("qid"))
         .filter(col("adist") < col("tdist") ||
           (col("adist") === col("tdist") && col("vec_id") < col("tvid")))
@@ -233,7 +235,7 @@ object IvfPq {
       .join(cand, Seq("vec_id"))
       .join(broadcast(probeAdc), "centroid_id")
       .select(col("vec_id"),
-        PqIndex.adcScoreOver(col("adc"), col("code")).as("adist"))
+        PqIndex.adcScoreOver(col("adc"), col("code"), codebooks.length).as("adist"))
       .orderBy(col("adist"), col("vec_id"))
       .limit(shortlist)
     // exact re-rank against the RAW query row — identical formulation
@@ -281,10 +283,11 @@ object IvfPq {
   def knnIvfPqBatch(s: SparkSession, dir: String, k: Int = 5, shortlist: Int = 50,
       nlist: Int = 0, nprobe: Int = 0,
       forceMode: Option[Boolean] = None,
-      targetAcc: Option[Double] = None): DataFrame = {
+      targetAcc: Option[Double] = None,
+      m: Int = PqIndex.NumSubspaces): DataFrame = {
     val (index, centroids) = IvfIndex.build(s, dir, k = nlist)
     val (codes, codebooks, offsets) =
-      PqIndex.buildResidual(s, dir, index, centroids, forceMode)
+      PqIndex.buildResidual(s, dir, index, centroids, forceMode, m)
     // TARGET-ACCURACY mode (the reference's index-tuning clause, now
     // on the layout a 100 TB deployment actually serves): the probe
     // depth AND the ADC shortlist are co-selected against the
@@ -325,7 +328,7 @@ object IvfPq {
     // candidates of cells the cached table never probed)
     val adc = graft.functions.DfCache.getOrElseUpdate(s,
       s"ivfPqAdcRes:$dir:${centroids.length}:" +
-        s"${IvfIndex.resolveNprobe(centroids.length, np)}:$forceMode")(
+        s"${IvfIndex.resolveNprobe(centroids.length, np)}:$forceMode:$m")(
       PqIndex.adcTableResidual(pairs.join(queriesDf, "qid"), offsets, codebooks))
     // every join precedes the candidate explosion (the searchBatch /
     // pairMiningIvfAt rule): codes attach to the assignment table on
@@ -344,7 +347,7 @@ object IvfPq {
       .join(ppAdc, "centroid_id")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        PqIndex.adcScoreOver(col("adc"), col("code")).as("adist"))
+        PqIndex.adcScoreOver(col("adc"), col("code"), codebooks.length).as("adist"))
       .groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topkByDist(col("adist"), col("vec_id"), sl)
         .as("short"))
@@ -371,7 +374,7 @@ object IvfPq {
     // configuration; artifacts persist only for the adaptive default)
     "vs_knn_ivf_pq_batch" -> ((s, dir) =>
       knnIvfPqBatch(s, dir, nlist = IvfIndex.envNlist, nprobe = IvfIndex.envNprobe,
-        targetAcc = IvfIndex.envTargetAcc)))
+        targetAcc = IvfIndex.envTargetAcc, m = PqIndex.envNumSubspaces)))
 
   /** DuckDB oracle over BOTH persisted artifact sets: the IVF
     * assignment/centroid tables (__IVFDIR__) drive probe ranking and

@@ -51,6 +51,23 @@ object PqIndex {
   val NumCodewords = 16
   val Seed = 7L
 
+  /** Codec-granularity sizing knob for the RESIDUAL (composed IVF-PQ)
+    * codec: subspace count `m` at the fixed 4 bits each, so the code
+    * is 4·m bits — m=8 the 32-bit default, m=16 a 64-bit code that
+    * quarters the subspace dimensionality (dsub 8 → 4) and squares
+    * the effective codeword vocabulary. More subspaces = finer codec =
+    * fewer ADC ties = a SHORTER shortlist at the same declared recall
+    * target (the r11 finding: the 0.95-target shortlist tracks codec
+    * CROWDING, not N — 365/2000 re-ranked on the near-uniform gate
+    * corpus at m=8). The price is 2× code bytes at rest and 2× the
+    * per-candidate lookups; PqAccProbe's geometry column prices both
+    * sides. No-op when unset (the gate configuration: default-geometry
+    * artifacts stay bit-identical). The flat standalone vs_knn_pq
+    * codec stays fixed at 8×16 — its oracle reproduces the packed
+    * layout literally. */
+  private[graft] def envNumSubspaces: Int =
+    sys.env.get("SPARK_GRAFT_PQ_M").map(_.trim.toInt).getOrElse(NumSubspaces)
+
   /** At-rest location of the persisted index artifacts (codes +
     * codebooks) for a given corpus dir; the oracle SQL is bound to the
     * same path via the __PQDIR__ placeholder in SparkEntry. */
@@ -77,7 +94,7 @@ object PqIndex {
     * per-cell encode offsets — unit centroids in residual mode, zero
     * vectors in flat mode). */
   private val builtRes = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int, Option[Boolean]),
+    .empty[(SparkSession, String, Int, Option[Boolean], Int),
       (DataFrame, Codebooks, Array[Array[Double]])]
 
   private[graft] def cacheSize: Int = built.size + builtRes.size
@@ -122,8 +139,8 @@ object PqIndex {
     * NOT memoized — AnnSpec fits twice to assert that a fixed seed on
     * fixed data yields bit-identical codebooks, the reproducibility
     * property an incremental 100 TB index rebuild relies on. */
-  private[graft] def fitOn(norm: DataFrame, dim: Int): Codebooks = {
-    val m = NumSubspaces
+  private[graft] def fitOn(norm: DataFrame, dim: Int,
+      m: Int = NumSubspaces): Codebooks = {
     val dsub = dim / m
     val tm = trainMod(norm.count())
     // undersample guard shared with the IVF fit (ADVICE r10): sparse
@@ -148,9 +165,12 @@ object PqIndex {
   }
 
   /** Nearest-codeword encode of one vector against the codebooks —
-    * shared by the flat and residual builds. */
-  private def packOne(v: Seq[Double], cbs: Codebooks): Int = {
-    var packed = 0
+    * shared by the flat and residual builds. Returns the packed code
+    * as a Long (4 bits per subspace, so ≤ 16 subspaces); m ≤ 8 fits
+    * an Int and the callers narrow it to keep the 32-bit at-rest
+    * layout bit-identical at the default geometry. */
+  private def packOne(v: Seq[Double], cbs: Codebooks): Long = {
+    var packed = 0L
     var mi = 0
     while (mi < cbs.length) {
       val cb = cbs(mi)
@@ -165,7 +185,7 @@ object PqIndex {
         if (d < bestD) { bestD = d; best = k }
         k += 1
       }
-      packed |= best << (4 * mi)
+      packed |= best.toLong << (4 * mi)
       mi += 1
     }
     packed
@@ -206,7 +226,7 @@ object PqIndex {
       import s.implicits._
       val bc = s.sparkContext.broadcast(codebooks)
       val codes = norm.as[(Long, Seq[Double])]
-        .map { case (id, v) => (id, packOne(v, bc.value)) }
+        .map { case (id, v) => (id, packOne(v, bc.value).toInt) }
         .toDF("vec_id", "code")
       // persist the index artifacts: the codes table is the 4-byte
       // at-rest layout (what a 100 TB deployment keeps resident), the
@@ -271,16 +291,18 @@ object PqIndex {
     * flat encode. */
   def buildResidual(s: SparkSession, dir: String,
       index: DataFrame, centroids: Array[Array[Double]],
-      forceMode: Option[Boolean] = None)
+      forceMode: Option[Boolean] = None,
+      m: Int = NumSubspaces)
       : (DataFrame, Codebooks, Array[Array[Double]]) = {
     graft.functions.SessionEvict.hook(s)
     builtRes.keys.filter(_._1.sparkContext.isStopped).foreach(builtRes.remove)
+    require(m >= 1 && m <= 16, s"PQ subspace count $m outside the 4-bit packing range")
     val isDefaultGeometry =
       centroids.length == IvfIndex.defaultNlist(IvfIndex.corpusCount(s, dir))
     // a forced mode (test/measurement) memoizes under its own key —
     // None (adaptive/env) stays the production entry
     val mode = forceMode.orElse(envByResidual)
-    builtRes.getOrElseUpdate((s, dir, centroids.length, mode), {
+    builtRes.getOrElseUpdate((s, dir, centroids.length, mode, m), {
       import s.implicits._
       val ncent = centroids.map(l2norm)
       val bcCent = s.sparkContext.broadcast(ncent)
@@ -313,11 +335,17 @@ object PqIndex {
           val c = bcOff.value(cid)
           (id, v.toArray.zipWithIndex.map { case (x, j) => x - c(j) }.toSeq)
         }.toDF("vec_id", "nvec").cache()
-      val codebooks: Codebooks = fitOn(resid, dim)
+      val codebooks: Codebooks = fitOn(resid, dim, m)
       val bc = s.sparkContext.broadcast(codebooks)
-      val codes = resid.as[(Long, Seq[Double])]
-        .map { case (id, v) => (id, packOne(v, bc.value)) }
-        .toDF("vec_id", "code")
+      // m ≤ 8 keeps the 32-bit at-rest code (bit-identical default
+      // artifacts); a finer codec needs the 64-bit packing
+      val codes =
+        if (m <= 8) resid.as[(Long, Seq[Double])]
+          .map { case (id, v) => (id, packOne(v, bc.value).toInt) }
+          .toDF("vec_id", "code")
+        else resid.as[(Long, Seq[Double])]
+          .map { case (id, v) => (id, packOne(v, bc.value)) }
+          .toDF("vec_id", "code")
       // persist only the production entry (default geometry, no
       // per-call force): a forced-mode test/measurement build must not
       // overwrite the artifact dir out from under the memoized
@@ -325,7 +353,7 @@ object PqIndex {
       // the env is constant for the JVM, so no same-process conflict,
       // and the offset table makes the artifacts self-describing)
       val out =
-        if (isDefaultGeometry && forceMode.isEmpty) {
+        if (isDefaultGeometry && forceMode.isEmpty && m == NumSubspaces) {
           val dump = resDumpDir(dir)
           offsets.zipWithIndex.map { case (o, i) => (i, o.toSeq) }.toSeq
             .toDF("cid", "ovec").coalesce(1)
@@ -464,8 +492,8 @@ object PqIndex {
     * a flat codegen expression (8 element_at lookups on the joined
     * array, no per-row array construction), summed in the same mi
     * order as the single-query form. */
-  def adcScoreOver(adc: Column, code: Column): Column =
-    (0 until NumSubspaces).map { mi =>
+  def adcScoreOver(adc: Column, code: Column, m: Int = NumSubspaces): Column =
+    (0 until m).map { mi =>
       element_at(adc,
         (shiftright(code, mi * 4).bitwiseAND(15) + lit(mi * NumCodewords) + 1).cast("int"))
     }.reduce(_ + _)

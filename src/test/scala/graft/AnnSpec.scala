@@ -591,6 +591,50 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.4, s"mean batch ivf-pq recall@5 $mean below 0.4")
   }
 
+  test("pq codec granularity: m=16 packs 64-bit codes; full-probe composed path still exact") {
+    import org.apache.spark.sql.functions.col
+    val n = graft.Tables.embeddings(spark, sf).count().toInt
+    val (index, centroids) = IvfIndex.build(spark, sf)
+    // finer codec: 16 subspaces × 4 bits = 64-bit codes (LongType at
+    // rest), 16 codebook rows of dsub = dim/16 codewords
+    val (codes16, cbs16, _) =
+      graft.operators.PqIndex.buildResidual(spark, sf, index, centroids, None, 16)
+    assert(cbs16.length == 16 && cbs16(0).length == 16)
+    assert(codes16.schema("code").dataType ==
+      org.apache.spark.sql.types.LongType, "m=16 codes must be 64-bit")
+    // the default build is memoized under its own geometry key — the
+    // m=16 build must not have replaced it (the knob cannot poison the
+    // default artifacts)
+    val (codes8, cbs8, _) =
+      graft.operators.PqIndex.buildResidual(spark, sf, index, centroids)
+    assert(cbs8.length == 8)
+    assert(codes8.schema("code").dataType ==
+      org.apache.spark.sql.types.IntegerType, "default codes stay 32-bit")
+    // disable both approximations at m=16: the composed path must
+    // equal exact batch serving row-for-row (the m=8 degeneracy test,
+    // repeated at the finer geometry — pins the whole 64-bit unpack)
+    val full = graft.operators.IvfPq.knnIvfPqBatch(spark, sf, k = 5, shortlist = n,
+      nprobe = centroids.length, m = 16).collect()
+    val queriesDf = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = IvfIndex.searchBatch(spark, index, centroids, queriesDf, k = 5,
+      nprobe = centroids.length).collect()
+    assert(full.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq,
+      "full-probe full-shortlist m=16 ivf-pq batch must equal exact batch serving")
+    // finer codec at default serving knobs: recall not below the m=8
+    // floor (the geometry's whole point is FEWER ADC ties, priced in
+    // PqAccProbe's geometry column on sf0.1)
+    val approx = graft.operators.IvfPq.knnIvfPqBatch(spark, sf, m = 16).collect()
+    val exactByQ = exact.groupBy(_.getLong(0))
+    val recalls = approx.groupBy(_.getLong(0)).map { case (q, rows) =>
+      val want = exactByQ(q).map(_.getLong(1)).toSet
+      (rows.map(_.getLong(1)).toSet & want).size.toDouble / want.size
+    }
+    assert(recalls.sum / recalls.size >= 0.4,
+      s"mean m=16 batch ivf-pq recall@5 ${recalls.sum / recalls.size} below 0.4")
+  }
+
   test("ivf training sample: FAISS-style cap never binds at gate corpora, engages above 256·nlist") {
     // gate corpus: full-set training → persisted artifacts bit-unchanged
     val n = graft.Tables.embeddings(spark, sf).count()

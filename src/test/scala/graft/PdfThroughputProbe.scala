@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One-off corpus-scale measurement of the PDF decode path (VERDICT
+  * r11 punch 4): PdfSpec proves correctness on fixture PDFs; this
+  * probe prices decode THROUGHPUT — ~10k synthetic Flate-compressed
+  * PDFs through PdfText.utlToText, then the downstream doc_pipeline
+  * stages, reporting s/GB so SURVEY §6 can say where decode sits vs
+  * chunk/embed cost. Run via Test/runMain graft.PdfThroughputProbe
+  * [nDocs] [paragraphsPerDoc].
+  *
+  * The corpus is built deterministically in the executors (one valid
+  * multi-object PDF per row — page tree, Flate content streams, a
+  * ToUnicode-free simple font, xref, trailer), so the measurement
+  * needs no disk staging and the decode input really exercises the
+  * object parser + inflate + content scan per document. */
+object PdfThroughputProbe {
+
+  private val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private val words = Vector("spark", "catalyst", "tungsten", "shuffle",
+    "partition", "broadcast", "codegen", "parquet", "columnar", "vector",
+    "embedding", "centroid", "shortlist", "residual", "pipeline", "stream",
+    "watermark", "aggregate", "pruning", "bucket", "salting", "executor")
+
+  /** Deterministic paragraph text for (doc, para) — enough entropy to
+    * defeat trivial dedup, fixed per seed so runs are comparable. */
+  private def para(doc: Long, p: Int): String = {
+    val sb = new StringBuilder
+    var x = doc * 2654435761L + p * 40503L + 12345L
+    var i = 0
+    while (i < 60) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      sb.append(words(((x >>> 33) % words.length).toInt)).append(' ')
+      i += 1
+    }
+    sb.result().trim
+  }
+
+  private def deflate(content: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(content); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** One valid PDF: `pages` pages, each its own Flate content stream
+    * of `parasPerPage` paragraphs shown line-by-line. */
+  private[graft] def buildPdf(doc: Long, pages: Int, parasPerPage: Int): Array[Byte] = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val contentObjs = (0 until pages).map { pg =>
+      val body = new StringBuilder("BT\n/F1 10 Tf\n72 720 Td\n")
+      (0 until parasPerPage).foreach { p =>
+        body.append('(').append(esc(para(doc, pg * parasPerPage + p)))
+          .append(") Tj\n0 -12 Td\n")
+      }
+      body.append("ET")
+      deflate(body.result().getBytes(latin1))
+    }
+    val nPages = pages
+    // objects: 1 catalog, 2 pages-root, 3..2+n page objects,
+    // 3+n..2+2n content streams, 3+2n font
+    val kids = (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")
+    val objs = Vector.newBuilder[Array[Byte]]
+    objs += "<< /Type /Catalog /Pages 2 0 R >>".getBytes(latin1)
+    objs += s"<< /Type /Pages /Kids [$kids] /Count $nPages >>".getBytes(latin1)
+    (0 until nPages).foreach { i =>
+      objs += (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 ${3 + 2 * nPages} 0 R >> >> " +
+        s"/Contents ${3 + nPages + i} 0 R >>").getBytes(latin1)
+    }
+    contentObjs.foreach { payload =>
+      objs += (s"<< /Length ${payload.length} /Filter /FlateDecode >>\nstream\n"
+        .getBytes(latin1) ++ payload ++ "\nendstream".getBytes(latin1))
+    }
+    objs += ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>").getBytes(latin1)
+    val bodies = objs.result()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes(latin1))
+    val offsets = bodies.zipWithIndex.map { case (b, i) =>
+      val off = out.size()
+      out.write(s"${i + 1} 0 obj\n".getBytes(latin1)); out.write(b)
+      out.write("\nendobj\n".getBytes(latin1)); off
+    }
+    val xrefAt = out.size()
+    out.write(s"xref\n0 ${bodies.size + 1}\n0000000000 65535 f \n".getBytes(latin1))
+    offsets.foreach(o => out.write(f"$o%010d 00000 n \n".getBytes(latin1)))
+    out.write((s"trailer\n<< /Size ${bodies.size + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n").getBytes(latin1))
+    out.toByteArray
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(10000)
+    val parasPerPage = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val pages = 3
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // corpus: built per-partition in the executors, persisted in memory
+    // so decode timing excludes generation
+    val pdfs = spark.range(0, nDocs, 1, 32)
+      .as[Long].map(id => (id, buildPdf(id, pages, parasPerPage)))
+      .toDF("doc_id", "payload").persist()
+    val totalBytes = pdfs.agg(sum(length(col("payload")))).head().getLong(0)
+    val gb = totalBytes / 1e9
+    println(f"PDFTHRU docs=$nDocs pages=$pages bytes=$totalBytes (${gb}%.3f GB)")
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"PDFTHRU $label%-14s sec=$sec%7.1f sPerGB=${sec / gb}%7.1f")
+      r
+    }
+    // warm one pass (JIT for the parser hot loops)
+    graft.sources.PdfText.utlToText(spark, pdfs.limit(200)).count()
+    // decode alone: bytes -> text (the UTL_TO_TEXT stage)
+    val decoded = timed("decode") {
+      val d = graft.sources.PdfText.utlToText(spark, pdfs).persist()
+      d.count(); d
+    }
+    val textBytes = decoded.agg(sum(length(col("text")))).head().getLong(0)
+    println(f"PDFTHRU textBytes=$textBytes (${textBytes * 100.0 / totalBytes}%.1f%% of pdf bytes)")
+    // downstream stages on the SAME decoded frame — where decode sits
+    // relative to the chunk/embed cost the pipeline already pays
+    timed("chunk") { graft.operators.DocPipeline.chunksOf(decoded).count() }
+    timed("doc_pipeline") { graft.operators.DocPipeline.docPipelineOf(decoded).count() }
+    decoded.unpersist(); pdfs.unpersist()
+    spark.stop()
+  }
+}

@@ -53,6 +53,26 @@ object PqAccProbe {
         (ids & exact(q).map(_.getLong(1)).toSet).size / 5.0 })
       println(f"PQACC target=$t%.2f recallExact=$rEx%.4f sec=$sec%.1f")
     }
+    // geometry column (r12): shortlist-at-target vs code size. m=16
+    // (64-bit codes, dsub 4) has fewer ADC ties than the 32-bit
+    // default, so the co-selected shortlist — the exact-re-rank cost
+    // per query — should SHRINK at the same declared target.
+    Seq(8, 16).foreach { m =>
+      val (codes, cbs, offs) = graft.operators.PqIndex
+        .buildResidual(spark, dir, index, centroids, None, m)
+      Seq(0.9, 0.95).foreach { t =>
+        val (np, sl) = graft.operators.IvfPq.calibrateComposed(
+          spark, dir, index, centroids, codes, cbs, offs, t, 5, 50, None)
+        val t0 = System.nanoTime()
+        val rows = graft.operators.IvfPq.knnIvfPqBatch(spark, dir, k = 5,
+          targetAcc = Some(t), m = m)
+          .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rEx = mean(rows.map { case (q, ids) =>
+          (ids & exact(q).map(_.getLong(1)).toSet).size / 5.0 })
+        println(f"PQACC m=$m%2d target=$t%.2f nprobe=$np shortlist=$sl recallExact=$rEx%.4f sec=$sec%.1f")
+      }
+    }
     spark.stop()
   }
 }

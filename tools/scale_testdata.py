@@ -17,8 +17,22 @@ and broke every events-time query at sf1 while all of them pass at
 driver SFs. Key shifts are pure int64 adds, so pyarrow preserves
 everything else by construction.
 
-Usage: python3 tools/scale_testdata.py [src] [dst] [copies]
+Usage: python3 tools/scale_testdata.py [src] [dst] [copies] [--roll]
 Default: /root/testdata/sf0.1 -> /tmp/graft_sf1 x10 (~sf1).
+
+--roll (bounded-family mode): cyclically roll each embedding copy by
+its copy index (copy j's vectors are the originals' dims rotated j
+positions). Rolling is norm-preserving and decorrelates copies (a
+rolled near-uniform vector is ~orthogonal to its original), so the
+verbatim tiling's C-squared duplicate families vanish: this is the
+corpus shape AFTER exact dedup — every embedding is distinct content —
+at the FULL scaled N. (Literally running dedup_exact on the verbatim
+tiling would collapse N back to 1x, which is why the scale witness
+needs this mode instead.) Same-copy pairs keep the source corpus's
+exact geometry, so the 1x close-tail structure replicates linearly.
+Text columns stay verbatim-duplicated (the text-dedup operators have
+their own bounded-recall witnesses; --roll targets the embedding pair
+producers).
 
 Correctness inputs remain the driver's parquet — this output is only
 for the one-off scaling measurement recorded in SURVEY §6.
@@ -48,9 +62,11 @@ DIMS = ["region", "nation"]
 
 
 def main():
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1")
-    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = [a for a in sys.argv[1:] if a != "--roll"]
+    roll = "--roll" in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    dst = Path(args[1] if len(args) > 1 else "/tmp/graft_sf1")
+    copies = int(args[2]) if len(args) > 2 else 10
     dst.mkdir(parents=True, exist_ok=True)
 
     strides = {}
@@ -84,6 +100,13 @@ def main():
                     # pc.add may widen/nullify-change nothing for int64,
                     # but cast back defensively to pin the field type
                     col = col.cast(tbl.schema.field(name).type)
+                elif roll and t == "embeddings" and name == "embedding" and i > 0:
+                    import numpy as np
+                    field_t = tbl.schema.field(name).type
+                    mat = np.stack(col.combine_chunks().to_numpy(
+                        zero_copy_only=False))
+                    mat = np.roll(mat, i % mat.shape[1], axis=1)
+                    col = pa.array(list(mat), type=field_t)
                 cols.append(col)
             out = pa.Table.from_arrays(cols, schema=tbl.schema)
             writer.write_table(out)
