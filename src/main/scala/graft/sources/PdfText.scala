@@ -187,8 +187,12 @@ object PdfText {
   private def parseObjects(s: String): Vector[PdfObj] = {
     val out = Vector.newBuilder[PdfObj]
     val m = ObjPat.matcher(s)
+    var lastEnd = 0 // end of the previous object's extent (incl. stream)
     while (m.find()) {
-      val num = try m.group(1).toInt catch { case _: NumberFormatException => -1 }
+      val num =
+        if (m.start() < lastEnd) -1 // `N G obj` bytes INSIDE a stream payload:
+        // a phantom that would shadow the real object via later-wins
+        else try m.group(1).toInt catch { case _: NumberFormatException => -1 }
       if (num >= 0) {
         val bodyStart = m.end()
         val endObj = s.indexOf("endobj", bodyStart)
@@ -210,8 +214,15 @@ object PdfText {
             if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
             out += PdfObj(num, s.substring(bodyStart, sAt),
               Some(s.substring(dataStart, dataEnd).getBytes(Latin1)))
-          } else out += PdfObj(num, s.substring(bodyStart, sAt), None)
-        } else out += PdfObj(num, s.substring(bodyStart, bodyEnd), None)
+            lastEnd = math.max(lastEnd, math.max(bodyEnd + 6, end + 9))
+          } else {
+            out += PdfObj(num, s.substring(bodyStart, sAt), None)
+            lastEnd = math.max(lastEnd, bodyEnd + 6)
+          }
+        } else {
+          out += PdfObj(num, s.substring(bodyStart, bodyEnd), None)
+          lastEnd = math.max(lastEnd, bodyEnd + 6)
+        }
       }
     }
     out.result()
