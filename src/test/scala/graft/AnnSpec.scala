@@ -388,6 +388,38 @@ class AnnSpec extends AnyFunSuite {
     assert(a._2 eq b._2)
   }
 
+  test("blocking geometry: uncapped sqrt(N), identical to serving below the cap") {
+    import graft.operators.IvfIndex
+    // below the serving cap (N <= 4096^2) the two geometries are THE
+    // SAME — so every gate SF, memo entry, and persisted oracle
+    // artifact is bit-unchanged by the r13 blocking default
+    Seq(1L, 500L, 2000L, 60000L, 200000L, 16000000L,
+      IvfIndex.ServingNlistCap.toLong * IvfIndex.ServingNlistCap).foreach { n =>
+      assert(IvfIndex.blockingNlist(n) == IvfIndex.defaultNlist(n),
+        s"geometries must agree at n=$n")
+    }
+    // above it, serving freezes at the cap while blocking keeps sqrt(N):
+    // the candidate fraction nprobe/nlist keeps shrinking instead of
+    // freezing at 1/64 (the N^2/64 revert VERDICT r12 flagged)
+    Seq(17000000L, 100000000L, 1000000000L).foreach { n =>
+      val b = IvfIndex.blockingNlist(n)
+      assert(IvfIndex.defaultNlist(n) == IvfIndex.ServingNlistCap)
+      assert(b == math.round(math.sqrt(n.toDouble)).toInt, s"uncapped sqrt at n=$n")
+      assert(b > IvfIndex.ServingNlistCap)
+    }
+    // at 10^9 vectors: serving scans nprobe/nlist = 64/4096 = 1/64 of
+    // the corpus per probe; blocking scans 178/31623 ≈ 1/178 — the
+    // closed form N·nprobe·(N/nlist) stays N^1.75
+    assert(IvfIndex.blockingNlist(1000000000L) == 31623)
+    assert(IvfIndex.defaultNprobe(31623) == 178)
+    // the blocking build at a gate corpus IS the serving build: same
+    // memo entry, so no second k-means fit and artifacts untouched
+    val served = IvfIndex.build(spark, sf)
+    val blocked = IvfIndex.buildBlocking(spark, sf)
+    assert(served._1 eq blocked._1, "blocking build must reuse the serving memo entry below the cap")
+    assert(served._2 eq blocked._2)
+  }
+
   test("index cache is evictable: clearCache drops entries, rebuild still works") {
     import graft.operators.IvfIndex
     IvfIndex.build(spark, sf)
@@ -633,6 +665,13 @@ class AnnSpec extends AnyFunSuite {
     }
     assert(recalls.sum / recalls.size >= 0.4,
       s"mean m=16 batch ivf-pq recall@5 ${recalls.sum / recalls.size} below 0.4")
+    // a subspace count that does NOT divide the dim fails loud instead
+    // of silently truncating the trailing dims out of fit/encode/ADC
+    // (ADVICE r12): dim is 64 here, 7 is not a divisor
+    val thrown = intercept[IllegalArgumentException] {
+      graft.operators.PqIndex.buildResidual(spark, sf, index, centroids, None, 7)
+    }
+    assert(thrown.getMessage.contains("divide"), thrown.getMessage)
   }
 
   test("ivf training sample: FAISS-style cap never binds at gate corpora, engages above 256·nlist") {
