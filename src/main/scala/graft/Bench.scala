@@ -98,13 +98,17 @@ object Bench {
 
   /** Queries with a DOCUMENTED cross-round drift history (SURVEY §6):
     * the shingle-join trio moved 1.3–1.6× across r9–r11 with untouched
-    * code — their shuffle-heavy profile couples hardest to host load.
-    * They start at min-of-3 (the >2×-disagreement escalation,
-    * generalized to a standing floor) so a future REAL regression is
-    * attributable to code, not to an unlucky pair of draws
-    * (VERDICT r11 punch 6). */
+    * code — their shuffle-heavy profile couples hardest to host load —
+    * and src_jsonl_corrupt, the one query >2× in BOTH r12 draws with
+    * untouched code (sub-second absolute: a write-then-read fixture
+    * whose wall is mostly task-launch overhead, the noisiest cost on a
+    * loaded host — VERDICT r12 watch item). They start at min-of-3
+    * (the >2×-disagreement escalation, generalized to a standing
+    * floor) so a future REAL regression is attributable to code, not
+    * to an unlucky pair of draws (VERDICT r11 punch 6). */
   private[graft] val DriftProne: Set[String] =
-    Set("dedup_containment_capped", "dedup_ngram_capped", "dedup_ngram_jaccard")
+    Set("dedup_containment_capped", "dedup_ngram_capped", "dedup_ngram_jaccard",
+      "src_jsonl_corrupt")
 
   /** True for the scale-measurement dirs (sf ≥ 1 — the sf1 witness
     * and the 30×/100× exponent tilings): the SFs where kept negatives
@@ -113,9 +117,28 @@ object Bench {
     (try Paths.get(sfDir).toAbsolutePath.normalize().getFileName.toString
      catch { case _: Throwable => "" }) match {
       case "sf1" | "graft_sf1" | "sf3" | "graft_sf3" |
-           "sf10" | "graft_sf10" => true
+           "sf10" | "graft_sf10" |
+           "graft_sf3b" | "graft_sf10b" => true // bounded-family tilings
       case _ => false
     }
+
+  /** 1-minute loadavg at draw time (-1 if unreadable): recorded per
+    * timing draw so round-over-round drift adjudication can cite the
+    * host's actual load instead of narrative ("host noise" was argued
+    * three rounds running without data — VERDICT r12 item 5). */
+  private[graft] def load1(): Double =
+    try new String(Files.readAllBytes(Paths.get("/proc/loadavg")),
+      StandardCharsets.UTF_8).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Live JVM count on the host (-1 if unreadable) — the second drift
+    * witness: a concurrent sbt/Spark JVM is the usual culprit. */
+  private[graft] def jvmCount(): Long =
+    try ProcessHandle.allProcesses()
+      .filter(p => p.info().command()
+        .map[Boolean](c => c == "java" || c.endsWith("/java")).orElse(false))
+      .count()
+    catch { case _: Throwable => -1L }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -174,7 +197,9 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) && !skipped.contains(n) }
       .map { case (name, fn) =>
       var failed = false
+      val loads = Vector.newBuilder[Double] // 1-min loadavg before each draw
       def timed(): Double = {
+        loads += load1()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
@@ -197,23 +222,30 @@ object Bench {
         else base
       // a failed query reports its elapsed-to-failure time NEGATED so a
       // broken query can't masquerade as a fast one
-      (name, if (failed) -samples.min else samples.min, failed, samples)
+      (name, if (failed) -samples.min else samples.min, failed, samples, loads.result())
     }
-    val failedNames = results.collect { case (k, _, true, _) => s"\"" + k + "\"" }
+    val failedNames = results.collect { case (k, _, true, _, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, false, _) => v }.sum
+    val total = results.collect { case (_, v, false, _, _) => v }.sum
     def r3(v: Double): String = f"$v%.3f"
+    def r2(v: Double): String = f"$v%.2f"
     // full per-query dump (all queries, ms precision) → file; `queries`
     // stays a flat name→sec map (round-over-round diffable), with every
-    // raw timing draw alongside in `samples`.
-    val fullQs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
+    // raw timing draw alongside in `samples` and the host's 1-min
+    // loadavg at each draw in `loadavg` (the drift-adjudication data —
+    // VERDICT r12 item 5).
+    val fullQs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fullSamples = results
-      .map { case (k, _, _, ss) => s"\"" + k + "\":" + ss.map(r3).mkString("[", ",", "]") }
+      .map { case (k, _, _, ss, _) => s"\"" + k + "\":" + ss.map(r3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val fullLoads = results
+      .map { case (k, _, _, _, ls) => s"\"" + k + "\":" + ls.map(r2).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val host = s"""{"jvms":${jvmCount()},"loadavg_end":${r2(load1())}}"""
     val skippedJson = skippedNeg.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skippedGtJson = skippedGt.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"samples":$fullSamples,"failed":$failedNames,"skipped_kept_negatives":$skippedJson,"skipped_ground_truth":$skippedGtJson,"sf":"$sfDir","n_queries":${results.size}}"""
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"samples":$fullSamples,"loadavg":$fullLoads,"host":$host,"failed":$failedNames,"skipped_kept_negatives":$skippedJson,"skipped_ground_truth":$skippedGtJson,"sf":"$sfDir","n_queries":${results.size}}"""
     Files.write(Paths.get(outFile), (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
     // self-snapshot the round-over-round witness: a zero-failure run of
     // the FULL inventory at a tracked SF overwrites its snapshot file.
@@ -230,7 +262,7 @@ object Bench {
       }
     // short stdout line: total + failed + top-20 slowest + file pointer
     val top = results.filterNot(_._3).sortBy(-_._2).take(20)
-      .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
+      .map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"failed":$failedNames,"skipped_kept_negatives":$skippedJson,"skipped_ground_truth":$skippedGtJson,"sf":"$sfDir","n_queries":${results.size},"queries_file":"$outFile","note":"stdout queries = top-20 slowest; full per-query JSON in queries_file"}""")
     spark.stop()
