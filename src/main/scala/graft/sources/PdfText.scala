@@ -35,6 +35,13 @@ import scala.util.control.NonFatal
   *    page-tree and font dictionaries are expanded in place, so
   *    modern writers' files keep page order and font maps instead of
   *    falling back to the heuristic scan;
+  *  - encrypted files under the standard security handler with an
+  *    EMPTY user password (owner-locked documents — the class every
+  *    viewer opens without a prompt): RC4 40/128-bit (V1/V2 and the
+  *    V4 /V2 crypt filter), AES-128-CBC (V4 /AESV2) and AES-256-CBC
+  *    (V5 R5/R6 /AESV3) stream decryption, keys per the public
+  *    spec's Algorithms 2 / 2.B / 1 / 1.A. Files that genuinely
+  *    require a password stay unreadable by design;
   *  - text shown inside BT…ET blocks via the `Tj`, `'`, `"` and `TJ`
   *    operators, with literal `(…)` strings (nested parens, all
   *    escape forms incl. octal and line continuations) and `<…>` hex
@@ -78,9 +85,13 @@ object PdfText {
   private final case class PRef(num: Int) extends PVal
   private final case class PArr(v: Vector[PVal]) extends PVal
   private final case class PDict(v: Map[String, PVal]) extends PVal
+  /** A string value, chars = bytes (Latin-1 round trip) — the raw
+    * bytes matter for the encryption dictionary's /O /U /UE entries. */
+  private final case class PStr(v: String) extends PVal
   private case object POther extends PVal
 
-  private final case class PdfObj(num: Int, dictSrc: String, stream: Option[Array[Byte]]) {
+  private final case class PdfObj(num: Int, dictSrc: String, stream: Option[Array[Byte]],
+      gen: Int = 0) {
     lazy val dict: PDict =
       try new DictParser(dictSrc).parseTopDict()
       catch { case NonFatal(_) => PDict(Map.empty) }
@@ -114,8 +125,8 @@ object PdfText {
       if (i >= s.length) return POther
       val c = s.charAt(i)
       if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') parseDict()
-      else if (c == '<') { i = skipHexString(s, i); POther }
-      else if (c == '(') { i = skipLiteralString(s, i); POther }
+      else if (c == '<') { val (str, next) = hexString(s, i); i = next; PStr(str) }
+      else if (c == '(') { val (str, next) = literalString(s, i); i = next; PStr(str) }
       else if (c == '[') parseArr()
       else if (c == '/') parseName()
       else if (c == '+' || c == '-' || c == '.' || c.isDigit) parseNumOrRef()
@@ -193,23 +204,24 @@ object PdfText {
   // File parse: N G obj … endobj, with stream payloads.
   // ---------------------------------------------------------------------
 
-  private val ObjPat = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+  private val ObjPat = java.util.regex.Pattern.compile("(\\d+)\\s+(\\d+)\\s+obj\\b")
 
   private def parseObjects(s: String): Vector[PdfObj] = {
     // collect every raw header match up front: capping a malformed
     // object's extent needs the NEXT header's position (below)
     val raw = {
-      val b = Vector.newBuilder[(Int, Int, Int)] // (start, end, num)
+      val b = Vector.newBuilder[(Int, Int, Int, Int)] // (start, end, num, gen)
       val m = ObjPat.matcher(s)
       while (m.find()) b += ((m.start(), m.end(),
-        try m.group(1).toInt catch { case _: NumberFormatException => -1 }))
+        try m.group(1).toInt catch { case _: NumberFormatException => -1 },
+        try m.group(2).toInt catch { case _: NumberFormatException => 0 }))
       b.result()
     }
     val out = Vector.newBuilder[PdfObj]
     var lastEnd = 0 // end of the previous object's extent (incl. stream)
     var k = 0
     while (k < raw.length) {
-      val (mStart, mEnd, rawNum) = raw(k)
+      val (mStart, mEnd, rawNum, gen) = raw(k)
       val num =
         if (mStart < lastEnd) -1 // `N G obj` bytes INSIDE a stream payload:
         // a phantom that would shadow the real object via later-wins
@@ -249,14 +261,14 @@ object PdfText {
             if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\n') dataEnd -= 1
             if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
             out += PdfObj(num, s.substring(bodyStart, sAt),
-              Some(s.substring(dataStart, dataEnd).getBytes(Latin1)))
+              Some(s.substring(dataStart, dataEnd).getBytes(Latin1)), gen)
             lastEnd = math.max(lastEnd, math.max(extent, end + 9))
           } else {
-            out += PdfObj(num, s.substring(bodyStart, sAt), None)
+            out += PdfObj(num, s.substring(bodyStart, sAt), None, gen)
             lastEnd = math.max(lastEnd, extent)
           }
         } else {
-          out += PdfObj(num, s.substring(bodyStart, bodyEnd), None)
+          out += PdfObj(num, s.substring(bodyStart, bodyEnd), None, gen)
           lastEnd = math.max(lastEnd, extent)
         }
       }
@@ -428,6 +440,225 @@ object PdfText {
     }
     out.toByteArray
   } catch { case NonFatal(_) => Array.emptyByteArray }
+
+  // ---------------------------------------------------------------------
+  // Encryption: the standard security handler (public PDF spec,
+  // Algorithms 2, 2.A/2.B, 1 and 1.A) for the EMPTY-user-password
+  // case — the owner-locked files every viewer opens without a
+  // prompt. RC4 (V1/V2 and V4 /V2 crypt filters), AES-128-CBC
+  // (V4 /AESV2) and AES-256-CBC (V5 R5/R6 /AESV3) stream decryption.
+  // Only STREAM payloads are decrypted: every byte the extractor
+  // consumes downstream (page /Contents, ToUnicode CMaps, ObjStm
+  // containers) is a stream, and the encryption dictionary's own
+  // strings are exempt by spec. Password-protected files (a non-empty
+  // user password) stay undecodable by design — garbage in, empty out.
+  // ---------------------------------------------------------------------
+
+  private val PwPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(bs: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    bs.foreach(d.update)
+    d.digest()
+  }
+
+  private def sha(alg: String, bs: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    bs.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4 (public Algorithm: KSA + PRGA) — symmetric, also the
+    * fixture encryptor in the specs. */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val st = Array.tabulate(256)(identity)
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + st(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = st(i); st(i) = st(j); st(j) = t
+    }
+    val out = new Array[Byte](data.length)
+    var a = 0; var b = 0
+    for (i <- data.indices) {
+      a = (a + 1) & 0xff
+      b = (b + st(a)) & 0xff
+      val t = st(a); st(a) = st(b); st(b) = t
+      out(i) = (data(i) ^ st((st(a) + st(b)) & 0xff)).toByte
+    }
+    out
+  }
+
+  private def aesCbc(mode: Int, key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** AES-CBC stream payload per the spec layout: the first 16 bytes
+    * are the IV, the rest PKCS#5-padded ciphertext. Truncated or
+    * malformed input returns empty (never throws past the caller's
+    * guard). */
+  private def aesStreamDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    if (data.length < 32 || (data.length - 16) % 16 != 0) Array.emptyByteArray
+    else {
+      val plain = aesCbc(javax.crypto.Cipher.DECRYPT_MODE, key,
+        data.take(16), data.drop(16))
+      val pad = plain.last & 0xff
+      if (pad >= 1 && pad <= 16 && pad <= plain.length) plain.dropRight(pad) else plain
+    }
+  }
+
+  /** Iterated password hash of the 2018 spec's Algorithm 2.B (R6; an
+    * R5 file takes the plain SHA-256 short-circuit). */
+  private[graft] def hash2B(r: Int, pwd: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256", pwd, salt, udata)
+    if (r == 5) return k
+    var round = 0
+    var e = Array.emptyByteArray
+    var done = false
+    while (!done) {
+      val k1 = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < 64) { k1.write(pwd); k1.write(k); k1.write(udata); i += 1 }
+      e = aesCbc(javax.crypto.Cipher.ENCRYPT_MODE, k.take(16), k.slice(16, 32),
+        k1.toByteArray)
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      k = sha(if (mod == 0) "SHA-256" else if (mod == 1) "SHA-384" else "SHA-512", e)
+      round += 1
+      if (round >= 64 && (e.last & 0xff) <= round - 32) done = true
+    }
+    k.take(32)
+  }
+
+  /** Resolved decryption state: the file key plus enough geometry to
+    * derive per-object keys. `aes` selects the CBC layout; V5 keys
+    * skip the per-object MD5 mix entirely. */
+  private final case class Crypt(fileKey: Array[Byte], v: Int, r: Int, aes: Boolean) {
+    private def objKey(num: Int, gen: Int): Array[Byte] =
+      if (v >= 5) fileKey
+      else md5(fileKey, Array[Byte](
+        (num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
+        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+        ++ (if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray))
+        .take(math.min(fileKey.length + 5, 16))
+    def decryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      if (aes) aesStreamDecrypt(objKey(num, gen), data)
+      else rc4(objKey(num, gen), data)
+  }
+
+  /** Locate the standard-security-handler dictionary and derive the
+    * file key for the empty user password. None = file not encrypted,
+    * an unsupported handler, or /StmF Identity (streams in the clear).
+    * The /ID first element comes from a raw scan of the trailer (or
+    * xref-stream dict) bytes — the one value the extractor needs that
+    * does not live in an object. */
+  private def findCrypt(objs: Vector[PdfObj], s: String): Option[Crypt] = try {
+    val encObj = objs.find { o =>
+      val d = o.dict.v
+      d.get("Filter").contains(PName("Standard")) &&
+        d.contains("O") && d.contains("U") && d.contains("R")
+    }
+    encObj.flatMap { o =>
+      val d = o.dict.v
+      def num(k: String, dflt: Int): Int =
+        d.get(k).collect { case PNum(x) => x.toInt }.getOrElse(dflt)
+      def str(k: String): Array[Byte] =
+        d.get(k).collect { case PStr(x) => x.getBytes(Latin1) }.getOrElse(Array.emptyByteArray)
+      val v = num("V", 0)
+      val r = num("R", 2)
+      // V4/V5 route streams through a named crypt filter; /StmF
+      // Identity (the default when absent) leaves them unencrypted
+      val cfm: Option[String] =
+        if (v < 4) None
+        else for {
+          stmF <- d.get("StmF").collect { case PName(n) => n }
+          cf <- d.get("CF").collect { case c: PDict => c }
+          stdCf <- cf.v.get(stmF).collect { case c: PDict => c }
+          m <- stdCf.v.get("CFM").collect { case PName(n) => n }
+        } yield m
+      if (v >= 4 && cfm.isEmpty) None // Identity or unresolvable: no decryption
+      else if (v >= 5) {
+        // R5/R6 (AES-256): the user-password route — validation salt
+        // U[32..40), key salt U[40..48); file key = AES-256-CBC(UE)
+        // under the key-salt hash, zero IV
+        val u = str("U"); val ue = str("UE")
+        if (u.length < 48 || ue.length < 32 || !cfm.contains("AESV3")) None
+        else {
+          val check = hash2B(r, Array.emptyByteArray, u.slice(32, 40), Array.emptyByteArray)
+          if (!java.util.Arrays.equals(check, u.take(32))) None // non-empty user password
+          else {
+            val ik = hash2B(r, Array.emptyByteArray, u.slice(40, 48), Array.emptyByteArray)
+            val fileKey = aesCbc(javax.crypto.Cipher.DECRYPT_MODE, ik,
+              new Array[Byte](16), ue.take(32))
+            Some(Crypt(fileKey, v, r, aes = true))
+          }
+        }
+      } else {
+        // Algorithm 2 (R2–R4): MD5 over padded password, /O, /P and
+        // the file /ID; R3+ iterates 50×
+        val oBytes = str("O")
+        if (oBytes.length < 32) None
+        else {
+          val p = num("P", -1)
+          val pLe = Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+            ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+          val n = if (r == 2) 5 else math.max(5, math.min(16, num("Length", 40) / 8))
+          // booleans parse as POther, so /EncryptMetadata false is
+          // detected on the raw dict source (writers emit it literally)
+          val meta = if (r >= 4 && o.dictSrc.contains("/EncryptMetadata false"))
+            Array[Byte](-1, -1, -1, -1) else Array.emptyByteArray
+          var h = md5(PwPad, oBytes.take(32), pLe, fileId(s), meta)
+          if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(n))
+          Some(Crypt(h.take(n), v, r, aes = cfm.contains("AESV2")))
+        }
+      }
+    }
+  } catch { case NonFatal(_) => None }
+
+  /** First element of the trailer /ID array, by raw scan (token
+    * `/ID`, then `[ <string> … ]`). Empty when absent — key
+    * derivation proceeds with no ID contribution, matching writers
+    * that omit it. */
+  private def fileId(s: String): Array[Byte] = {
+    var at = s.indexOf("/ID")
+    while (at >= 0) {
+      var i = at + 3
+      while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      if (i < s.length && s.charAt(i) == '[') {
+        i += 1
+        while (i < s.length && s.charAt(i).isWhitespace) i += 1
+        if (i < s.length && (s.charAt(i) == '<' || s.charAt(i) == '(')) {
+          val (str, _) =
+            if (s.charAt(i) == '<') hexString(s, i) else literalString(s, i)
+          return str.getBytes(Latin1)
+        }
+      }
+      at = s.indexOf("/ID", at + 3)
+    }
+    Array.emptyByteArray
+  }
+
+  /** Decrypt every object's stream payload in place when the file
+    * carries a supported encryption dictionary. Cross-reference
+    * streams are exempt by spec (they must be readable before keys
+    * exist); so is the encryption dictionary itself. Runs BEFORE
+    * ObjStm expansion — contained objects are covered by their
+    * container's encryption, never re-encrypted individually. */
+  private def decryptObjects(objs: Vector[PdfObj], s: String): Vector[PdfObj] =
+    findCrypt(objs, s) match {
+      case None => objs
+      case Some(crypt) => objs.map { o =>
+        if (o.stream.isEmpty || o.dict.v.get("Type").contains(PName("XRef"))) o
+        else try o.copy(stream = o.stream.map(crypt.decryptStream(o.num, o.gen, _)))
+        catch { case NonFatal(_) => o }
+      }
+    }
 
   /** Expand /Type /ObjStm compressed object streams (PDF 1.5+) into
     * their contained objects — the container format modern writers put
@@ -638,10 +869,11 @@ object PdfText {
     // Latin-1 maps bytes 1:1 to chars, so offsets in this string are
     // byte offsets — binary payload bytes survive round-tripping
     val s = new String(bytes, Latin1)
-    // PDF 1.5+ stores page/font dicts inside /Type /ObjStm compressed
-    // object streams: expand them in place so the page-tree scan and
-    // the later-wins map see them like top-level objects
-    val objs = expandObjStm(parseObjects(s))
+    // decrypt first (stream payloads only — the standard security
+    // handler with an empty user password), then expand ObjStm
+    // containers so the page-tree scan and the later-wins map see
+    // their contents like top-level objects
+    val objs = expandObjStm(decryptObjects(parseObjects(s), s))
     val byNum = objs.groupBy(_.num).map { case (k, v) => k -> v.last } // later wins (incremental update)
     val out = new StringBuilder
 
