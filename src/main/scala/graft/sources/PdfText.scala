@@ -255,11 +255,28 @@ object PdfText {
           var dataStart = sAt + "stream".length
           if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
           if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-          val end = s.indexOf("endstream", dataStart)
+          // Prefer the dict's INLINE /Length for the payload extent —
+          // the spec rule. A BINARY payload (ciphertext, images) can
+          // contain `endstream` bytes or end in 0x0D/0x0A, and the
+          // scan heuristic below would truncate it (measured: ~1/256
+          // of AES streams lost their last byte to the \r strip). The
+          // declared extent is trusted only when a real endstream
+          // token sits just past it; indirect /Length refs and lying
+          // lengths fall back to the scan.
+          val lenSpec = inlineLength(s.substring(bodyStart, sAt))
+          val specEnd =
+            if (lenSpec > 0 && dataStart + lenSpec <= s.length) {
+              val tail = s.indexOf("endstream", dataStart + lenSpec)
+              if (tail >= 0 && tail - (dataStart + lenSpec) <= 2) tail else -1
+            } else -1
+          val end = if (specEnd >= 0) specEnd else s.indexOf("endstream", dataStart)
           if (end > dataStart) {
             var dataEnd = end
-            if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\n') dataEnd -= 1
-            if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+            if (specEnd >= 0) dataEnd = dataStart + lenSpec
+            else {
+              if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+              if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+            }
             out += PdfObj(num, s.substring(bodyStart, sAt),
               Some(s.substring(dataStart, dataEnd).getBytes(Latin1)), gen)
             lastEnd = math.max(lastEnd, math.max(extent, end + 9))
@@ -275,6 +292,39 @@ object PdfText {
       k += 1
     }
     out.result()
+  }
+
+  /** The dict's /Length when it is an inline non-negative integer;
+    * -1 when absent or an indirect `N G R` reference (chasing one
+    * during the raw object scan would need the very object table the
+    * scan is building). */
+  private def inlineLength(dict: String): Int = {
+    def delim(c: Char) = c.isWhitespace || "()<>[]{}/%".indexOf(c) >= 0
+    var at = dict.indexOf("/Length")
+    while (at >= 0) {
+      val after = at + 7
+      if (after >= dict.length || delim(dict.charAt(after))) {
+        var i = after
+        while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+        val d0 = i
+        while (i < dict.length && dict.charAt(i).isDigit) i += 1
+        if (i == d0) return -1
+        val v = try dict.substring(d0, i).toInt
+          catch { case _: NumberFormatException => return -1 }
+        var j = i // indirect-ref lookahead: `<int> <int> R`
+        while (j < dict.length && dict.charAt(j).isWhitespace) j += 1
+        val g0 = j
+        while (j < dict.length && dict.charAt(j).isDigit) j += 1
+        if (j > g0) {
+          var k = j
+          while (k < dict.length && dict.charAt(k).isWhitespace) k += 1
+          if (k < dict.length && dict.charAt(k) == 'R') return -1
+        }
+        return v
+      }
+      at = dict.indexOf("/Length", at + 7)
+    }
+    -1
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {

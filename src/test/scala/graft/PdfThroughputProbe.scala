@@ -48,9 +48,71 @@ object PdfThroughputProbe {
     out.toByteArray
   }
 
+  /** Fixed-key encryption setup for the throughput corpora: every doc
+    * shares one /O, /P, /ID (and therefore one file key) — the cost
+    * being priced is the per-stream cipher pass, not key derivation
+    * (which runs once per document either way and is two MD5 chains). */
+  private[graft] final case class EncSetup(fileKey: Array[Byte], aes: Boolean,
+      dict: String, id0Hex: String)
+
+  private def md5(bs: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    bs.foreach(d.update); d.digest()
+  }
+
+  private val pwPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private[graft] def encSetup(aes: Boolean): EncSetup = {
+    import graft.sources.PdfText.rc4
+    val id0 = Array.tabulate[Byte](16)(i => (i * 11 + 5).toByte)
+    val hexId = id0.map(b => f"${b & 0xff}%02X").mkString
+    var h = md5(("owner-thru".getBytes(latin1) ++ pwPad).take(32))
+    for (_ <- 0 until 50) h = md5(h)
+    var o = rc4(h.take(16), pwPad)
+    for (i <- 1 to 19) o = rc4(h.take(16).map(b => (b ^ i).toByte), o)
+    val p = -44
+    val pLe = Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+    var fk = md5(pwPad, o, pLe, id0)
+    for (_ <- 0 until 50) fk = md5(fk.take(16))
+    val fileKey = fk.take(16)
+    var u = rc4(fileKey, md5(pwPad, id0))
+    for (i <- 1 to 19) u = rc4(fileKey.map(b => (b ^ i).toByte), u)
+    val hex = (bs: Array[Byte]) => bs.map(b => f"${b & 0xff}%02X").mkString
+    val dict =
+      if (aes) s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $p" +
+        s" /O <${hex(o)}> /U <${hex(u ++ Array.fill[Byte](16)(0x5a))}>" +
+        " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF >>"
+      else s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $p" +
+        s" /O <${hex(o)}> /U <${hex(u ++ Array.fill[Byte](16)(0x5a))}> >>"
+    EncSetup(fileKey, aes, dict, hexId)
+  }
+
+  private def encryptPayload(e: EncSetup, objNum: Int, payload: Array[Byte]): Array[Byte] = {
+    val salt = if (e.aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray
+    val key = md5(e.fileKey, Array[Byte]((objNum & 0xff).toByte,
+      ((objNum >> 8) & 0xff).toByte, ((objNum >> 16) & 0xff).toByte, 0, 0), salt).take(16)
+    if (!e.aes) graft.sources.PdfText.rc4(key, payload)
+    else {
+      // deterministic per-object IV: throughput, not confidentiality
+      val iv = md5(Array[Byte](objNum.toByte), e.fileKey).take(16)
+      val pad = 16 - payload.length % 16
+      val padded = payload ++ Array.fill[Byte](pad)(pad.toByte)
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(padded)
+    }
+  }
+
   /** One valid PDF: `pages` pages, each its own Flate content stream
     * of `parasPerPage` paragraphs shown line-by-line. */
-  private[graft] def buildPdf(doc: Long, pages: Int, parasPerPage: Int): Array[Byte] = {
+  private[graft] def buildPdf(doc: Long, pages: Int, parasPerPage: Int,
+      enc: Option[EncSetup] = None): Array[Byte] = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
     val contentObjs = (0 until pages).map { pg =>
       val body = new StringBuilder("BT\n/F1 10 Tf\n72 720 Td\n")
@@ -73,12 +135,15 @@ object PdfThroughputProbe {
         s"/Resources << /Font << /F1 ${3 + 2 * nPages} 0 R >> >> " +
         s"/Contents ${3 + nPages + i} 0 R >>").getBytes(latin1)
     }
-    contentObjs.foreach { payload =>
+    contentObjs.zipWithIndex.foreach { case (clear, i) =>
+      val objNum = 3 + nPages + i
+      val payload = enc.fold(clear)(e => encryptPayload(e, objNum, clear))
       objs += (s"<< /Length ${payload.length} /Filter /FlateDecode >>\nstream\n"
         .getBytes(latin1) ++ payload ++ "\nendstream".getBytes(latin1))
     }
     objs += ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
       "/Encoding /WinAnsiEncoding >>").getBytes(latin1)
+    enc.foreach(e => objs += e.dict.getBytes(latin1))
     val bodies = objs.result()
     val out = new java.io.ByteArrayOutputStream()
     out.write("%PDF-1.4\n".getBytes(latin1))
@@ -90,7 +155,9 @@ object PdfThroughputProbe {
     val xrefAt = out.size()
     out.write(s"xref\n0 ${bodies.size + 1}\n0000000000 65535 f \n".getBytes(latin1))
     offsets.foreach(o => out.write(f"$o%010d 00000 n \n".getBytes(latin1)))
-    out.write((s"trailer\n<< /Size ${bodies.size + 1} /Root 1 0 R >>\n" +
+    val trailerExtra = enc.fold("")(e =>
+      s" /Encrypt ${bodies.size} 0 R /ID [<${e.id0Hex}> <${e.id0Hex}>]")
+    out.write((s"trailer\n<< /Size ${bodies.size + 1} /Root 1 0 R$trailerExtra >>\n" +
       s"startxref\n$xrefAt\n%%EOF\n").getBytes(latin1))
     out.toByteArray
   }
@@ -122,6 +189,26 @@ object PdfThroughputProbe {
     val decoded = timed("decode") {
       val d = graft.sources.PdfText.utlToText(spark, pdfs).persist()
       d.count(); d
+    }
+    // the same corpus under the standard security handler: what the
+    // cipher pass adds on top of parse+inflate+scan (RC4 = V2/R3,
+    // AES-128-CBC = V4/AESV2). Correctness guard: identical text bytes.
+    Seq("rc4" -> false, "aes128" -> true).foreach { case (label, aes) =>
+      val setup = encSetup(aes)
+      val encPdfs = spark.range(0, nDocs, 1, 32)
+        .as[Long].map(id => (id, buildPdf(id, pages, parasPerPage, Some(setup))))
+        .toDF("doc_id", "payload").persist()
+      encPdfs.count()
+      graft.sources.PdfText.utlToText(spark, encPdfs.limit(200)).count() // warm cipher path
+      val decEnc = timed(s"decode-$label") {
+        val d = graft.sources.PdfText.utlToText(spark, encPdfs).persist()
+        d.count(); d
+      }
+      val encTextBytes = decEnc.agg(sum(length(col("text")))).head().getLong(0)
+      val plainTextBytes = decoded.agg(sum(length(col("text")))).head().getLong(0)
+      require(encTextBytes == plainTextBytes,
+        s"$label decode must recover identical text ($encTextBytes vs $plainTextBytes)")
+      decEnc.unpersist(); encPdfs.unpersist()
     }
     val textBytes = decoded.agg(sum(length(col("text")))).head().getLong(0)
     println(f"PDFTHRU textBytes=$textBytes (${textBytes * 100.0 / totalBytes}%.1f%% of pdf bytes)")
