@@ -609,10 +609,33 @@ object PdfText {
     * xref-stream dict) bytes — the one value the extractor needs that
     * does not live in an object. */
   private def findCrypt(objs: Vector[PdfObj], s: String): Option[Crypt] = try {
-    val encObj = objs.find { o =>
-      val d = o.dict.v
-      d.get("Filter").contains(PName("Standard")) &&
-        d.contains("O") && d.contains("U") && d.contains("R")
+    // resolve via the trailer's (or xref-stream dict's) /Encrypt N G R
+    // reference — LAST occurrence wins (incremental updates); only if
+    // no reference parses anywhere, fall back to duck-typing the
+    // handler dict (damaged trailers), so a random object carrying
+    // O/U/R keys cannot switch decryption on by itself
+    val refPat = java.util.regex.Pattern.compile("/Encrypt\\s+(\\d+)\\s+\\d+\\s+R")
+    val m = refPat.matcher(s)
+    var sawRef = false
+    var byRef: Option[PdfObj] = None
+    while (m.find()) {
+      sawRef = true
+      val n = try m.group(1).toInt catch { case _: NumberFormatException => -1 }
+      // keep the last ref that RESOLVES to a Standard handler — a
+      // stray byte-level match inside a binary payload neither
+      // selects a bogus dict nor shadows the real trailer ref
+      objs.filter(_.num == n).lastOption
+        .filter(_.dict.v.get("Filter").contains(PName("Standard")))
+        .foreach(o => byRef = Some(o))
+    }
+    val encObj = byRef.orElse {
+      if (sawRef) None // refs exist but none resolves to a Standard
+      // handler: a non-standard security handler — unsupported, don't guess
+      else objs.find { o =>
+        val d = o.dict.v
+        d.get("Filter").contains(PName("Standard")) &&
+          d.contains("O") && d.contains("U") && d.contains("R")
+      }
     }
     encObj.flatMap { o =>
       val d = o.dict.v

@@ -33,6 +33,11 @@ object PipelineDecadeProbe {
           println(f"[pd] dir=$dir stage=$name rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
         }
         t("minhash_pairs") { graft.operators.Dedup.minhashLsh(spark, dir).count() }
+        // at the 100x corpus the pair graph (27.3M) exceeds
+        // DriverPairLimit, so this times the DISTRIBUTED label
+        // propagation path end to end (incremental over the cached
+        // pair table from the stage above)
+        t("components") { graft.operators.Dedup.components(spark, dir).count() }
         t("quality") { graft.operators.TextAnalysis.quality(spark, dir).count() }
         t("chunks") { graft.operators.DocPipeline.chunks(spark, dir).count() }
         t("chunk_weights") { graft.operators.DocPipeline.chunkWeights(spark, dir).count() }
