@@ -27,10 +27,12 @@ import scala.util.control.NonFatal
   *    extractor falls back to scanning streams whose dictionaries are
   *    NOT images / font files and whose /Filter is Flate or absent;
   *  - streams stored raw, /FlateDecode-compressed (java.util.zip
-  *    .Inflater — Flate is THE PDF stream codec) or /LZWDecode
+  *    .Inflater — Flate is THE PDF stream codec), /LZWDecode
   *    (the 9→12-bit variable-width TIFF coding, decoded natively),
-  *    both honouring /DecodeParms PNG row predictors and TIFF
-  *    horizontal differencing;
+  *    /ASCIIHexDecode, /ASCII85Decode and /RunLengthDecode, in any
+  *    chained order (`[/ASCII85Decode /FlateDecode]` etc.), with
+  *    /DecodeParms resolved PER FILTER (PNG row predictors and TIFF
+  *    horizontal differencing);
   *  - PDF 1.5+ compressed object streams (/Type /ObjStm): contained
   *    page-tree and font dictionaries are expanded in place, so
   *    modern writers' files keep page order and font maps instead of
@@ -349,13 +351,30 @@ object PdfText {
     * Flate and LZW honour /DecodeParms predictors (PNG row filters
     * and TIFF horizontal differencing) — the standard companions of
     * compressed object/xref streams in PDF 1.5+ writers. */
-  private def decodedStream(o: PdfObj): Option[Array[Byte]] = o.stream.flatMap { data =>
-    filterNames(o.dict) match {
-      case Nil => Some(data)
-      case "FlateDecode" :: Nil => Some(unpredict(inflate(data), decodeParms(o.dict)))
-      case "LZWDecode" :: Nil => Some(unpredict(lzwDecode(data), decodeParms(o.dict)))
-      case _ => None
+  /** The filters this extractor can decode (a chain applies
+    * left-to-right per spec — e.g. `[/ASCII85Decode /FlateDecode]`
+    * un-ASCIIs first, then inflates). */
+  private[graft] def decodableFilters(names: List[String]): Boolean =
+    names.forall {
+      case "FlateDecode" | "LZWDecode" | "ASCIIHexDecode" |
+           "ASCII85Decode" | "RunLengthDecode" => true
+      case _ => false
     }
+
+  private def decodedStream(o: PdfObj): Option[Array[Byte]] = o.stream.flatMap { data =>
+    val names = filterNames(o.dict)
+    if (!decodableFilters(names)) None
+    else Some(names.zip(decodeParmsList(o.dict, names.length))
+      .foldLeft(data) { case (cur, (f, p)) =>
+        f match {
+          case "FlateDecode" => unpredict(inflate(cur), p)
+          case "LZWDecode" => unpredict(lzwDecode(cur), p)
+          case "ASCIIHexDecode" => asciiHexDecode(cur)
+          case "ASCII85Decode" => ascii85Decode(cur)
+          case "RunLengthDecode" => runLengthDecode(cur)
+          case _ => cur // unreachable: decodableFilters gated above
+        }
+      })
   }
 
   private def filterNames(d: PDict): List[String] = d.v.get("Filter") match {
@@ -364,22 +383,109 @@ object PdfText {
     case _ => Nil
   }
 
-  /** /DecodeParms (or its /DP abbreviation) resolved to the predictor
-    * tuple; defaults per the PDF spec (Predictor 1 = none). A
-    * parms ARRAY parallel to a one-element /Filter array takes its
-    * first dict. Indirect-ref parms are not chased (vanishingly rare
-    * for the filters we decode) — the default tuple applies. */
+  /** /DecodeParms (or its /DP abbreviation) resolved to one predictor
+    * tuple PER FILTER in the chain; defaults per the PDF spec
+    * (Predictor 1 = none). A parms ARRAY is parallel to the filter
+    * array (null entries = defaults). Indirect-ref parms are not
+    * chased (vanishingly rare for the filters we decode) — the
+    * default tuple applies. */
   private final case class Parms(predictor: Int, columns: Int, colors: Int, bpc: Int)
-  private def decodeParms(d: PDict): Parms = {
-    val pd = d.v.get("DecodeParms").orElse(d.v.get("DP")) match {
-      case Some(p: PDict) => Some(p)
-      case Some(PArr(xs)) => xs.collectFirst { case p: PDict => p }
-      case _ => None
-    }
+  private val NoParms = Parms(1, 1, 1, 8)
+  private def parmsOf(pd: Option[PDict]): Parms = {
     def num(k: String, dflt: Int): Int =
       pd.flatMap(_.v.get(k)).collect { case PNum(v) => v.toInt }.getOrElse(dflt)
     Parms(num("Predictor", 1), num("Columns", 1), num("Colors", 1),
       num("BitsPerComponent", 8))
+  }
+  private def decodeParmsList(d: PDict, n: Int): List[Parms] =
+    d.v.get("DecodeParms").orElse(d.v.get("DP")) match {
+      case Some(p: PDict) => parmsOf(Some(p)) :: List.fill(math.max(0, n - 1))(NoParms)
+      case Some(PArr(xs)) =>
+        (0 until n).map(i => parmsOf(xs.lift(i).collect { case p: PDict => p })).toList
+      case _ => List.fill(n)(NoParms)
+    }
+
+  /** ASCIIHexDecode: hex pairs, whitespace ignored, `>` terminates,
+    * odd trailing digit pads with 0 (spec rule). Junk bytes are
+    * skipped rather than thrown on. */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else {
+        val v = Character.digit(c, 16)
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { out.write((hi << 4) | v); hi = -1 }
+        }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble 0
+    out.toByteArray
+  }
+
+  /** ASCII85Decode: 5 chars (! to u) → 4 bytes base-85, `z` = four
+    * zero bytes, whitespace ignored, `~>` terminates; a truncated
+    * final group of k chars yields k−1 bytes (spec rule). Corrupt
+    * groups contribute nothing rather than throwing. */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5)
+    val grp = new Array[Int](5)
+    var n = 0
+    def flush(k: Int): Unit = if (k >= 2) {
+      var v = 0L
+      var i = 0
+      while (i < 5) { v = v * 85 + (if (i < k) grp(i) else 84); i += 1 }
+      val bytes = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(bytes, 0, k - 1)
+    }
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'; n += 1
+        if (n == 5) { flush(5); n = 0 }
+      } // whitespace and junk: skipped
+      i += 1
+    }
+    flush(n)
+    out.toByteArray
+  }
+
+  /** RunLengthDecode: length byte L — L ≤ 127 copies the next L+1
+    * bytes literally, L ≥ 129 repeats the next byte 257−L times,
+    * 128 = EOD. Truncated input yields what decoded. */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val l = data(i) & 0xff
+      if (l == 128) done = true
+      else if (l <= 127) {
+        val take = math.min(l + 1, data.length - i - 1)
+        out.write(data, i + 1, take)
+        i += l + 1
+      } else {
+        if (i + 1 < data.length) {
+          val b = data(i + 1)
+          var k = 0
+          while (k < 257 - l) { out.write(b); k += 1 }
+        }
+        i += 1
+      }
+      i += 1
+    }
+    out.toByteArray
   }
 
   /** Undo a /Predictor transform on decompressed stream data: PNG row
@@ -986,10 +1092,7 @@ object PdfText {
         val isImage = d.v.get("Subtype").contains(PName("Image"))
         val isFont = d.v.keys.exists(_.startsWith("FontFile")) ||
           d.v.get("Type").contains(PName("Font"))
-        val codecOk = filterNames(d) match {
-          case Nil | ("FlateDecode" :: Nil) | ("LZWDecode" :: Nil) => true
-          case _ => false
-        }
+        val codecOk = decodableFilters(filterNames(d))
         if (o.stream.isDefined && !isImage && !isFont && codecOk)
           scanGuarded(o, Map.empty)
       }
