@@ -93,7 +93,7 @@ object PdfText {
   private case object POther extends PVal
 
   private final case class PdfObj(num: Int, dictSrc: String, stream: Option[Array[Byte]],
-      gen: Int = 0) {
+      gen: Int = 0, dataStart: Int = -1) {
     lazy val dict: PDict =
       try new DictParser(dictSrc).parseTopDict()
       catch { case NonFatal(_) => PDict(Map.empty) }
@@ -280,7 +280,7 @@ object PdfText {
               if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
             }
             out += PdfObj(num, s.substring(bodyStart, sAt),
-              Some(s.substring(dataStart, dataEnd).getBytes(Latin1)), gen)
+              Some(s.substring(dataStart, dataEnd).getBytes(Latin1)), gen, dataStart)
             lastEnd = math.max(lastEnd, math.max(extent, end + 9))
           } else {
             out += PdfObj(num, s.substring(bodyStart, sAt), None, gen)
@@ -294,6 +294,34 @@ object PdfText {
       k += 1
     }
     out.result()
+  }
+
+  /** Re-slice stream payloads whose /Length is an INDIRECT reference
+    * (`/Length 7 0 R` — the common legacy layout): the scan-based
+    * extent from [[parseObjects]] is replaced by the resolved length
+    * once the object table exists, under the same trust rule as the
+    * inline case (a real `endstream` token must sit just past the
+    * declared end). Closes the binary-payload truncation class for
+    * indirect lengths the way inlineLength closes it for inline ones. */
+  private def resolveIndirectExtents(objs: Vector[PdfObj], s: String): Vector[PdfObj] = {
+    lazy val byNum = objs.groupBy(_.num).map { case (k, v) => k -> v.last }
+    objs.map { o =>
+      val needs = o.stream.isDefined && o.dataStart >= 0 &&
+        (o.dict.v.get("Length") match { case Some(PRef(_)) => true; case _ => false })
+      if (!needs) o
+      else {
+        val resolved = for {
+          PRef(n) <- o.dict.v.get("Length")
+          target <- byNum.get(n)
+          len <- "\\d+".r.findFirstIn(target.dictSrc)
+            .flatMap(t => try Some(t.toInt) catch { case _: NumberFormatException => None })
+          if len > 0 && o.dataStart + len <= s.length
+          tail = s.indexOf("endstream", o.dataStart + len)
+          if tail >= 0 && tail - (o.dataStart + len) <= 2
+        } yield s.substring(o.dataStart, o.dataStart + len).getBytes(Latin1)
+        resolved.fold(o)(bytes => o.copy(stream = Some(bytes)))
+      }
+    }
   }
 
   /** The dict's /Length when it is an inline non-negative integer;
@@ -1052,7 +1080,8 @@ object PdfText {
     // handler with an empty user password), then expand ObjStm
     // containers so the page-tree scan and the later-wins map see
     // their contents like top-level objects
-    val objs = expandObjStm(decryptObjects(parseObjects(s), s))
+    val objs = expandObjStm(decryptObjects(
+      resolveIndirectExtents(parseObjects(s), s), s))
     val byNum = objs.groupBy(_.num).map { case (k, v) => k -> v.last } // later wins (incremental update)
     val out = new StringBuilder
 
