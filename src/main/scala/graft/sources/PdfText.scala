@@ -93,7 +93,7 @@ object PdfText {
   private case object POther extends PVal
 
   private final case class PdfObj(num: Int, dictSrc: String, stream: Option[Array[Byte]],
-      gen: Int = 0, dataStart: Int = -1) {
+      gen: Int = 0, dataStart: Int = -1, headerStart: Int = -1) {
     lazy val dict: PDict =
       try new DictParser(dictSrc).parseTopDict()
       catch { case NonFatal(_) => PDict(Map.empty) }
@@ -236,9 +236,15 @@ object PdfText {
         // past that object's header). A phantom header inside THIS
         // object's stream payload may sit before the cap — harmless:
         // the `stream` keyword precedes its payload, and a verified
-        // endstream extent still overrides the cap for lastEnd.
+        // endstream extent still overrides the cap for lastEnd. A
+        // header-lookalike inside a dict's LITERAL/HEX STRING must not
+        // cap either ("/Title (see 12 0 obj)"): it would cut the dict
+        // mid-string AND un-suppress the lookalike as a phantom that
+        // shadows the real object via later-wins — so candidates that
+        // sit inside a string of the dict region are skipped.
         var kn = k + 1
-        while (kn < raw.length && raw(kn)._1 < bodyStart) kn += 1
+        while (kn < raw.length && (raw(kn)._1 < bodyStart ||
+          insideStringAt(s, bodyStart, raw(kn)._1))) kn += 1
         val cap = if (kn < raw.length) raw(kn)._1 else s.length
         val endObjAt = s.indexOf("endobj", bodyStart)
         val hasEndObj = endObjAt >= 0 && endObjAt <= cap
@@ -280,20 +286,60 @@ object PdfText {
               if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
             }
             out += PdfObj(num, s.substring(bodyStart, sAt),
-              Some(s.substring(dataStart, dataEnd).getBytes(Latin1)), gen, dataStart)
+              Some(s.substring(dataStart, dataEnd).getBytes(Latin1)), gen, dataStart,
+              headerStart = mStart)
             lastEnd = math.max(lastEnd, math.max(extent, end + 9))
           } else {
-            out += PdfObj(num, s.substring(bodyStart, sAt), None, gen)
+            out += PdfObj(num, s.substring(bodyStart, sAt), None, gen,
+              headerStart = mStart)
             lastEnd = math.max(lastEnd, extent)
           }
         } else {
-          out += PdfObj(num, s.substring(bodyStart, bodyEnd), None, gen)
+          out += PdfObj(num, s.substring(bodyStart, bodyEnd), None, gen,
+            headerStart = mStart)
           lastEnd = math.max(lastEnd, extent)
         }
       }
       k += 1
     }
     out.result()
+  }
+
+  /** Whether `pos` lies inside a literal `(…)` or hex `<…>` string of
+    * the slice starting at `from`, for the DICT region only: the scan
+    * stops (returning false) at a token-boundary `stream` keyword,
+    * since payload bytes are binary, not string syntax. Literal
+    * strings nest and honour backslash escapes; `<<`/`>>` dict
+    * delimiters are not hex strings. */
+  private def insideStringAt(s: String, from: Int, pos: Int): Boolean = {
+    def delim(c: Char) = c.isWhitespace || "()<>[]{}/%".indexOf(c) >= 0
+    var i = from
+    var depth = 0
+    var hex = false
+    while (i < pos) {
+      val c = s.charAt(i)
+      if (depth > 0) {
+        if (c == '\\') i += 1
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+      } else if (hex) {
+        if (c == '>') hex = false
+      } else {
+        if (c == '(') depth = 1
+        else if (c == '<') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '<') i += 1
+          else hex = true
+        } else if (c == '>') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '>') i += 1
+        } else if (c == 's' && s.regionMatches(i, "stream", 0, 6) &&
+          (i == 0 || delim(s.charAt(i - 1))) &&
+          (i + 6 >= s.length || delim(s.charAt(i + 6)) ||
+            s.charAt(i + 6) == '\r' || s.charAt(i + 6) == '\n'))
+          return false // payload region: binary bytes are not strings
+      }
+      i += 1
+    }
+    depth > 0 || hex
   }
 
   /** Re-slice stream payloads whose /Length is an INDIRECT reference
@@ -305,7 +351,8 @@ object PdfText {
     * indirect lengths the way inlineLength closes it for inline ones. */
   private def resolveIndirectExtents(objs: Vector[PdfObj], s: String): Vector[PdfObj] = {
     lazy val byNum = objs.groupBy(_.num).map { case (k, v) => k -> v.last }
-    objs.map { o =>
+    val grown = Vector.newBuilder[(Int, Int)] // re-sliced payload intervals
+    val fixed = objs.map { o =>
       val needs = o.stream.isDefined && o.dataStart >= 0 &&
         (o.dict.v.get("Length") match { case Some(PRef(_)) => true; case _ => false })
       if (!needs) o
@@ -318,10 +365,23 @@ object PdfText {
           if len > 0 && o.dataStart + len <= s.length
           tail = s.indexOf("endstream", o.dataStart + len)
           if tail >= 0 && tail - (o.dataStart + len) <= 2
-        } yield s.substring(o.dataStart, o.dataStart + len).getBytes(Latin1)
+        } yield {
+          grown += ((o.dataStart, o.dataStart + len))
+          s.substring(o.dataStart, o.dataStart + len).getBytes(Latin1)
+        }
         resolved.fold(o)(bytes => o.copy(stream = Some(bytes)))
       }
     }
+    // a payload the scan TRUNCATED (false endstream inside the binary)
+    // may have yielded phantom objects from its tail bytes — they were
+    // past the truncated lastEnd, so parseObjects accepted them. Now
+    // that the true extent is known, drop anything headquartered
+    // inside it, or a phantom could shadow a real object via
+    // later-wins (the review's indirect-length gap).
+    val intervals = grown.result()
+    if (intervals.isEmpty) fixed
+    else fixed.filterNot(o => o.headerStart >= 0 &&
+      intervals.exists { case (a, b) => o.headerStart > a && o.headerStart < b })
   }
 
   /** The dict's /Length when it is an inline non-negative integer;
@@ -374,11 +434,6 @@ object PdfText {
     } finally inf.end()
   }
 
-  /** Stream payload decoded through its declared filter chain; None if
-    * the filter is one we cannot decode (DCT, JPX, CCITT, …).
-    * Flate and LZW honour /DecodeParms predictors (PNG row filters
-    * and TIFF horizontal differencing) — the standard companions of
-    * compressed object/xref streams in PDF 1.5+ writers. */
   /** The filters this extractor can decode (a chain applies
     * left-to-right per spec — e.g. `[/ASCII85Decode /FlateDecode]`
     * un-ASCIIs first, then inflates). */
@@ -389,6 +444,12 @@ object PdfText {
       case _ => false
     }
 
+  /** Stream payload decoded through its declared filter chain; None
+    * if any filter is one we cannot decode (DCT, JPX, CCITT, …).
+    * Flate and LZW honour their position's /DecodeParms predictors
+    * (PNG row filters and TIFF horizontal differencing) — the
+    * standard companions of compressed object/xref streams in
+    * PDF 1.5+ writers. */
   private def decodedStream(o: PdfObj): Option[Array[Byte]] = o.stream.flatMap { data =>
     val names = filterNames(o.dict)
     if (!decodableFilters(names)) None
@@ -789,7 +850,12 @@ object PdfText {
           stdCf <- cf.v.get(stmF).collect { case c: PDict => c }
           m <- stdCf.v.get("CFM").collect { case PName(n) => n }
         } yield m
-      if (v >= 4 && cfm.isEmpty) None // Identity or unresolvable: no decryption
+      // V4 CFM table: /V2 = RC4, /AESV2 = AES-128; /None means the
+      // filter does NOT decrypt (streams in the clear — same outcome
+      // as /StmF Identity), and an unknown CFM is unsupported: don't
+      // guess RC4 and garble plaintext a real viewer reads fine
+      if (v == 4 && !(cfm.contains("V2") || cfm.contains("AESV2"))) None
+      else if (v >= 4 && cfm.isEmpty) None // Identity or unresolvable: no decryption
       else if (v >= 5) {
         // R5/R6 (AES-256): the user-password route — validation salt
         // U[32..40), key salt U[40..48); file key = AES-256-CBC(UE)
