@@ -1016,6 +1016,97 @@ object PdfText {
     }
   }
 
+  /** Core of the public Adobe Glyph List: the names simple-font
+    * /Differences arrays actually use — ASCII, digits, typographic
+    * punctuation, the f-ligatures and the Latin-1 supplement. Names
+    * outside the table still resolve via the AGL `uniXXXX`/`uXXXX[XX]`
+    * conventions in [[glyphToUnicode]]. */
+  private val GlyphNames: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    Seq(32 -> "space", 33 -> "exclam", 34 -> "quotedbl", 35 -> "numbersign",
+      36 -> "dollar", 37 -> "percent", 38 -> "ampersand", 39 -> "quotesingle",
+      40 -> "parenleft", 41 -> "parenright", 42 -> "asterisk", 43 -> "plus",
+      44 -> "comma", 45 -> "hyphen", 46 -> "period", 47 -> "slash",
+      58 -> "colon", 59 -> "semicolon", 60 -> "less", 61 -> "equal",
+      62 -> "greater", 63 -> "question", 64 -> "at",
+      91 -> "bracketleft", 92 -> "backslash", 93 -> "bracketright",
+      94 -> "asciicircum", 95 -> "underscore", 96 -> "grave",
+      123 -> "braceleft", 124 -> "bar", 125 -> "braceright",
+      126 -> "asciitilde").foreach { case (c, n) => b += n -> c.toChar.toString }
+    Seq("zero", "one", "two", "three", "four", "five", "six", "seven",
+      "eight", "nine").zipWithIndex.foreach { case (n, i) => b += n -> ('0' + i).toChar.toString }
+    ('A' to 'Z').foreach(c => b += c.toString -> c.toString)
+    ('a' to 'z').foreach(c => b += c.toString -> c.toString)
+    Seq("quoteleft" -> '‘', "quoteright" -> '’',
+      "quotedblleft" -> '“', "quotedblright" -> '”',
+      "quotesinglbase" -> '‚', "quotedblbase" -> '„',
+      "endash" -> '–', "emdash" -> '—', "bullet" -> '•',
+      "ellipsis" -> '…', "dagger" -> '†', "daggerdbl" -> '‡',
+      "perthousand" -> '‰', "minus" -> '−', "fraction" -> '⁄',
+      "guilsinglleft" -> '‹', "guilsinglright" -> '›',
+      "trademark" -> '™', "Euro" -> '€', "florin" -> 'ƒ',
+      "circumflex" -> 'ˆ', "tilde" -> '˜', "breve" -> '˘',
+      "dotaccent" -> '˙', "ring" -> '˚', "ogonek" -> '˛',
+      "hungarumlaut" -> '˝', "caron" -> 'ˇ',
+      "fi" -> 'ﬁ', "fl" -> 'ﬂ',
+      "OE" -> 'Œ', "oe" -> 'œ', "Scaron" -> 'Š',
+      "scaron" -> 'š', "Ydieresis" -> 'Ÿ', "Zcaron" -> 'Ž',
+      "zcaron" -> 'ž', "dotlessi" -> 'ı', "Lslash" -> 'Ł',
+      "lslash" -> 'ł').foreach { case (n, c) => b += n -> c.toString }
+    // Latin-1 supplement 0xA0–0xFF under their AGL names
+    Seq(0xA1 -> "exclamdown", 0xA2 -> "cent", 0xA3 -> "sterling",
+      0xA4 -> "currency", 0xA5 -> "yen", 0xA6 -> "brokenbar",
+      0xA7 -> "section", 0xA8 -> "dieresis", 0xA9 -> "copyright",
+      0xAA -> "ordfeminine", 0xAB -> "guillemotleft", 0xAC -> "logicalnot",
+      0xAE -> "registered", 0xAF -> "macron", 0xB0 -> "degree",
+      0xB1 -> "plusminus", 0xB4 -> "acute", 0xB5 -> "mu",
+      0xB6 -> "paragraph", 0xB7 -> "periodcentered", 0xB8 -> "cedilla",
+      0xBA -> "ordmasculine", 0xBB -> "guillemotright",
+      0xBC -> "onequarter", 0xBD -> "onehalf", 0xBE -> "threequarters",
+      0xBF -> "questiondown", 0xC0 -> "Agrave", 0xC1 -> "Aacute",
+      0xC2 -> "Acircumflex", 0xC3 -> "Atilde", 0xC4 -> "Adieresis",
+      0xC5 -> "Aring", 0xC6 -> "AE", 0xC7 -> "Ccedilla", 0xC8 -> "Egrave",
+      0xC9 -> "Eacute", 0xCA -> "Ecircumflex", 0xCB -> "Edieresis",
+      0xCC -> "Igrave", 0xCD -> "Iacute", 0xCE -> "Icircumflex",
+      0xCF -> "Idieresis", 0xD0 -> "Eth", 0xD1 -> "Ntilde",
+      0xD2 -> "Ograve", 0xD3 -> "Oacute", 0xD4 -> "Ocircumflex",
+      0xD5 -> "Otilde", 0xD6 -> "Odieresis", 0xD7 -> "multiply",
+      0xD8 -> "Oslash", 0xD9 -> "Ugrave", 0xDA -> "Uacute",
+      0xDB -> "Ucircumflex", 0xDC -> "Udieresis", 0xDD -> "Yacute",
+      0xDE -> "Thorn", 0xDF -> "germandbls", 0xE0 -> "agrave",
+      0xE1 -> "aacute", 0xE2 -> "acircumflex", 0xE3 -> "atilde",
+      0xE4 -> "adieresis", 0xE5 -> "aring", 0xE6 -> "ae",
+      0xE7 -> "ccedilla", 0xE8 -> "egrave", 0xE9 -> "eacute",
+      0xEA -> "ecircumflex", 0xEB -> "edieresis", 0xEC -> "igrave",
+      0xED -> "iacute", 0xEE -> "icircumflex", 0xEF -> "idieresis",
+      0xF0 -> "eth", 0xF1 -> "ntilde", 0xF2 -> "ograve", 0xF3 -> "oacute",
+      0xF4 -> "ocircumflex", 0xF5 -> "otilde", 0xF6 -> "odieresis",
+      0xF7 -> "divide", 0xF8 -> "oslash", 0xF9 -> "ugrave",
+      0xFA -> "uacute", 0xFB -> "ucircumflex", 0xFC -> "udieresis",
+      0xFD -> "yacute", 0xFE -> "thorn", 0xFF -> "ydieresis")
+      .foreach { case (c, n) => b += n -> c.toChar.toString }
+    b.result()
+  }
+
+  /** A glyph name to its Unicode string: the AGL core table, then the
+    * AGL algorithmic conventions (`uniXXXX` hex UTF-16 units,
+    * `uXXXX`–`uXXXXXX` hex scalar). None = font-private name (gXX,
+    * subset tags) — the caller leaves the code on its base encoding. */
+  private[graft] def glyphToUnicode(name: String): Option[String] =
+    GlyphNames.get(name).orElse {
+      if (name.startsWith("uni") && name.length >= 7 &&
+        name.drop(3).take(4).forall(isHex))
+        Some(Integer.parseInt(name.substring(3, 7), 16).toChar.toString)
+      else if (name.startsWith("u") && name.length >= 5 && name.length <= 7 &&
+        name.drop(1).forall(isHex)) {
+        val cp = Integer.parseInt(name.drop(1), 16)
+        if (cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+          Some(new String(Character.toChars(cp)))
+        else None
+      }
+      else None
+    }
+
   /** Parse a ToUnicode CMap (the public bfchar/bfrange text format). */
   private[graft] def parseCMap(text: String): UniMap = {
     // code width from the first codespacerange source: hex digits / 2
@@ -1217,6 +1308,32 @@ object PdfText {
             data <- try decodedStream(obj) catch { case NonFatal(_) => None }
           } yield parseCMap(new String(data, Latin1))
           viaCMap.orElse {
+            // simple font with a custom /Encoding << /Differences >>:
+            // remapped codes decode through the glyph-name table
+            // (AGL core + uniXXXX conventions); unmapped codes keep
+            // the base-encoding Latin-1 passthrough via the UniMap
+            // fallback. Private names (gXX, subset tags) resolve to
+            // nothing and stay on the base encoding too — wrong only
+            // where a ToUnicode-less font was already unrecoverable.
+            val encDict = fontDict.v.get("Encoding") match {
+              case Some(d: PDict) => Some(d)
+              case Some(PRef(n)) => byNum.get(n).map(_.dict)
+              case _ => None
+            }
+            encDict.flatMap(_.v.get("Differences")).collect {
+              case PArr(xs) =>
+                var code = 0
+                val m = Map.newBuilder[Int, String]
+                xs.foreach {
+                  case PNum(v) => code = v.toInt
+                  case PName(n) =>
+                    glyphToUnicode(n).foreach(u => m += code -> u)
+                    code += 1
+                  case _ => ()
+                }
+                UniMap(1, m.result())
+            }.filter(_.map.nonEmpty)
+          }.orElse {
             // Identity-H/V Type0 WITHOUT a ToUnicode: the 2-byte codes
             // are font-internal glyph ids, not Unicode — unrecoverable
             // without the embedded font's own tables. Decode each CID
