@@ -1088,6 +1088,23 @@ object PdfText {
     b.result()
   }
 
+  /** Where /WinAnsiEncoding (CP1252 — the standard Windows-writer
+    * base encoding) differs from the Latin-1 passthrough: the
+    * 0x80–0x9F block, which Latin-1 maps to C1 controls but WinAnsi
+    * shows as smart quotes, dashes, the euro, ™ etc. All other
+    * WinAnsi codes equal Latin-1. (MacRomanEncoding, whose whole
+    * upper half differs, is deliberately left on the passthrough —
+    * it is rare in modern corpora and a partly-wrong table would be
+    * worse than visibly-wrong controls.) */
+  private val WinAnsiDelta: Map[Int, String] = Map(
+    0x80 -> "€", 0x82 -> "‚", 0x83 -> "ƒ", 0x84 -> "„",
+    0x85 -> "…", 0x86 -> "†", 0x87 -> "‡", 0x88 -> "ˆ",
+    0x89 -> "‰", 0x8A -> "Š", 0x8B -> "‹", 0x8C -> "Œ",
+    0x8E -> "Ž", 0x91 -> "‘", 0x92 -> "’", 0x93 -> "“",
+    0x94 -> "”", 0x95 -> "•", 0x96 -> "–", 0x97 -> "—",
+    0x98 -> "˜", 0x99 -> "™", 0x9A -> "š", 0x9B -> "›",
+    0x9C -> "œ", 0x9E -> "ž", 0x9F -> "Ÿ")
+
   /** A glyph name to its Unicode string: the AGL core table, then the
     * AGL algorithmic conventions (`uniXXXX` hex UTF-16 units,
     * `uXXXX`–`uXXXXXX` hex scalar). None = font-private name (gXX,
@@ -1320,7 +1337,13 @@ object PdfText {
               case Some(PRef(n)) => byNum.get(n).map(_.dict)
               case _ => None
             }
-            encDict.flatMap(_.v.get("Differences")).collect {
+            // base seed: WinAnsi's 0x80–0x9F delta when the font (or
+            // the encoding dict's /BaseEncoding) declares it —
+            // /Differences entries overlay the seed
+            val winAnsi = fontDict.v.get("Encoding").contains(PName("WinAnsiEncoding")) ||
+              encDict.exists(_.v.get("BaseEncoding").contains(PName("WinAnsiEncoding")))
+            val seed = if (winAnsi) WinAnsiDelta else Map.empty[Int, String]
+            val diffs = encDict.flatMap(_.v.get("Differences")).collect {
               case PArr(xs) =>
                 var code = 0
                 val m = Map.newBuilder[Int, String]
@@ -1331,8 +1354,10 @@ object PdfText {
                     code += 1
                   case _ => ()
                 }
-                UniMap(1, m.result())
-            }.filter(_.map.nonEmpty)
+                m.result()
+            }.getOrElse(Map.empty)
+            val merged = seed ++ diffs
+            if (merged.nonEmpty) Some(UniMap(1, merged)) else None
           }.orElse {
             // Identity-H/V Type0 WITHOUT a ToUnicode: the 2-byte codes
             // are font-internal glyph ids, not Unicode — unrecoverable
