@@ -431,7 +431,25 @@ object DocPipeline {
        |  FROM tok GROUP BY 1, 2, 3),
        |wnz AS (SELECT * FROM wt WHERE w <> 0)""".stripMargin
 
+  /** Extraction observability over the deterministic PDF corpus
+    * (VERDICT r13 item 1): synthesize one PDF per document whose
+    * status class cycles with doc_id (clear / decrypted_rc4 /
+    * decrypted_aes / locked / unsupported / malformed — see
+    * [[graft.sources.PdfGen]]), decode with the status channel, and
+    * aggregate per status: document count + recovered chars. At crawl
+    * scale this is the report a pipeline owner watches for invisible
+    * data loss — a locked or unsupported file is a counted row here,
+    * not a silent empty string. Narrow decode map → 6-group partial
+    * agg: no shuffle before the final tiny exchange. */
+  def extractReport(s: SparkSession, dir: String): DataFrame =
+    graft.sources.PdfText.utlToTextReport(s, graft.sources.PdfGen.pdfTable(s, dir))
+      .groupBy("extract_status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("extract_chars").as("total_chars"))
+      .orderBy("extract_status")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_extract_report" -> (extractReport _),
     "doc_chunk" -> (chunksOrdered _),
     "doc_chunk_chars" -> (chunksByChars _),
     "doc_chunk_sentence" -> (chunksBySentence _),
@@ -445,6 +463,23 @@ object DocPipeline {
     "vs_maxsim" -> (maxSim _))
 
   val oracleSql: Map[String, String] = Map(
+    // mirrors PdfGen's class cycle and sanitize: statuses are a pure
+    // function of doc_id % 6; recovered chars for the readable classes
+    // equal length(trim(sanitized text)) — extract() trims, and after
+    // the printable-ASCII projection the only trimmable chars are
+    // spaces, which both engines strip identically.
+    "doc_extract_report" ->
+      """WITH cls AS (
+        |  SELECT doc_id % 6 AS k,
+        |    length(trim(regexp_replace(text, '[^\x20-\x7e]', '?', 'g'))) AS chars
+        |  FROM documents)
+        |SELECT
+        |  CASE k WHEN 0 THEN 'clear' WHEN 1 THEN 'decrypted_rc4'
+        |         WHEN 2 THEN 'decrypted_aes' WHEN 3 THEN 'locked'
+        |         WHEN 4 THEN 'unsupported' ELSE 'malformed' END AS extract_status,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN k <= 2 THEN chars ELSE 0 END) AS BIGINT) AS total_chars
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     "doc_chunk" ->
       s"""$chunkCte
          |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,

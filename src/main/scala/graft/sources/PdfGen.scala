@@ -1,0 +1,266 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Deterministic PDF corpus generator for the `doc_extract_report`
+  * gate (VERDICT r13 item 1): turns each `documents` row into one
+  * synthetic PDF whose EXTRACTION STATUS is a pure function of
+  * `doc_id % 6`, so the DuckDB oracle can predict the per-status
+  * document counts and recovered-character sums from the text column
+  * alone. The same role Multimodal.mediaTable plays for the media
+  * ops — the container has no real crawl PDFs; the class mix is what
+  * matters:
+  *
+  *   doc_id % 6 == 0 → plain PDF                        → `clear`
+  *   doc_id % 6 == 1 → RC4 128-bit (V2/R3) owner-locked → `decrypted_rc4`
+  *   doc_id % 6 == 2 → AES-128 (V4 /AESV2) or AES-256
+  *                     (R6 /AESV3), alternating         → `decrypted_aes`
+  *   doc_id % 6 == 3 → real user password (bad /U),
+  *                     RC4 or R6 alternating            → `locked`
+  *   doc_id % 6 == 4 → non-Standard security handler    → `unsupported`
+  *   doc_id % 6 == 5 → not a PDF at all                 → `malformed`
+  *
+  * The readable classes carry [[sanitize]]d text (printable ASCII,
+  * non-printables → '?'), so recovered chars == length(trim(text))
+  * in both engines. The forward cipher side (Algorithms 2/3/5 and the
+  * R6 layout, public PDF spec) is implemented HERE, independently of
+  * PdfSpec's fixture encryptor, so the gate round-trips PdfGen
+  * (encrypt) against PdfText (decrypt) across two implementations.
+  *
+  * Everything is deterministic (SHA-256-derived salts/keys per
+  * doc_id) and executor-resident: [[pdfTable]] is a narrow
+  * per-partition map over documents, no shuffle, column-pruned to
+  * (doc_id, text).
+  */
+object PdfGen {
+
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  /** Number of status classes cycled by doc_id. */
+  val Classes = 6
+
+  /** The expected [[PdfText]] status for a doc_id's class. */
+  def statusOfClass(k: Int): String = k match {
+    case 0 => PdfText.StatusClear
+    case 1 => PdfText.StatusRc4
+    case 2 => PdfText.StatusAes
+    case 3 => PdfText.StatusLocked
+    case 4 => PdfText.StatusUnsupported
+    case _ => PdfText.StatusMalformed
+  }
+
+  /** Printable-ASCII projection: chars outside [0x20,0x7E] become '?'
+    * (the PDF literal-string payload stays byte-exact through the
+    * Latin-1 round trip and DuckDB mirrors it with one
+    * regexp_replace). On the driver corpora this is the identity —
+    * the documents text is already printable ASCII. */
+  def sanitize(text: String): String =
+    text.map(c => if (c >= ' ' && c <= '~') c else '?')
+
+  // -------------------------------------------------------------------
+  // Deterministic material: SHA-256 over a tag + doc_id.
+  // -------------------------------------------------------------------
+
+  private def sha(tag: String, docId: Long): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"graft-pdf-$tag:$docId".getBytes(Latin1))
+
+  private def md5(bs: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    bs.foreach(d.update); d.digest()
+  }
+
+  private def aesEnc(key: Array[Byte], iv: Array[Byte], plain: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(plain)
+  }
+
+  private def pkcs5(data: Array[Byte]): Array[Byte] = {
+    val pad = 16 - data.length % 16
+    data ++ Array.fill[Byte](pad)(pad.toByte)
+  }
+
+  private def hexOf(bs: Array[Byte]): String =
+    bs.map(b => f"${b & 0xff}%02X").mkString
+
+  /** The spec's 32-byte password pad (public constant, Algorithm 2). */
+  private val PwPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  // -------------------------------------------------------------------
+  // Assembly: a 4-object single-page PDF (catalog, pages, page,
+  // content stream), optionally + an encryption dict as object 5.
+  // -------------------------------------------------------------------
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  /** The page content: one text run showing the whole doc text. */
+  private def content(text: String): Array[Byte] =
+    s"BT (${esc(text)}) Tj ET".getBytes(Latin1)
+
+  /** Wrap bodies as `N 0 obj … endobj` (1-based) plus a trailer.
+    * Stream payloads (body._2) get an inline /Length dict so binary
+    * ciphertext that happens to spell `endstream` cannot truncate. */
+  private def assemble(bodies: Seq[Either[String, Array[Byte]]],
+      trailerExtra: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.6\n".getBytes(Latin1))
+    bodies.zipWithIndex.foreach { case (body, i) =>
+      out.write(s"${i + 1} 0 obj\n".getBytes(Latin1))
+      body match {
+        case Left(dict) => out.write(dict.getBytes(Latin1))
+        case Right(payload) =>
+          out.write(s"<< /Length ${payload.length} >>\nstream\n".getBytes(Latin1))
+          out.write(payload)
+          out.write("\nendstream".getBytes(Latin1))
+      }
+      out.write("\nendobj\n".getBytes(Latin1))
+    }
+    val at = out.size()
+    out.write((s"trailer\n<< /Size ${bodies.size + 1} /Root 1 0 R$trailerExtra >>\n" +
+      s"startxref\n$at\n%%EOF\n").getBytes(Latin1))
+    out.toByteArray
+  }
+
+  /** The shared page skeleton; `payload` is object 4 (already
+    * encrypted for the cipher classes), `encDict` object 5. */
+  private def onePage(payload: Array[Byte], encDict: Option[String],
+      id0: Option[Array[Byte]]): Array[Byte] = {
+    val bodies = Seq[Either[String, Array[Byte]]](
+      Left("<< /Type /Catalog /Pages 2 0 R >>"),
+      Left("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      Left("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+      Right(payload)) ++ encDict.map(d => Left(d): Either[String, Array[Byte]])
+    val extra = encDict.fold("")(_ => s" /Encrypt ${bodies.size} 0 R") +
+      id0.fold("")(id => s" /ID [<${hexOf(id)}> <${hexOf(id)}>]")
+    assemble(bodies, extra)
+  }
+
+  // -------------------------------------------------------------------
+  // Class builders.
+  // -------------------------------------------------------------------
+
+  /** Class 0: plain single-page PDF. */
+  def clearPdf(text: String): Array[Byte] =
+    onePage(content(text), None, None)
+
+  /** RC4 V2/R3 file key for this doc's deterministic /O, /P, /ID
+    * (Algorithm 2, empty user password, 128-bit). */
+  private def rc4Material(docId: Long): (Array[Byte], Array[Byte], Array[Byte]) = {
+    val o = sha("o", docId) // any 32 bytes work as /O for the empty-user route
+    val id0 = sha("id", docId).take(16)
+    val pLe = Array[Byte](-44, -1, -1, -1) // P = -44 little-endian
+    var h = md5(PwPad, o, pLe, id0)
+    for (_ <- 0 until 50) h = md5(h.take(16))
+    (h.take(16), o, id0)
+  }
+
+  /** Algorithm 5 /U for the empty user password (R3+), 16-byte
+    * arbitrary tail per spec. */
+  private def uEntry(fileKey: Array[Byte], id0: Array[Byte]): Array[Byte] = {
+    var u = PdfText.rc4(fileKey, md5(PwPad, id0))
+    for (i <- 1 to 19) u = PdfText.rc4(fileKey.map(b => (b ^ i).toByte), u)
+    u ++ Array.fill[Byte](16)(0x5a)
+  }
+
+  private def objKey(fileKey: Array[Byte], num: Int, aes: Boolean): Array[Byte] = {
+    val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray
+    md5(fileKey, Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+      ((num >> 16) & 0xff).toByte, 0, 0), salt).take(16)
+  }
+
+  /** Class 1 (and the RC4 half of class 3): V2/R3 RC4 128-bit.
+    * `lock` publishes a /U that fails empty-password validation — the
+    * shape of a real user-password file. */
+  def rc4Pdf(docId: Long, text: String, lock: Boolean = false): Array[Byte] = {
+    val (fileKey, o, id0) = rc4Material(docId)
+    val enc = PdfText.rc4(objKey(fileKey, 4, aes = false), content(text))
+    val u = if (lock) sha("badu", docId) else uEntry(fileKey, id0)
+    val dict = s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44" +
+      s" /O <${hexOf(o)}> /U <${hexOf(u)}> >>"
+    onePage(enc, Some(dict), Some(id0))
+  }
+
+  /** The AES-128 half of class 2: V4 R4 /AESV2 crypt filter. */
+  def aes128Pdf(docId: Long, text: String): Array[Byte] = {
+    val (fileKey, o, id0) = rc4Material(docId)
+    val iv = sha("iv", docId).take(16)
+    val enc = iv ++ aesEnc(objKey(fileKey, 4, aes = true), iv, pkcs5(content(text)))
+    val dict = s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44" +
+      s" /O <${hexOf(o)}> /U <${hexOf(uEntry(fileKey, id0))}>" +
+      " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF >>"
+    onePage(enc, Some(dict), Some(id0))
+  }
+
+  /** The AES-256 half of classes 2 and 3: R6 /AESV3 (Algorithm 2.B
+    * U/UE layout; `lock` corrupts the validation hash — a real
+    * user-password file). */
+  def aes256Pdf(docId: Long, text: String, lock: Boolean = false): Array[Byte] = {
+    val fileKey = sha("key", docId)
+    val vs = sha("vs", docId).take(8)
+    val ks = sha("ks", docId).take(8)
+    val uHash =
+      if (lock) sha("badu", docId)
+      else PdfText.hash2B(6, Array.emptyByteArray, vs, Array.emptyByteArray)
+    val u = uHash ++ vs ++ ks
+    val ik = PdfText.hash2B(6, Array.emptyByteArray, ks, Array.emptyByteArray)
+    val ue = aesEnc(ik, new Array[Byte](16), fileKey)
+    val iv = sha("iv", docId).take(16)
+    val enc = iv ++ aesEnc(fileKey, iv, pkcs5(content(text)))
+    val dict = s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -4" +
+      s" /O <${hexOf(sha("o", docId) ++ sha("o2", docId).take(16))}>" +
+      s" /OE <${hexOf(sha("oe", docId))}>" +
+      s" /U <${hexOf(u)}> /UE <${hexOf(ue)}>" +
+      " /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF >>"
+    onePage(enc, Some(dict), Some(sha("id", docId).take(16)))
+  }
+
+  /** Class 4: a security handler graft does not implement — the
+    * content is opaque ciphertext under a throwaway key, exactly what
+    * a proprietary handler looks like from outside. */
+  def unsupportedPdf(docId: Long, text: String): Array[Byte] = {
+    val enc = PdfText.rc4(sha("x", docId).take(16), content(text))
+    val dict = s"<< /Filter /GraftSecureX /V 4 /R 4 /Length 128 /P -44" +
+      s" /O <${hexOf(sha("o", docId))}> /U <${hexOf(sha("u", docId))}> >>"
+    onePage(enc, Some(dict), Some(sha("id", docId).take(16)))
+  }
+
+  /** Class 5: not a PDF — a short binary blob with no object
+    * structure (SHA-derived, so no `N G obj` token can appear). */
+  def malformedPayload(docId: Long): Array[Byte] =
+    "%GRAFT-NOT-A-PDF\n".getBytes(Latin1) ++ sha("junk", docId) ++ sha("junk2", docId)
+
+  /** The payload for one documents row (text already [[sanitize]]d by
+    * [[pdfTable]]). */
+  def payloadFor(docId: Long, text: String): Array[Byte] =
+    (docId % Classes, (docId / Classes) % 2 == 0) match {
+      case (0, _) => clearPdf(text)
+      case (1, _) => rc4Pdf(docId, text)
+      case (2, true) => aes128Pdf(docId, text)
+      case (2, false) => aes256Pdf(docId, text)
+      case (3, true) => rc4Pdf(docId, text, lock = true)
+      case (3, false) => aes256Pdf(docId, text, lock = true)
+      case (4, _) => unsupportedPdf(docId, text)
+      case _ => malformedPayload(docId)
+    }
+
+  /** Binary PDF table synthesized from the documents text — (doc_id,
+    * payload), one status class per doc_id mod 6. Narrow map, no
+    * shuffle, prunes documents to two columns. */
+  def pdfTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, payloadFor(id, sanitize(t))) })
+      .toDF("doc_id", "payload")
+  }
+}

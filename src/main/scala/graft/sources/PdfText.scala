@@ -77,6 +77,47 @@ object PdfText {
 
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
 
+  // -------------------------------------------------------------------
+  // Extraction status: the observability channel (VERDICT r13 item 1).
+  // The reference surfaces UTL_TO_TEXT failures through Oracle's error
+  // machinery (scripts/01_pdf_to_vector.sql:205); graft's JSONL leg has
+  // the src_jsonl_corrupt quarantine column. Before r14 the binary-doc
+  // leg had neither: a locked, unsupported-handler, or malformed file
+  // degraded to an EMPTY text row indistinguishable from a blank page —
+  // at crawl scale an invisible data-loss channel.
+  // -------------------------------------------------------------------
+
+  /** Extraction statuses, disjoint and deterministic per document:
+    *  - `clear`          — no (effective) encryption; text is whatever
+    *                       the page tree yielded (possibly empty for a
+    *                       genuinely blank document);
+    *  - `decrypted_rc4`  — standard handler, RC4 40/128 (V1/V2, V4 /V2),
+    *                       empty user password, streams decrypted;
+    *  - `decrypted_aes`  — standard handler, AES-128 (/AESV2) or
+    *                       AES-256 (R5/R6 /AESV3), empty user password;
+    *  - `locked`         — standard handler present but the EMPTY user
+    *                       password fails /U validation: a real
+    *                       user-password file, unreadable by design;
+    *  - `unsupported`    — a security handler we do not implement (a
+    *                       non-Standard /Filter, an unknown V4 /CFM, a
+    *                       malformed handler dict): decrypting is
+    *                       impossible, emitting ciphertext would be
+    *                       silent garbage;
+    *  - `malformed`      — no PDF object structure parsed at all. */
+  val StatusClear = "clear"
+  val StatusRc4 = "decrypted_rc4"
+  val StatusAes = "decrypted_aes"
+  val StatusLocked = "locked"
+  val StatusUnsupported = "unsupported"
+  val StatusMalformed = "malformed"
+
+  /** Result of [[extract]]: the recovered text plus the status above.
+    * `text` is non-empty only for clear/decrypted documents; a clear
+    * document with no text runs is an empty-text `clear`. */
+  final case class Extraction(text: String, status: String) {
+    def chars: Int = text.length
+  }
+
   // ---------------------------------------------------------------------
   // Object model: the small slice of PDF values the extractor reads.
   // ---------------------------------------------------------------------
@@ -393,7 +434,12 @@ object PdfText {
     var at = dict.indexOf("/Length")
     while (at >= 0) {
       val after = at + 7
-      if (after >= dict.length || delim(dict.charAt(after))) {
+      // a lookalike inside a literal/hex STRING (`/Title (per /Length 5
+      // rule)`) must not mask the real key (ADVICE r13) — skip it; the
+      // dict slice ends before `stream`, so insideStringAt never hits
+      // its payload bail-out here
+      if (insideStringAt(dict, 0, at)) ()
+      else if (after >= dict.length || delim(dict.charAt(after))) {
         var i = after
         while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
         val d0 = i
@@ -453,7 +499,7 @@ object PdfText {
   private def decodedStream(o: PdfObj): Option[Array[Byte]] = o.stream.flatMap { data =>
     val names = filterNames(o.dict)
     if (!decodableFilters(names)) None
-    else Some(names.zip(decodeParmsList(o.dict, names.length))
+    else Some(names.zip(decodeParmsList(o.dict, names))
       .foldLeft(data) { case (cur, (f, p)) =>
         f match {
           case "FlateDecode" => unpredict(inflate(cur), p)
@@ -486,13 +532,26 @@ object PdfText {
     Parms(num("Predictor", 1), num("Columns", 1), num("Colors", 1),
       num("BitsPerComponent", 8))
   }
-  private def decodeParmsList(d: PDict, n: Int): List[Parms] =
+  private def decodeParmsList(d: PDict, names: List[String]): List[Parms] = {
+    val n = names.length
     d.v.get("DecodeParms").orElse(d.v.get("DP")) match {
-      case Some(p: PDict) => parmsOf(Some(p)) :: List.fill(math.max(0, n - 1))(NoParms)
+      case Some(p: PDict) =>
+        // A LONE parms dict against a multi-filter chain belongs to the
+        // chain's single compressed filter, not blindly to index 0: the
+        // common `[/ASCII85Decode /FlateDecode]` + predictor-dict layout
+        // would otherwise never undo its PNG predictor (ADVICE r13).
+        val at = {
+          val compressed = names.zipWithIndex.collect {
+            case (f, i) if f == "FlateDecode" || f == "LZWDecode" => i
+          }
+          if (n > 1 && compressed.length == 1) compressed.head else 0
+        }
+        List.tabulate(n)(i => if (i == at) parmsOf(Some(p)) else NoParms)
       case Some(PArr(xs)) =>
         (0 until n).map(i => parmsOf(xs.lift(i).collect { case p: PDict => p })).toList
       case _ => List.fill(n)(NoParms)
     }
+  }
 
   /** ASCIIHexDecode: hex pairs, whitespace ignored, `>` terminates,
     * odd trailing digit pads with 0 (spec rule). Junk bytes are
@@ -699,6 +758,9 @@ object PdfText {
   // user password) stay undecodable by design — garbage in, empty out.
   // ---------------------------------------------------------------------
 
+  private val EncMetaFalse =
+    java.util.regex.Pattern.compile("/EncryptMetadata\\s+false\\b")
+
   private val PwPad: Array[Byte] = Array(
     0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
     0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
@@ -797,13 +859,26 @@ object PdfText {
       else rc4(objKey(num, gen), data)
   }
 
+  /** Outcome of encryption detection: proceed in the clear, decrypt
+    * with a derived key, or stop with a status (locked / unsupported)
+    * — the channel [[extract]] surfaces instead of silently emitting
+    * an empty row (VERDICT r13 item 1). */
+  private sealed trait CryptState
+  private case object NoCrypt extends CryptState
+  private final case class Decrypt(crypt: Crypt) extends CryptState
+  private final case class Blocked(status: String) extends CryptState
+
   /** Locate the standard-security-handler dictionary and derive the
-    * file key for the empty user password. None = file not encrypted,
-    * an unsupported handler, or /StmF Identity (streams in the clear).
-    * The /ID first element comes from a raw scan of the trailer (or
-    * xref-stream dict) bytes — the one value the extractor needs that
-    * does not live in an object. */
-  private def findCrypt(objs: Vector[PdfObj], s: String): Option[Crypt] = try {
+    * file key for the empty user password. [[NoCrypt]] = file not
+    * encrypted, or /StmF Identity / /CFM /None (streams in the
+    * clear); [[Blocked]](unsupported) = a handler we cannot decrypt
+    * (non-Standard /Filter, unknown V4 /CFM, malformed handler dict);
+    * [[Blocked]](locked) = the EMPTY user password fails /U
+    * validation, i.e. a real user-password file. The /ID first
+    * element comes from a raw scan of the trailer (or xref-stream
+    * dict) bytes — the one value the extractor needs that does not
+    * live in an object. */
+  private def cryptState(objs: Vector[PdfObj], s: String): CryptState = try {
     // resolve via the trailer's (or xref-stream dict's) /Encrypt N G R
     // reference — LAST occurrence wins (incremental updates); only if
     // no reference parses anywhere, fall back to duck-typing the
@@ -832,7 +907,13 @@ object PdfText {
           d.contains("O") && d.contains("U") && d.contains("R")
       }
     }
-    encObj.flatMap { o =>
+    if (encObj.isEmpty) {
+      // an /Encrypt reference that resolves only to a NON-Standard
+      // handler is a security handler we do not implement; feeding its
+      // ciphertext to the text scanner would be silent garbage
+      if (sawRef) Blocked(StatusUnsupported) else NoCrypt
+    } else {
+      val o = encObj.get
       val d = o.dict.v
       def num(k: String, dflt: Int): Int =
         d.get(k).collect { case PNum(x) => x.toInt }.getOrElse(dflt)
@@ -850,56 +931,87 @@ object PdfText {
           stdCf <- cf.v.get(stmF).collect { case c: PDict => c }
           m <- stdCf.v.get("CFM").collect { case PName(n) => n }
         } yield m
-      // V4 CFM table: /V2 = RC4, /AESV2 = AES-128; /None means the
-      // filter does NOT decrypt (streams in the clear — same outcome
-      // as /StmF Identity), and an unknown CFM is unsupported: don't
-      // guess RC4 and garble plaintext a real viewer reads fine
-      if (v == 4 && !(cfm.contains("V2") || cfm.contains("AESV2"))) None
-      else if (v >= 4 && cfm.isEmpty) None // Identity or unresolvable: no decryption
+      // V4/V5 CFM table: /V2 = RC4, /AESV2 = AES-128, /AESV3 = AES-256;
+      // /None means the filter does NOT decrypt (streams in the clear —
+      // same outcome as /StmF Identity). An unknown CFM is a cipher we
+      // cannot run: its streams ARE encrypted, so surface `unsupported`
+      // rather than scanning ciphertext (don't guess RC4 either way).
+      if (v >= 4 && (cfm.isEmpty || cfm.contains("None"))) NoCrypt // Identity/None: clear
+      else if (v == 4 && !(cfm.contains("V2") || cfm.contains("AESV2")))
+        Blocked(StatusUnsupported)
       else if (v >= 5) {
         // R5/R6 (AES-256): the user-password route — validation salt
         // U[32..40), key salt U[40..48); file key = AES-256-CBC(UE)
         // under the key-salt hash, zero IV
         val u = str("U"); val ue = str("UE")
-        if (u.length < 48 || ue.length < 32 || !cfm.contains("AESV3")) None
+        if (u.length < 48 || ue.length < 32 || !cfm.contains("AESV3"))
+          Blocked(StatusUnsupported)
         else {
           val check = hash2B(r, Array.emptyByteArray, u.slice(32, 40), Array.emptyByteArray)
-          if (!java.util.Arrays.equals(check, u.take(32))) None // non-empty user password
+          if (!java.util.Arrays.equals(check, u.take(32)))
+            Blocked(StatusLocked) // non-empty user password
           else {
             val ik = hash2B(r, Array.emptyByteArray, u.slice(40, 48), Array.emptyByteArray)
             val fileKey = aesCbc(javax.crypto.Cipher.DECRYPT_MODE, ik,
               new Array[Byte](16), ue.take(32))
-            Some(Crypt(fileKey, v, r, aes = true))
+            Decrypt(Crypt(fileKey, v, r, aes = true))
           }
         }
       } else {
         // Algorithm 2 (R2–R4): MD5 over padded password, /O, /P and
         // the file /ID; R3+ iterates 50×
         val oBytes = str("O")
-        if (oBytes.length < 32) None
+        if (oBytes.length < 32) Blocked(StatusUnsupported)
         else {
           val p = num("P", -1)
           val pLe = Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
             ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
           val n = if (r == 2) 5 else math.max(5, math.min(16, num("Length", 40) / 8))
           // booleans parse as POther, so /EncryptMetadata false is
-          // detected on the raw dict source (writers emit it literally)
-          val meta = if (r >= 4 && o.dictSrc.contains("/EncryptMetadata false"))
+          // detected on the raw dict source — whitespace-tolerant, so a
+          // writer's newline between key and value is not missed and the
+          // R4 key left wrong (ADVICE r13)
+          val meta = if (r >= 4 && EncMetaFalse.matcher(o.dictSrc).find())
             Array[Byte](-1, -1, -1, -1) else Array.emptyByteArray
           var h = md5(PwPad, oBytes.take(32), pLe, fileId(s), meta)
           if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(n))
-          Some(Crypt(h.take(n), v, r, aes = cfm.contains("AESV2")))
+          val fileKey = h.take(n)
+          // Algorithm 6: validate the EMPTY user password against /U
+          // before decrypting — a wrong password previously decoded to
+          // silent mojibake/empty; now it surfaces as `locked`. R2
+          // compares RC4(key, pad); R3+ compares the first 16 bytes of
+          // the 20-round construction (the tail 16 are arbitrary pad by
+          // spec). A missing/short /U (legacy writers) skips the check
+          // and proceeds best-effort, the pre-r14 behavior.
+          val uBytes = str("U")
+          val uOk = uBytes.length < 16 || {
+            val expect =
+              if (r == 2) rc4(fileKey, PwPad)
+              else {
+                var u = rc4(fileKey, md5(PwPad, fileId(s)))
+                for (i <- 1 to 19) u = rc4(fileKey.map(b => (b ^ i).toByte), u)
+                u
+              }
+            java.util.Arrays.equals(expect.take(16), uBytes.take(16))
+          }
+          if (!uOk) Blocked(StatusLocked)
+          else Decrypt(Crypt(fileKey, v, r, aes = cfm.contains("AESV2")))
         }
       }
     }
-  } catch { case NonFatal(_) => None }
+  } catch { case NonFatal(_) => Blocked(StatusUnsupported) }
 
   /** First element of the trailer /ID array, by raw scan (token
-    * `/ID`, then `[ <string> … ]`). Empty when absent — key
-    * derivation proceeds with no ID contribution, matching writers
-    * that omit it. */
+    * `/ID`, then `[ <string> … ]`). Scans BACKWARDS from EOF: trailers
+    * live near the end of the file, and a forward scan let random
+    * ciphertext/binary payload bytes spoof the token and silently
+    * derive a wrong file key (ADVICE r13). The last well-formed match
+    * is also the incremental-update winner, and ID[0] is invariant
+    * across updates by spec. Empty when absent — key derivation
+    * proceeds with no ID contribution, matching writers that omit
+    * it. */
   private def fileId(s: String): Array[Byte] = {
-    var at = s.indexOf("/ID")
+    var at = s.lastIndexOf("/ID")
     while (at >= 0) {
       var i = at + 3
       while (i < s.length && s.charAt(i).isWhitespace) i += 1
@@ -912,7 +1024,7 @@ object PdfText {
           return str.getBytes(Latin1)
         }
       }
-      at = s.indexOf("/ID", at + 3)
+      at = if (at == 0) -1 else s.lastIndexOf("/ID", at - 1)
     }
     Array.emptyByteArray
   }
@@ -923,14 +1035,11 @@ object PdfText {
     * exist); so is the encryption dictionary itself. Runs BEFORE
     * ObjStm expansion — contained objects are covered by their
     * container's encryption, never re-encrypted individually. */
-  private def decryptObjects(objs: Vector[PdfObj], s: String): Vector[PdfObj] =
-    findCrypt(objs, s) match {
-      case None => objs
-      case Some(crypt) => objs.map { o =>
-        if (o.stream.isEmpty || o.dict.v.get("Type").contains(PName("XRef"))) o
-        else try o.copy(stream = o.stream.map(crypt.decryptStream(o.num, o.gen, _)))
-        catch { case NonFatal(_) => o }
-      }
+  private def decryptObjects(objs: Vector[PdfObj], crypt: Crypt): Vector[PdfObj] =
+    objs.map { o =>
+      if (o.stream.isEmpty || o.dict.v.get("Type").contains(PName("XRef"))) o
+      else try o.copy(stream = o.stream.map(crypt.decryptStream(o.num, o.gen, _)))
+      catch { case NonFatal(_) => o }
     }
 
   /** Expand /Type /ObjStm compressed object streams (PDF 1.5+) into
@@ -1105,6 +1214,51 @@ object PdfText {
     0x98 -> "˜", 0x99 -> "™", 0x9A -> "š", 0x9B -> "›",
     0x9C -> "œ", 0x9E -> "ž", 0x9F -> "Ÿ")
 
+  /** /MacRomanEncoding: the classic-Mac-writer base encoding, whose
+    * WHOLE upper half (0x80–0xFF) differs from Latin-1 — accented
+    * Latin, smart punctuation at 0xD0–0xD5, ellipsis at 0xC9, the
+    * euro at 0xDB. The map is the published Mac OS Roman charset
+    * (codes ≤ 0x7F equal ASCII, as in Latin-1); PDF's Annex-D table
+    * is a subset of it, and for the handful of codes Annex D leaves
+    * unlisted (the math symbols, 0xF0) the charset value is strictly
+    * better than the C1 control the passthrough would emit. Values
+    * are \\u escapes so the source stays byte-robust; the table was
+    * generated from the charset, not transcribed by hand (closing the
+    * r13 "partly-remembered table would be worse" boundary). */
+  private val MacRomanDelta: Map[Int, String] = Map(
+    0x80 -> "\u00C4", 0x81 -> "\u00C5", 0x82 -> "\u00C7", 0x83 -> "\u00C9",
+    0x84 -> "\u00D1", 0x85 -> "\u00D6", 0x86 -> "\u00DC", 0x87 -> "\u00E1",
+    0x88 -> "\u00E0", 0x89 -> "\u00E2", 0x8A -> "\u00E4", 0x8B -> "\u00E3",
+    0x8C -> "\u00E5", 0x8D -> "\u00E7", 0x8E -> "\u00E9", 0x8F -> "\u00E8",
+    0x90 -> "\u00EA", 0x91 -> "\u00EB", 0x92 -> "\u00ED", 0x93 -> "\u00EC",
+    0x94 -> "\u00EE", 0x95 -> "\u00EF", 0x96 -> "\u00F1", 0x97 -> "\u00F3",
+    0x98 -> "\u00F2", 0x99 -> "\u00F4", 0x9A -> "\u00F6", 0x9B -> "\u00F5",
+    0x9C -> "\u00FA", 0x9D -> "\u00F9", 0x9E -> "\u00FB", 0x9F -> "\u00FC",
+    0xA0 -> "\u2020", 0xA1 -> "\u00B0", 0xA2 -> "\u00A2", 0xA3 -> "\u00A3",
+    0xA4 -> "\u00A7", 0xA5 -> "\u2022", 0xA6 -> "\u00B6", 0xA7 -> "\u00DF",
+    0xA8 -> "\u00AE", 0xA9 -> "\u00A9", 0xAA -> "\u2122", 0xAB -> "\u00B4",
+    0xAC -> "\u00A8", 0xAD -> "\u2260", 0xAE -> "\u00C6", 0xAF -> "\u00D8",
+    0xB0 -> "\u221E", 0xB1 -> "\u00B1", 0xB2 -> "\u2264", 0xB3 -> "\u2265",
+    0xB4 -> "\u00A5", 0xB5 -> "\u00B5", 0xB6 -> "\u2202", 0xB7 -> "\u2211",
+    0xB8 -> "\u220F", 0xB9 -> "\u03C0", 0xBA -> "\u222B", 0xBB -> "\u00AA",
+    0xBC -> "\u00BA", 0xBD -> "\u03A9", 0xBE -> "\u00E6", 0xBF -> "\u00F8",
+    0xC0 -> "\u00BF", 0xC1 -> "\u00A1", 0xC2 -> "\u00AC", 0xC3 -> "\u221A",
+    0xC4 -> "\u0192", 0xC5 -> "\u2248", 0xC6 -> "\u2206", 0xC7 -> "\u00AB",
+    0xC8 -> "\u00BB", 0xC9 -> "\u2026", 0xCA -> "\u00A0", 0xCB -> "\u00C0",
+    0xCC -> "\u00C3", 0xCD -> "\u00D5", 0xCE -> "\u0152", 0xCF -> "\u0153",
+    0xD0 -> "\u2013", 0xD1 -> "\u2014", 0xD2 -> "\u201C", 0xD3 -> "\u201D",
+    0xD4 -> "\u2018", 0xD5 -> "\u2019", 0xD6 -> "\u00F7", 0xD7 -> "\u25CA",
+    0xD8 -> "\u00FF", 0xD9 -> "\u0178", 0xDA -> "\u2044", 0xDB -> "\u20AC",
+    0xDC -> "\u2039", 0xDD -> "\u203A", 0xDE -> "\uFB01", 0xDF -> "\uFB02",
+    0xE0 -> "\u2021", 0xE1 -> "\u00B7", 0xE2 -> "\u201A", 0xE3 -> "\u201E",
+    0xE4 -> "\u2030", 0xE5 -> "\u00C2", 0xE6 -> "\u00CA", 0xE7 -> "\u00C1",
+    0xE8 -> "\u00CB", 0xE9 -> "\u00C8", 0xEA -> "\u00CD", 0xEB -> "\u00CE",
+    0xEC -> "\u00CF", 0xED -> "\u00CC", 0xEE -> "\u00D3", 0xEF -> "\u00D4",
+    0xF0 -> "\uF8FF", 0xF1 -> "\u00D2", 0xF2 -> "\u00DA", 0xF3 -> "\u00DB",
+    0xF4 -> "\u00D9", 0xF5 -> "\u0131", 0xF6 -> "\u02C6", 0xF7 -> "\u02DC",
+    0xF8 -> "\u00AF", 0xF9 -> "\u02D8", 0xFA -> "\u02D9", 0xFB -> "\u02DA",
+    0xFC -> "\u00B8", 0xFD -> "\u02DD", 0xFE -> "\u02DB", 0xFF -> "\u02C7")
+
   /** A glyph name to its Unicode string: the AGL core table, then the
     * AGL algorithmic conventions (`uniXXXX` hex UTF-16 units,
     * `uXXXX`–`uXXXXXX` hex scalar). None = font-private name (gXX,
@@ -1245,17 +1399,32 @@ object PdfText {
     * streams in page order, with `Td`/`TD`/`T*` line moves rendered as
     * newlines and TJ kerning adjustments ignored (layout, not
     * content). Never throws: malformed input yields whatever decoded
-    * cleanly, or the empty string. */
-  def extractText(bytes: Array[Byte]): String = try {
+    * cleanly, or the empty string. Text-only view of [[extract]]. */
+  def extractText(bytes: Array[Byte]): String = extract(bytes).text
+
+  /** [[extractText]] plus the extraction status — the observability
+    * channel: locked, unsupported-handler and malformed documents stop
+    * being empty rows indistinguishable from blank pages (VERDICT r13
+    * item 1). Never throws. */
+  def extract(bytes: Array[Byte]): Extraction = try {
     // Latin-1 maps bytes 1:1 to chars, so offsets in this string are
     // byte offsets — binary payload bytes survive round-tripping
     val s = new String(bytes, Latin1)
+    val parsed = resolveIndirectExtents(parseObjects(s), s)
+    // no object structure at all: not a PDF (or one damaged beyond the
+    // tolerant scan) — distinct from a parseable file with no text
+    if (parsed.isEmpty) return Extraction("", StatusMalformed)
     // decrypt first (stream payloads only — the standard security
     // handler with an empty user password), then expand ObjStm
     // containers so the page-tree scan and the later-wins map see
     // their contents like top-level objects
-    val objs = expandObjStm(decryptObjects(
-      resolveIndirectExtents(parseObjects(s), s), s))
+    val (decrypted, status) = cryptState(parsed, s) match {
+      case Blocked(st) => return Extraction("", st)
+      case NoCrypt => (parsed, StatusClear)
+      case Decrypt(c) =>
+        (decryptObjects(parsed, c), if (c.aes) StatusAes else StatusRc4)
+    }
+    val objs = expandObjStm(decrypted)
     val byNum = objs.groupBy(_.num).map { case (k, v) => k -> v.last } // later wins (incremental update)
     val out = new StringBuilder
 
@@ -1300,8 +1469,8 @@ object PdfText {
           scanGuarded(o, Map.empty)
       }
     }
-    out.result().trim
-  } catch { case NonFatal(_) => "" }
+    Extraction(out.result().trim, status)
+  } catch { case NonFatal(_) => Extraction("", StatusMalformed) }
 
   /** The page's font resources resolved to their ToUnicode maps:
     * /Resources (inline or ref) → /Font (inline or ref) → per name, a
@@ -1337,12 +1506,17 @@ object PdfText {
               case Some(PRef(n)) => byNum.get(n).map(_.dict)
               case _ => None
             }
-            // base seed: WinAnsi's 0x80–0x9F delta when the font (or
-            // the encoding dict's /BaseEncoding) declares it —
-            // /Differences entries overlay the seed
-            val winAnsi = fontDict.v.get("Encoding").contains(PName("WinAnsiEncoding")) ||
-              encDict.exists(_.v.get("BaseEncoding").contains(PName("WinAnsiEncoding")))
-            val seed = if (winAnsi) WinAnsiDelta else Map.empty[Int, String]
+            // base seed: WinAnsi's 0x80–0x9F delta or MacRoman's full
+            // upper half when the font (or the encoding dict's
+            // /BaseEncoding) declares it — /Differences entries
+            // overlay the seed
+            def declares(enc: String) =
+              fontDict.v.get("Encoding").contains(PName(enc)) ||
+                encDict.exists(_.v.get("BaseEncoding").contains(PName(enc)))
+            val seed =
+              if (declares("WinAnsiEncoding")) WinAnsiDelta
+              else if (declares("MacRomanEncoding")) MacRomanDelta
+              else Map.empty[Int, String]
             val diffs = encDict.flatMap(_.v.get("Differences")).collect {
               case PArr(xs) =>
                 var code = 0
@@ -1496,7 +1670,10 @@ object PdfText {
             while (j < s.length && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
               v = v * 8 + (s.charAt(j) - '0'); j += 1
             }
-            sb.append(v.toChar); i = j
+            // spec: high-order overflow of \400–\777 is dropped (mod
+            // 256) — a char > 0xFF here would corrupt /O //U key bytes
+            // through getBytes(Latin1)'s '?' substitution (ADVICE r13)
+            sb.append((v & 0xff).toChar); i = j
           case other => sb.append(other); i += 2
         }
       } else if (c == '(') { depth += 1; sb.append(c); i += 1 }
@@ -1538,5 +1715,23 @@ object PdfText {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) => (id, extractText(b)) })
       .toDF("doc_id", "text")
+  }
+
+  /** [[utlToText]] with the status channel: (doc_id, text,
+    * extract_status, extract_chars). Same narrow per-partition map —
+    * the status is computed by the extraction pass it describes, so
+    * the channel adds two tiny columns and zero extra work (priced at
+    * the 30k-doc throughput corpus, SURVEY §6). `extract_chars` is the
+    * recovered-character count (0 for locked/unsupported/malformed),
+    * making the lost-volume aggregation downstream a plain sum. */
+  def utlToTextReport(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val e = extract(b)
+        (id, e.text, e.status, e.chars)
+      })
+      .toDF("doc_id", "text", "extract_status", "extract_chars")
   }
 }
