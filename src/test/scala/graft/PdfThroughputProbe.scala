@@ -190,6 +190,18 @@ object PdfThroughputProbe {
       val d = graft.sources.PdfText.utlToText(spark, pdfs).persist()
       d.count(); d
     }
+    // the r14 status channel on the same corpus: the report frame is
+    // the same extraction pass plus two tiny columns, so this draw
+    // must price indistinguishably from `decode` (VERDICT r13 item 5)
+    timed("decode-report") {
+      graft.sources.PdfText.utlToTextReport(spark, pdfs).count()
+    }
+    // and the aggregated doc_extract_report shape over the decoded
+    // frame's statuses (a 6-group partial agg -- noise on top)
+    timed("extract-agg") {
+      graft.sources.PdfText.utlToTextReport(spark, pdfs)
+        .groupBy("extract_status").count().collect()
+    }
     // the same corpus under the standard security handler: what the
     // cipher pass adds on top of parse+inflate+scan (RC4 = V2/R3,
     // AES-128-CBC = V4/AESV2). Correctness guard: identical text bytes.

@@ -30,9 +30,17 @@ at the FULL scaled N. (Literally running dedup_exact on the verbatim
 tiling would collapse N back to 1x, which is why the scale witness
 needs this mode instead.) Same-copy pairs keep the source corpus's
 exact geometry, so the 1x close-tail structure replicates linearly.
-Text columns stay verbatim-duplicated (the text-dedup operators have
-their own bounded-recall witnesses; --roll targets the embedding pair
-producers).
+
+Since r14, --roll also perturbs documents.text per copy (VERDICT r13
+item 2): every whitespace token of copy j>0 gets a per-copy suffix
+("~sj"), so no word shingle survives across copies and the minhash /
+shingle pair term becomes linear in copies — the TEXT twin of the
+embedding roll, with the same rationale (a verbatim tiling's dup
+families grow as C^2, so any pair producer's ANSWER is quadratic and
+the witness measures the answer term, not the plan). Within a copy
+every doc gets the same suffix, so the 1x near-dup structure
+replicates exactly. The suffix survives graft's tokenizer (lowercase
+whitespace split, no punctuation stripping).
 
 Correctness inputs remain the driver's parquet — this output is only
 for the one-off scaling measurement recorded in SURVEY §6.
@@ -107,6 +115,19 @@ def main():
                         zero_copy_only=False))
                     mat = np.roll(mat, i % mat.shape[1], axis=1)
                     col = pa.array(list(mat), type=field_t)
+                elif roll and t == "documents" and name == "text" and i > 0:
+                    # per-copy token salt on EVERY \S+ token (text has
+                    # newlines; a space-only split would leave interior
+                    # tokens unsalted and let some shingles collide
+                    # cross-copy), whitespace preserved
+                    import re
+                    field_t = tbl.schema.field(name).type
+                    sub = re.compile(r"\S+").sub
+                    rep = f"\\g<0>~s{i}"
+                    col = pa.array(
+                        [None if v is None else sub(rep, v)
+                         for v in col.combine_chunks().to_pylist()],
+                        type=field_t)
                 cols.append(col)
             out = pa.Table.from_arrays(cols, schema=tbl.schema)
             writer.write_table(out)
