@@ -200,18 +200,34 @@ object PdfGen {
     onePage(enc, Some(dict), Some(id0))
   }
 
+  /** Generation-side KDF memo: the R6 salts cycle over a small pool
+    * (doc_id mod 16), so the FORWARD hash2B calls — a synthetic-only
+    * cost, production reads PDFs rather than writing them — run 32
+    * times per executor instead of twice per document. The decode
+    * side still derives per FILE (PdfText has no memo, correctly:
+    * files are independent), so the gate keeps pricing the real
+    * Algorithm-2.B cost an AES-256 corpus pays. Statuses and
+    * recovered chars are untouched — the oracle depends only on
+    * doc_id % 6. */
+  private val SaltPool = 16L
+  private val hash2BMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  private def hash2BCached(salt: Array[Byte]): Array[Byte] =
+    hash2BMemo.computeIfAbsent(hexOf(salt),
+      _ => PdfText.hash2B(6, Array.emptyByteArray, salt, Array.emptyByteArray))
+
   /** The AES-256 half of classes 2 and 3: R6 /AESV3 (Algorithm 2.B
     * U/UE layout; `lock` corrupts the validation hash — a real
     * user-password file). */
   def aes256Pdf(docId: Long, text: String, lock: Boolean = false): Array[Byte] = {
     val fileKey = sha("key", docId)
-    val vs = sha("vs", docId).take(8)
-    val ks = sha("ks", docId).take(8)
+    val vs = sha("vs", docId % SaltPool).take(8)
+    val ks = sha("ks", docId % SaltPool).take(8)
     val uHash =
       if (lock) sha("badu", docId)
-      else PdfText.hash2B(6, Array.emptyByteArray, vs, Array.emptyByteArray)
+      else hash2BCached(vs)
     val u = uHash ++ vs ++ ks
-    val ik = PdfText.hash2B(6, Array.emptyByteArray, ks, Array.emptyByteArray)
+    val ik = hash2BCached(ks)
     val ue = aesEnc(ik, new Array[Byte](16), fileKey)
     val iv = sha("iv", docId).take(16)
     val enc = iv ++ aesEnc(fileKey, iv, pkcs5(content(text)))

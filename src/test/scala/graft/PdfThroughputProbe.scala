@@ -53,7 +53,7 @@ object PdfThroughputProbe {
     * being priced is the per-stream cipher pass, not key derivation
     * (which runs once per document either way and is two MD5 chains). */
   private[graft] final case class EncSetup(fileKey: Array[Byte], aes: Boolean,
-      dict: String, id0Hex: String)
+      dict: String, id0Hex: String, v5: Boolean = false)
 
   private def md5(bs: Array[Byte]*): Array[Byte] = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -91,10 +91,39 @@ object PdfThroughputProbe {
     EncSetup(fileKey, aes, dict, hexId)
   }
 
+  /** R6/AESV3 setup with FIXED salts: the cipher is corpus-shared, but
+    * the decode side still runs the Algorithm-2.B KDF (hash2B) per
+    * FILE — exactly what a real AES-256 corpus costs — so this leg
+    * prices the per-document KDF + CBC at realistic document sizes
+    * (the doc_extract_report gate docs are ~0.5 KB; here ~2.7 KB). */
+  private[graft] def encSetup256(): EncSetup = {
+    import graft.sources.PdfText.hash2B
+    val id0 = Array.tabulate[Byte](16)(i => (i * 13 + 7).toByte)
+    val hexId = id0.map(b => f"${b & 0xff}%02X").mkString
+    val fileKey = Array.tabulate[Byte](32)(i => (i * 29 + 11).toByte)
+    val vs = Array.tabulate[Byte](8)(i => (0x17 * (i + 1)).toByte)
+    val ks = Array.tabulate[Byte](8)(i => (0x0b * (i + 2)).toByte)
+    val u = hash2B(6, Array.emptyByteArray, vs, Array.emptyByteArray) ++ vs ++ ks
+    val ik = hash2B(6, Array.emptyByteArray, ks, Array.emptyByteArray)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(ik, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    val ue = c.doFinal(fileKey)
+    val hex = (bs: Array[Byte]) => bs.map(b => f"${b & 0xff}%02X").mkString
+    val dict = s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -4" +
+      s" /O <${hex(Array.fill[Byte](48)(0x4f))}> /OE <${hex(Array.fill[Byte](32)(0x45))}>" +
+      s" /U <${hex(u)}> /UE <${hex(ue)}>" +
+      " /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF >>"
+    EncSetup(fileKey, aes = true, dict, hexId, v5 = true)
+  }
+
   private def encryptPayload(e: EncSetup, objNum: Int, payload: Array[Byte]): Array[Byte] = {
     val salt = if (e.aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray
-    val key = md5(e.fileKey, Array[Byte]((objNum & 0xff).toByte,
-      ((objNum >> 8) & 0xff).toByte, ((objNum >> 16) & 0xff).toByte, 0, 0), salt).take(16)
+    val key =
+      if (e.v5) e.fileKey // V5: the file key IS the stream key
+      else md5(e.fileKey, Array[Byte]((objNum & 0xff).toByte,
+        ((objNum >> 8) & 0xff).toByte, ((objNum >> 16) & 0xff).toByte, 0, 0), salt).take(16)
     if (!e.aes) graft.sources.PdfText.rc4(key, payload)
     else {
       // deterministic per-object IV: throughput, not confidentiality
@@ -205,8 +234,11 @@ object PdfThroughputProbe {
     // the same corpus under the standard security handler: what the
     // cipher pass adds on top of parse+inflate+scan (RC4 = V2/R3,
     // AES-128-CBC = V4/AESV2). Correctness guard: identical text bytes.
-    Seq("rc4" -> false, "aes128" -> true).foreach { case (label, aes) =>
-      val setup = encSetup(aes)
+    Seq[(String, () => EncSetup)](
+      ("rc4", () => encSetup(aes = false)),
+      ("aes128", () => encSetup(aes = true)),
+      ("aes256", () => encSetup256())).foreach { case (label, mk) =>
+      val setup = mk()
       val encPdfs = spark.range(0, nDocs, 1, 32)
         .as[Long].map(id => (id, buildPdf(id, pages, parasPerPage, Some(setup))))
         .toDF("doc_id", "payload").persist()
