@@ -134,6 +134,19 @@ object Bench {
     * adjudication into data in bench_full.json. */
   private[graft] val LoadBar = 8.0
 
+  /** Pure drift classification for one query vs the same-SF witness:
+    * None = not regressed (no witness, a failed run, or within 2×);
+    * Some("load") = regressed >2× with EVERY draw on a busy host
+    * (min recorded loadavg above [[LoadBar]] — noise candidate, gets
+    * the tail retry); Some("code") = regressed on a quiet host, i.e.
+    * a real regression. Factored pure so BenchSpec pins the rule. */
+  private[graft] def driftVerdict(prev: Option[Double], minSec: Double,
+      failed: Boolean, minLoad: Double): Option[String] =
+    prev.filter(_ > 0).flatMap { p =>
+      if (failed || minSec <= 0 || minSec <= 2 * p) None
+      else Some(if (minLoad > LoadBar) "load" else "code")
+    }
+
   /** 1-minute loadavg at draw time (-1 if unreadable): recorded per
     * timing draw so round-over-round drift adjudication can cite the
     * host's actual load instead of narrative ("host noise" was argued
@@ -247,11 +260,10 @@ object Bench {
     // watch), "code" (slow draws, quiet host — a real regression), or
     // "noise" (the tail retry came back inside 2× — adjudicated clean).
     val qmap = SparkEntry.queries
+    def minLoadOf(loads: Vector[Double]): Double =
+      if (loads.nonEmpty) loads.min else -1.0
     val results = base0.map { case r @ (name, v, failed, samples, loads) =>
-      val p = prev.get(name).filter(_ > 0)
-      val regressed = !failed && v > 0 && p.exists(pv => v > 2 * pv)
-      val busy = loads.nonEmpty && loads.min > LoadBar
-      if (!(regressed && busy)) r
+      if (!driftVerdict(prev.get(name), v, failed, minLoadOf(loads)).contains("load")) r
       else {
         val l = load1()
         val t0 = System.nanoTime()
@@ -266,13 +278,13 @@ object Bench {
       prev.get(name).filter(_ > 0).flatMap { p =>
         val retried = samples.length > base0.collectFirst {
           case (n, _, _, ss, _) if n == name => ss.length }.getOrElse(samples.length)
-        if (failed || v <= 0) None
-        else if (v > 2 * p) {
-          val verdict = if (loads.nonEmpty && loads.min > LoadBar) "load" else "code"
-          Some(s""""$name":{"prev":${r3(p)},"min":${r3(v)},"ratio":${r2(v / p)},"min_load":${r2(if (loads.nonEmpty) loads.min else -1.0)},"retried":$retried,"verdict":"$verdict"}""")
-        } else if (retried)
-          Some(s""""$name":{"prev":${r3(p)},"min":${r3(v)},"ratio":${r2(v / p)},"min_load":${r2(if (loads.nonEmpty) loads.min else -1.0)},"retried":true,"verdict":"noise"}""")
-        else None
+        def record(verdict: String) =
+          s""""$name":{"prev":${r3(p)},"min":${r3(v)},"ratio":${r2(v / p)},"min_load":${r2(minLoadOf(loads))},"retried":$retried,"verdict":"$verdict"}"""
+        driftVerdict(Some(p), v, failed, minLoadOf(loads)) match {
+          case Some(verdict) => Some(record(verdict))
+          case None if retried => Some(record("noise")) // tail retry resolved it
+          case None => None
+        }
       }
     }.mkString("{", ",", "}")
     val failedNames = results.collect { case (k, _, true, _, _) => s"\"" + k + "\"" }

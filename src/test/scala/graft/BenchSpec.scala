@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench harness's pure pieces: the loadavg-aware drift
+  * adjudication (SURVEY §6 r14 — "load"/"code"/none split at the 2×
+  * bar and [[Bench.LoadBar]]), witness parsing, and the same-SF
+  * guard that keeps a stale snapshot from ghost-escalating a run. */
+class BenchSpec extends AnyFunSuite {
+
+  test("driftVerdict: within 2x, missing witness, or failed run never flags") {
+    assert(Bench.driftVerdict(None, 10.0, failed = false, minLoad = 1.0).isEmpty)
+    assert(Bench.driftVerdict(Some(0.0), 10.0, failed = false, minLoad = 1.0).isEmpty)
+    assert(Bench.driftVerdict(Some(-1.0), 10.0, failed = false, minLoad = 1.0).isEmpty)
+    assert(Bench.driftVerdict(Some(5.0), 10.0, failed = false, minLoad = 1.0).isEmpty)
+    assert(Bench.driftVerdict(Some(5.0), 10.1, failed = true, minLoad = 1.0).isEmpty)
+    assert(Bench.driftVerdict(Some(5.0), -0.1, failed = false, minLoad = 1.0).isEmpty)
+  }
+
+  test("driftVerdict: >2x on a quiet host is code, on a busy host is load") {
+    assert(Bench.driftVerdict(Some(1.0), 2.5, failed = false,
+      minLoad = Bench.LoadBar - 1).contains("code"))
+    assert(Bench.driftVerdict(Some(1.0), 2.5, failed = false,
+      minLoad = Bench.LoadBar + 1).contains("load"))
+    // exactly at the bar counts as quiet (strict >): the bar splits
+    // the observed idle (2.4-4.7) and busy (4-15) bands
+    assert(Bench.driftVerdict(Some(1.0), 2.5, failed = false,
+      minLoad = Bench.LoadBar).contains("code"))
+    // unreadable loadavg (-1) can never read as busy
+    assert(Bench.driftVerdict(Some(1.0), 2.5, failed = false,
+      minLoad = -1.0).contains("code"))
+  }
+
+  test("parsePrevQueries + sameSf: the witness only binds at the matching SF") {
+    val txt = """{"metric":"total","value":9.9,"unit":"sec","queries":{"a":1.5,"b":0.25},"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parsePrevQueries(txt) == Map("a" -> 1.5, "b" -> 0.25))
+    assert(Bench.parsePrevSf(txt) == "/root/testdata/sf0.1")
+    assert(Bench.sameSf("/root/testdata/sf0.1", "/root/testdata/sf0.1/"))
+    assert(Bench.sameSf("/root/testdata/sf0.1", "/root/testdata/x/../sf0.1"))
+    assert(!Bench.sameSf("/root/testdata/sf0.1", "/tmp/graft_sf1"))
+    assert(!Bench.sameSf("", "/tmp/graft_sf1"))
+  }
+}
