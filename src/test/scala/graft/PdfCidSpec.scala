@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.PdfText
+
+/** Identity-H Type0 text recovery via the embedded TrueType cmap
+  * (r14): the forward side -- a minimal but structurally-valid sfnt
+  * with a real format-4 / format-12 cmap subtable -- is built HERE,
+  * independently of the decoder, so the round trip crosses two
+  * implementations of the public font format. */
+class PdfCidSpec extends AnyFunSuite {
+
+  private val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private def u16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def u32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** A one-table sfnt whose cmap has a single (3,1) format-4 subtable
+    * mapping 'A'..'Z' to gids 1..26 (idDelta arithmetic) plus a
+    * second segment exercising the idRangeOffset indirection:
+    * 'a'..'c' -> gids 40,41,42 via the glyphIdArray. */
+  private def ttfFormat4(): Array[Byte] = {
+    val segs = 3 // [A-Z] delta seg, [a-c] range-offset seg, 0xFFFF terminal
+    val segX2 = segs * 2
+    // subtable layout after the 14-byte header: end[3] pad start[3]
+    // delta[3] rangeOffset[3] glyphIdArray[3]
+    val glyphIds = Seq(40, 41, 42)
+    val subLen = 16 + segX2 * 4 + glyphIds.length * 2
+    val sub = new java.io.ByteArrayOutputStream()
+    sub.write(u16(4)); sub.write(u16(subLen)); sub.write(u16(0)) // format, length, language
+    sub.write(u16(segX2)); sub.write(u16(0)); sub.write(u16(0)); sub.write(u16(0)) // counts the parser ignores
+    Seq('Z'.toInt, 'c'.toInt, 0xFFFF).foreach(v => sub.write(u16(v))) // endCode
+    sub.write(u16(0)) // reservedPad
+    Seq('A'.toInt, 'a'.toInt, 0xFFFF).foreach(v => sub.write(u16(v))) // startCode
+    // idDelta: gid = (c + delta) & 0xFFFF -> A..Z => 1..26 needs -0x40
+    Seq(0x10000 - 0x40, 0, 1).foreach(v => sub.write(u16(v & 0xFFFF)))
+    // idRangeOffset: seg 1 indirects into glyphIdArray. Offset is
+    // relative to the entry's own position: entry i=1 sits 2 bytes
+    // before the last entry, glyphIdArray starts right after the
+    // rangeOffset array -> offset = 2*(segs - i) = 4.
+    Seq(0, 4, 0).foreach(v => sub.write(u16(v)))
+    glyphIds.foreach(g => sub.write(u16(g)))
+    assemble(sub.toByteArray)
+  }
+
+  /** Same shape with a (3,10) format-12 subtable: 'H'..'O' -> gids
+    * 100..107 in one group, plus a non-BMP group (U+1F600 -> gid 7). */
+  private def ttfFormat12(): Array[Byte] = {
+    val groups = Seq((0x48, 0x4F, 100), (0x1F600, 0x1F600, 7))
+    val subLen = 16 + groups.length * 12
+    val sub = new java.io.ByteArrayOutputStream()
+    sub.write(u16(12)); sub.write(u16(0)) // format 12.0
+    sub.write(u32(subLen)); sub.write(u32(0)) // length, language
+    sub.write(u32(groups.length))
+    groups.foreach { case (sc, ec, sg) =>
+      sub.write(u32(sc)); sub.write(u32(ec)); sub.write(u32(sg))
+    }
+    assemble(sub.toByteArray, pidEid = (3, 10))
+  }
+
+  /** sfnt wrapper: header + one table-directory entry + the cmap. */
+  private def assemble(subtable: Array[Byte], pidEid: (Int, Int) = (3, 1)): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(u32(0x00010000)); out.write(u16(1)) // scaler, numTables=1
+    out.write(u16(16)); out.write(u16(0)); out.write(u16(0)) // search fields (unused)
+    val cmapOff = 12 + 16
+    val cmapLen = 4 + 8 + subtable.length
+    out.write("cmap".getBytes(latin1)); out.write(u32(0)) // tag, checksum
+    out.write(u32(cmapOff)); out.write(u32(cmapLen))
+    out.write(u16(0)); out.write(u16(1)) // cmap version, 1 subtable
+    out.write(u16(pidEid._1)); out.write(u16(pidEid._2)); out.write(u32(12)) // record
+    out.write(subtable)
+    out.toByteArray
+  }
+
+  test("invertTrueTypeCmap: format 4 delta and range-offset segments invert") {
+    val m = PdfText.invertTrueTypeCmap(ttfFormat4())
+    assert(m(1) == "A" && m(26) == "Z")
+    assert(m(40) == "a" && m(41) == "b" && m(42) == "c")
+    assert(!m.contains(0))
+  }
+
+  test("invertTrueTypeCmap: format 12 groups invert, non-BMP included") {
+    val m = PdfText.invertTrueTypeCmap(ttfFormat12())
+    assert(m(100) == "H" && m(107) == "O")
+    assert(m(7) == new String(Character.toChars(0x1F600)))
+  }
+
+  test("invertTrueTypeCmap: junk and truncated fonts yield empty, never throw") {
+    assert(PdfText.invertTrueTypeCmap(Array.emptyByteArray).isEmpty)
+    assert(PdfText.invertTrueTypeCmap("not an sfnt at all".getBytes(latin1)).isEmpty)
+    assert(PdfText.invertTrueTypeCmap(ttfFormat4().take(30)).isEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // End-to-end: Identity-H PDF without ToUnicode, FontFile2 embedded.
+  // ------------------------------------------------------------------
+
+  private def obj(num: Int, body: Array[Byte]): Array[Byte] =
+    s"$num 0 obj\n".getBytes(latin1) ++ body ++ "\nendobj\n".getBytes(latin1)
+
+  private def cidPdf(font: Array[Byte], gids: Seq[Int],
+      cidToGid: String = ""): Array[Byte] = {
+    val hexStr = gids.map(g => f"$g%04X").mkString
+    val content = s"BT /F1 10 Tf <$hexStr> Tj ET".getBytes(latin1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.6\n".getBytes(latin1))
+    out.write(obj(1, "<< /Type /Catalog /Pages 2 0 R >>".getBytes(latin1)))
+    out.write(obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(latin1)))
+    out.write(obj(3, ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R" +
+      " /Resources << /Font << /F1 5 0 R >> >> >>").getBytes(latin1)))
+    out.write(obj(4, (s"<< /Length ${content.length} >>\nstream\n".getBytes(latin1)
+      ++ content ++ "\nendstream".getBytes(latin1))))
+    out.write(obj(5, ("<< /Type /Font /Subtype /Type0 /BaseFont /Fake" +
+      " /Encoding /Identity-H /DescendantFonts [6 0 R] >>").getBytes(latin1)))
+    out.write(obj(6, ("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake" +
+      cidToGid + " /FontDescriptor 7 0 R >>").getBytes(latin1)))
+    out.write(obj(7, ("<< /Type /FontDescriptor /FontName /Fake" +
+      " /FontFile2 8 0 R >>").getBytes(latin1)))
+    out.write(obj(8, (s"<< /Length ${font.length} >>\nstream\n".getBytes(latin1)
+      ++ font ++ "\nendstream".getBytes(latin1))))
+    out.write("trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n".getBytes(latin1))
+    out.toByteArray
+  }
+
+  test("Identity-H without ToUnicode: text recovered through the embedded cmap") {
+    // gids for "CAB" under the format-4 font: C=3, A=1, B=2; and the
+    // range-offset segment: a=40
+    val pdf = cidPdf(ttfFormat4(), Seq(3, 1, 2, 40))
+    val e = PdfText.extract(pdf)
+    assert(e.status == "clear")
+    assert(e.text == "CABa", s"got [${e.text}]")
+  }
+
+  test("Identity-H: an unmapped gid stays a visible U+FFFD, not mojibake") {
+    val pdf = cidPdf(ttfFormat4(), Seq(3, 999))
+    assert(PdfText.extractText(pdf) == "C\uFFFD")
+  }
+
+  test("Identity-H with a non-Identity CIDToGIDMap keeps the U+FFFD fallback") {
+    // a stream-valued CIDToGIDMap reorders glyphs; inverting the cmap
+    // would produce confidently-wrong text, so the decoder must not
+    val pdf = cidPdf(ttfFormat4(), Seq(3, 1), cidToGid = " /CIDToGIDMap 9 0 R")
+    assert(PdfText.extractText(pdf) == "\uFFFD\uFFFD")
+    // while an explicit /Identity name still recovers
+    val pdf2 = cidPdf(ttfFormat4(), Seq(3, 1), cidToGid = " /CIDToGIDMap /Identity")
+    assert(PdfText.extractText(pdf2) == "CA")
+  }
+}
