@@ -1461,10 +1461,18 @@ object PdfText {
     }
     if (best < 0) return Map.empty
     val m = scala.collection.mutable.HashMap.empty[Int, String]
-    def put(gid: Int, cp: Int): Unit =
-      if (gid > 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF) &&
+    // iteration budget: a WELL-FORMED table enumerates ≤ 64k BMP chars
+    // (segments are disjoint and ascending), but a corrupt one with
+    // overlapping or giant ranges could spin for billions of
+    // iterations inside an executor — bail at 2M chars visited, far
+    // above any real font, and keep whatever inverted cleanly
+    var budget = 1 << 21
+    def put(gid: Int, cp: Int): Unit = {
+      budget -= 1
+      if (gid > 0 && cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF) &&
         !m.contains(gid) && m.size < 0x10000)
         m(gid) = new String(Character.toChars(cp))
+    }
     u16(best) match {
       case 4 =>
         val segX2 = u16(best + 6)
@@ -1481,7 +1489,7 @@ object PdfText {
           val delta = u16(deltaAt + 2 * i)
           val ro = u16(rangeAt + 2 * i)
           var c = start
-          while (c <= end && c != 0xFFFF) {
+          while (c <= end && c != 0xFFFF && budget > 0) {
             if (ro == 0) put((c + delta) & 0xFFFF, c)
             else {
               // idRangeOffset is relative to ITS OWN position (spec)
@@ -1505,7 +1513,7 @@ object PdfText {
             val sc = u32(rec); val ec = u32(rec + 4); val sg = u32(rec + 8)
             var c = sc
             // cap per group: glyph ids are u16 in TrueType anyway
-            while (c <= ec && c - sc <= 0xFFFF) {
+            while (c <= ec && c - sc <= 0xFFFF && budget > 0) {
               put(sg + (c - sc), c)
               c += 1
             }

@@ -96,6 +96,32 @@ class PdfCidSpec extends AnyFunSuite {
     assert(PdfText.invertTrueTypeCmap(ttfFormat4().take(30)).isEmpty)
   }
 
+  test("invertTrueTypeCmap: a hostile format-12 table terminates under the budget") {
+    // 0x10000-group table where every group spans 64k chars over the
+    // same glyph range: a well-formed font never does this; a corrupt
+    // one must neither spin for 2^32 iterations nor throw. Only the
+    // group COUNT is hostile here (the record bytes run off the end,
+    // which the bounds checks skip) -- the point is wall-clock, and
+    // the earlier groups that do parse still invert.
+    val groups = Seq.fill(64)((0, 0xFFFF, 1)) // 64 overlapping 64k spans
+    val sub = new java.io.ByteArrayOutputStream()
+    sub.write(u16(12)); sub.write(u16(0))
+    sub.write(u32(16 + groups.length * 12)); sub.write(u32(0))
+    sub.write(u32(0x10000)) // LIES: claims 65536 groups
+    groups.foreach { case (sc, ec, sg) =>
+      sub.write(u32(sc)); sub.write(u32(ec)); sub.write(u32(sg))
+    }
+    val t0 = System.nanoTime()
+    val m = PdfText.invertTrueTypeCmap(assemble(sub.toByteArray, pidEid = (3, 10)))
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "budget must bound the walk")
+    assert(m.nonEmpty) // the first group inverted before the budget ran out
+    // and a NEGATIVE start char cannot poison the map via toChars
+    val neg = new java.io.ByteArrayOutputStream()
+    neg.write(u16(12)); neg.write(u16(0)); neg.write(u32(28)); neg.write(u32(0))
+    neg.write(u32(1)); neg.write(u32(0x80000000.toInt)); neg.write(u32(0x80000001.toInt)); neg.write(u32(5))
+    assert(!PdfText.invertTrueTypeCmap(assemble(neg.toByteArray, pidEid = (3, 10))).contains(0))
+  }
+
   // ------------------------------------------------------------------
   // End-to-end: Identity-H PDF without ToUnicode, FontFile2 embedded.
   // ------------------------------------------------------------------
