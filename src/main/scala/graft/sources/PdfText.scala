@@ -1583,10 +1583,17 @@ object PdfText {
     })
     if (contentRefs.nonEmpty) {
       val fontCache = collection.mutable.Map.empty[Int, Map[String, UniMap]]
+      // per-document memo keyed by the backing STREAM object number
+      // (a ToUnicode CMap or a FontFile2 program): a 100-page doc
+      // shares its fonts across pages, and re-parsing the same CMap —
+      // or re-inverting the same TrueType cmap — once per page is
+      // 100× wasted work per document
+      val streamMemo = collection.mutable.Map.empty[Int, Option[UniMap]]
       contentRefs.foreach { case (page, n) =>
         byNum.get(n).foreach { o =>
           val fonts = fontCache.getOrElseUpdate(page.num,
-            try fontsOf(page.dict, byNum) catch { case NonFatal(_) => Map.empty })
+            try fontsOf(page.dict, byNum, streamMemo)
+            catch { case NonFatal(_) => Map.empty })
           scanGuarded(o, fonts)
         }
       }
@@ -1610,8 +1617,12 @@ object PdfText {
   /** The page's font resources resolved to their ToUnicode maps:
     * /Resources (inline or ref) → /Font (inline or ref) → per name, a
     * font object whose /ToUnicode stream parses to a [[UniMap]].
-    * Fonts without a CMap are simply absent (Latin-1 passthrough). */
-  private def fontsOf(pageDict: PDict, byNum: Map[Int, PdfObj]): Map[String, UniMap] = {
+    * Fonts without a CMap are simply absent (Latin-1 passthrough).
+    * `streamMemo` caches parse/inversion results per backing stream
+    * object across the DOCUMENT's pages (shared fonts parse once). */
+  private def fontsOf(pageDict: PDict, byNum: Map[Int, PdfObj],
+      streamMemo: collection.mutable.Map[Int, Option[UniMap]] =
+        collection.mutable.Map.empty): Map[String, UniMap] = {
     def asDict(v: Option[PVal]): Option[PDict] = v match {
       case Some(d: PDict) => Some(d)
       case Some(PRef(n)) => byNum.get(n).map(_.dict)
@@ -1621,13 +1632,13 @@ object PdfText {
     fonts.fold(Map.empty[String, UniMap]) { fd =>
       fd.v.flatMap { case (name, v) =>
         asDict(Some(v)).flatMap { fontDict =>
-          val viaCMap = for {
-            toUniRef <- fontDict.v.get("ToUnicode") match {
-              case Some(PRef(n)) => Some(n); case _ => None
-            }
-            obj <- byNum.get(toUniRef)
-            data <- try decodedStream(obj) catch { case NonFatal(_) => None }
-          } yield parseCMap(new String(data, Latin1))
+          val viaCMap = fontDict.v.get("ToUnicode") match {
+            case Some(PRef(n)) => streamMemo.getOrElseUpdate(n, for {
+              obj <- byNum.get(n)
+              data <- try decodedStream(obj) catch { case NonFatal(_) => None }
+            } yield parseCMap(new String(data, Latin1)))
+            case _ => None
+          }
           viaCMap.orElse {
             // simple font with a custom /Encoding << /Differences >>:
             // remapped codes decode through the glyph-name table
@@ -1693,13 +1704,16 @@ object PdfText {
                 // glyphs — the inversion would lie; keep the fallback
                 if desc.v.get("CIDToGIDMap").forall(_ == PName("Identity"))
                 fd <- asDict(desc.v.get("FontDescriptor"))
-                ff <- fd.v.get("FontFile2") match {
-                  case Some(PRef(n)) => byNum.get(n); case _ => None
+                ffRef <- fd.v.get("FontFile2") match {
+                  case Some(PRef(n)) => Some(n); case _ => None
                 }
-                data <- try decodedStream(ff) catch { case NonFatal(_) => None }
-                inv = invertTrueTypeCmap(data)
-                if inv.nonEmpty
-              } yield UniMap(2, inv, cidOnly = true)
+                uni <- streamMemo.getOrElseUpdate(ffRef, for {
+                  ff <- byNum.get(ffRef)
+                  data <- try decodedStream(ff) catch { case NonFatal(_) => None }
+                  inv = invertTrueTypeCmap(data)
+                  if inv.nonEmpty
+                } yield UniMap(2, inv, cidOnly = true))
+              } yield uni
               viaCmap.orElse(Some(UniMap(2, Map.empty, cidOnly = true)))
             } else None
           }.map(name -> _)
