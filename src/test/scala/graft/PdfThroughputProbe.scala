@@ -138,6 +138,84 @@ object PdfThroughputProbe {
     }
   }
 
+  /** Minimal sfnt whose (3,1) format-4 cmap maps space → gid 40 and
+    * 'a'..'z' → gids 1..26 (the paragraph alphabet) — the Identity-H
+    * corpus twin: content shows 2-byte gids, text is recovered by
+    * inverting THIS table (r14 path), memoized once per document. */
+  private[graft] def cidFont(): Array[Byte] = {
+    def u16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val sub = new java.io.ByteArrayOutputStream()
+    sub.write(u16(4)); sub.write(u16(0)); sub.write(u16(0))
+    sub.write(u16(6)); sub.write(u16(0)); sub.write(u16(0)); sub.write(u16(0))
+    Seq(0x20, 'z'.toInt, 0xFFFF).foreach(v => sub.write(u16(v))) // endCode
+    sub.write(u16(0))
+    Seq(0x20, 'a'.toInt, 0xFFFF).foreach(v => sub.write(u16(v))) // startCode
+    Seq(40 - 0x20, 0x10000 - 0x60, 1).foreach(v => sub.write(u16(v & 0xFFFF)))
+    Seq(0, 0, 0).foreach(v => sub.write(u16(v)))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(u32(0x00010000)); out.write(u16(1))
+    out.write(u16(16)); out.write(u16(0)); out.write(u16(0))
+    out.write("cmap".getBytes(latin1)); out.write(u32(0))
+    out.write(u32(28)); out.write(u32(4 + 8 + sub.size()))
+    out.write(u16(0)); out.write(u16(1))
+    out.write(u16(3)); out.write(u16(1)); out.write(u32(12))
+    out.write(sub.toByteArray)
+    out.toByteArray
+  }
+
+  private def gidOf(c: Char): Int = if (c == ' ') 40 else c - 0x60
+
+  /** Identity-H variant of [[buildPdf]]: same paragraphs shown as
+    * 2-byte gid hex strings under a ToUnicode-less Type0 font whose
+    * embedded program is [[cidFont]]. */
+  private[graft] def buildCidPdf(doc: Long, pages: Int, parasPerPage: Int): Array[Byte] = {
+    val font = cidFont()
+    val contentObjs = (0 until pages).map { pg =>
+      val body = new StringBuilder("BT\n/F1 10 Tf\n72 720 Td\n")
+      (0 until parasPerPage).foreach { p =>
+        body.append('<')
+        para(doc, pg * parasPerPage + p).foreach(c => body.append(f"${gidOf(c)}%04X"))
+        body.append("> Tj\n0 -12 Td\n")
+      }
+      body.append("ET")
+      deflate(body.result().getBytes(latin1))
+    }
+    val n = pages
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    val objs = Vector.newBuilder[Array[Byte]]
+    objs += "<< /Type /Catalog /Pages 2 0 R >>".getBytes(latin1)
+    objs += s"<< /Type /Pages /Kids [$kids] /Count $n >>".getBytes(latin1)
+    (0 until n).foreach { i =>
+      objs += (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 ${3 + 2 * n} 0 R >> >> " +
+        s"/Contents ${3 + n + i} 0 R >>").getBytes(latin1)
+    }
+    contentObjs.foreach { payload =>
+      objs += (s"<< /Length ${payload.length} /Filter /FlateDecode >>\nstream\n"
+        .getBytes(latin1) ++ payload ++ "\nendstream".getBytes(latin1))
+    }
+    objs += (s"<< /Type /Font /Subtype /Type0 /BaseFont /Fake /Encoding /Identity-H" +
+      s" /DescendantFonts [${4 + 2 * n} 0 R] >>").getBytes(latin1)
+    objs += (s"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake" +
+      s" /FontDescriptor ${5 + 2 * n} 0 R >>").getBytes(latin1)
+    objs += (s"<< /Type /FontDescriptor /FontName /Fake /FontFile2 ${6 + 2 * n} 0 R >>")
+      .getBytes(latin1)
+    objs += (s"<< /Length ${font.length} >>\nstream\n".getBytes(latin1)
+      ++ font ++ "\nendstream".getBytes(latin1))
+    val bodies = objs.result()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.6\n".getBytes(latin1))
+    bodies.zipWithIndex.foreach { case (b, i) =>
+      out.write(s"${i + 1} 0 obj\n".getBytes(latin1)); out.write(b)
+      out.write("\nendobj\n".getBytes(latin1))
+    }
+    out.write(("trailer\n<< /Size " + (bodies.size + 1) + " /Root 1 0 R >>\n%%EOF\n")
+      .getBytes(latin1))
+    out.toByteArray
+  }
+
   /** One valid PDF: `pages` pages, each its own Flate content stream
     * of `parasPerPage` paragraphs shown line-by-line. */
   private[graft] def buildPdf(doc: Long, pages: Int, parasPerPage: Int,
@@ -256,6 +334,25 @@ object PdfThroughputProbe {
     }
     val textBytes = decoded.agg(sum(length(col("text")))).head().getLong(0)
     println(f"PDFTHRU textBytes=$textBytes (${textBytes * 100.0 / totalBytes}%.1f%% of pdf bytes)")
+    // the ToUnicode-less Identity-H corpus (r14): the same paragraphs
+    // shown as 2-byte gid hex strings, text recovered by inverting the
+    // embedded TrueType cmap (memoized once per document). Guard:
+    // byte-identical text volume to the simple-font corpus.
+    locally {
+      val cidPdfs = spark.range(0, nDocs, 1, 32)
+        .as[Long].map(id => (id, buildCidPdf(id, pages, parasPerPage)))
+        .toDF("doc_id", "payload").persist()
+      cidPdfs.count()
+      graft.sources.PdfText.utlToText(spark, cidPdfs.limit(200)).count() // warm
+      val decCid = timed("decode-cid") {
+        val d = graft.sources.PdfText.utlToText(spark, cidPdfs).persist()
+        d.count(); d
+      }
+      val cidTextBytes = decCid.agg(sum(length(col("text")))).head().getLong(0)
+      require(cidTextBytes == textBytes,
+        s"cid decode must recover identical text volume ($cidTextBytes vs $textBytes)")
+      decCid.unpersist(); cidPdfs.unpersist()
+    }
     // downstream stages on the SAME decoded frame — where decode sits
     // relative to the chunk/embed cost the pipeline already pays
     timed("chunk") { graft.operators.DocPipeline.chunksOf(decoded).count() }
