@@ -933,20 +933,25 @@ object PdfText {
       val r = num("R", 2)
       // V4/V5 route streams through a named crypt filter; /StmF
       // Identity (the default when absent) leaves them unencrypted
+      val stmF = if (v < 4) None else d.get("StmF").collect { case PName(n) => n }
       val cfm: Option[String] =
-        if (v < 4) None
-        else for {
-          stmF <- d.get("StmF").collect { case PName(n) => n }
+        for {
+          f <- stmF
           cf <- d.get("CF").collect { case c: PDict => c }
-          stdCf <- cf.v.get(stmF).collect { case c: PDict => c }
+          stdCf <- cf.v.get(f).collect { case c: PDict => c }
           m <- stdCf.v.get("CFM").collect { case PName(n) => n }
         } yield m
       // V4/V5 CFM table: /V2 = RC4, /AESV2 = AES-128, /AESV3 = AES-256;
       // /None means the filter does NOT decrypt (streams in the clear —
-      // same outcome as /StmF Identity). An unknown CFM is a cipher we
-      // cannot run: its streams ARE encrypted, so surface `unsupported`
-      // rather than scanning ciphertext (don't guess RC4 either way).
-      if (v >= 4 && (cfm.isEmpty || cfm.contains("None"))) NoCrypt // Identity/None: clear
+      // same outcome as /StmF Identity, so NoCrypt). An unknown CFM is
+      // a cipher we cannot run, and a NAMED non-Identity /StmF whose
+      // crypt-filter entry is missing/malformed still means the
+      // streams ARE encrypted: both surface `unsupported` rather than
+      // scanning ciphertext (and never guess RC4).
+      if (v >= 4 && (stmF.isEmpty || stmF.contains("Identity") || cfm.contains("None")))
+        NoCrypt // Identity (explicit or by default) / CFM None: clear
+      else if (v >= 4 && cfm.isEmpty)
+        Blocked(StatusUnsupported) // named filter, unresolvable CFM: encrypted
       else if (v == 4 && !(cfm.contains("V2") || cfm.contains("AESV2")))
         Blocked(StatusUnsupported)
       else if (v >= 5) {

@@ -182,6 +182,34 @@ class PdfStatusSpec extends AnyFunSuite {
     assert(e.status == "decrypted_rc4" && e.text == sample, s"got [${e.text}] ${e.status}")
   }
 
+  test("V4 /StmF: explicit Identity is clear; a named filter with no /CF is unsupported") {
+    def pdfWithDict(encDict: String): Array[Byte] = {
+      val content = "BT (streams in question) Tj ET".getBytes(latin1)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("%PDF-1.6\n".getBytes(latin1))
+      out.write(obj(1, "<< /Type /Catalog /Pages 2 0 R >>".getBytes(latin1)))
+      out.write(obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(latin1)))
+      out.write(obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(latin1)))
+      out.write(obj(4, stream("<< /Length " + content.length + " >>", content)))
+      out.write(obj(5, encDict.getBytes(latin1)))
+      out.write(("trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R" +
+        " /ID [<000102030405060708090A0B0C0D0E0F> <00>] >>\n%%EOF\n").getBytes(latin1))
+      out.toByteArray
+    }
+    val o32 = "4F" * 32
+    // /StmF /Identity explicitly: streams in the clear, readable
+    val idDict = s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44" +
+      s" /O <$o32> /U <${"55" * 32}> /StmF /Identity /CF << >> >>"
+    val eId = PdfText.extract(pdfWithDict(idDict))
+    assert(eId.status == "clear" && eId.text == "streams in question")
+    // /StmF names /StdCF but the /CF table is missing: the streams ARE
+    // encrypted with an unresolvable filter - unsupported, not clear
+    val noCf = s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44" +
+      s" /O <$o32> /U <${"55" * 32}> /StmF /StdCF >>"
+    val eNoCf = PdfText.extract(pdfWithDict(noCf))
+    assert(eNoCf.status == "unsupported" && eNoCf.text == "")
+  }
+
   test("lone /DecodeParms dict pairs with the chain's compressed filter, not index 0") {
     // [/ASCII85Decode /FlateDecode] + a single predictor dict: the
     // parms belong to the Flate position; pairing them with A85 left
