@@ -128,10 +128,14 @@ object Bench {
     * GC/task threads), the noisy driver draws at 4–15 with a second
     * JVM active; 8 splits the observed bands. A query regressed >2×
     * vs the witness whose EVERY draw exceeded the bar gets one retry
-    * on the run's tail (the quietest moment — all other queries done)
-    * and a "load" verdict if still slow; quiet-host regressions
-    * verdict "code". This turns the last narrative step of drift
-    * adjudication into data in bench_full.json. */
+    * on the run's tail (the quietest moment — all other queries
+    * done). The verdict is then recomputed over ALL draws including
+    * the retry: a QUIET retry that is still >2× flips the verdict to
+    * "code" (the strongest evidence available — slow even on an idle
+    * host), a still-busy still-slow run records "load", and a retry
+    * that lands inside 2× records "noise". Quiet-host regressions
+    * verdict "code" with no retry. This turns the last narrative step
+    * of drift adjudication into data in bench_full.json. */
   private[graft] val LoadBar = 8.0
 
   /** Pure drift classification for one query vs the same-SF witness:

@@ -51,13 +51,24 @@ object PdfGen {
     case _ => PdfText.StatusMalformed
   }
 
-  /** Printable-ASCII projection: chars outside [0x20,0x7E] become '?'
-    * (the PDF literal-string payload stays byte-exact through the
-    * Latin-1 round trip and DuckDB mirrors it with one
-    * regexp_replace). On the driver corpora this is the identity —
-    * the documents text is already printable ASCII. */
-  def sanitize(text: String): String =
-    text.map(c => if (c >= ' ' && c <= '~') c else '?')
+  /** Printable-ASCII projection: CODE POINTS outside [0x20,0x7E]
+    * become one '?' apiece (the PDF literal-string payload stays
+    * byte-exact through the Latin-1 round trip and DuckDB mirrors it
+    * with one regexp_replace). Per code point, not per UTF-16 unit:
+    * an astral char must become ONE '?' on both sides or the oracle's
+    * codepoint-based length diverges from Scala's (review r14 — the
+    * driver corpora are pure ASCII today, but the gate must not
+    * silently depend on that). */
+  def sanitize(text: String): String = {
+    val sb = new StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      sb.append(if (cp >= 0x20 && cp <= 0x7E) cp.toChar else '?')
+      i += Character.charCount(cp)
+    }
+    sb.result()
+  }
 
   // -------------------------------------------------------------------
   // Deterministic material: SHA-256 over a tag + doc_id.

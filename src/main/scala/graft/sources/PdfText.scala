@@ -896,21 +896,32 @@ object PdfText {
     // O/U/R keys cannot switch decryption on by itself
     val refPat = java.util.regex.Pattern.compile("/Encrypt\\s+(\\d+)\\s+\\d+\\s+R")
     val m = refPat.matcher(s)
-    var sawRef = false
+    // a ref only COUNTS when it resolves to something shaped like a
+    // security-handler dict (/Filter name + the /V or /O+/U material a
+    // handler must carry, per spec). A '/Encrypt 99 0 R' byte sequence
+    // inside an uncompressed content stream or a string value — or a
+    // stale ref to a since-replaced object — must be NOISE, not a
+    // reason to blank the whole (clear) document as unsupported
+    // (review r14). A ref landing on a content stream's /Filter
+    // /FlateDecode dict is equally noise: compression filters carry no
+    // handler material.
+    var sawHandlerRef = false
     var byRef: Option[PdfObj] = None
     while (m.find()) {
-      sawRef = true
       val n = try m.group(1).toInt catch { case _: NumberFormatException => -1 }
-      // keep the last ref that RESOLVES to a Standard handler — a
-      // stray byte-level match inside a binary payload neither
-      // selects a bogus dict nor shadows the real trailer ref
-      objs.filter(_.num == n).lastOption
-        .filter(_.dict.v.get("Filter").contains(PName("Standard")))
-        .foreach(o => byRef = Some(o))
+      objs.filter(_.num == n).lastOption.foreach { o =>
+        val d = o.dict.v
+        val handlerShaped = d.get("Filter").exists(_.isInstanceOf[PName]) &&
+          (d.contains("V") || (d.contains("O") && d.contains("U")))
+        if (handlerShaped) {
+          sawHandlerRef = true
+          // last Standard-resolving ref wins (incremental updates)
+          if (d.get("Filter").contains(PName("Standard"))) byRef = Some(o)
+        }
+      }
     }
     val encObj = byRef.orElse {
-      if (sawRef) None // refs exist but none resolves to a Standard
-      // handler: a non-standard security handler — unsupported, don't guess
+      if (sawHandlerRef) None // a real handler dict, but not Standard
       else objs.find { o =>
         val d = o.dict.v
         d.get("Filter").contains(PName("Standard")) &&
@@ -918,10 +929,10 @@ object PdfText {
       }
     }
     if (encObj.isEmpty) {
-      // an /Encrypt reference that resolves only to a NON-Standard
-      // handler is a security handler we do not implement; feeding its
+      // an /Encrypt reference that resolves to a NON-Standard handler
+      // is a security handler we do not implement; feeding its
       // ciphertext to the text scanner would be silent garbage
-      if (sawRef) Blocked(StatusUnsupported) else NoCrypt
+      if (sawHandlerRef) Blocked(StatusUnsupported) else NoCrypt
     } else {
       val o = encObj.get
       val d = o.dict.v
@@ -1232,14 +1243,18 @@ object PdfText {
   /** /MacRomanEncoding: the classic-Mac-writer base encoding, whose
     * WHOLE upper half (0x80–0xFF) differs from Latin-1 — accented
     * Latin, smart punctuation at 0xD0–0xD5, ellipsis at 0xC9, the
-    * euro at 0xDB. The map is the published Mac OS Roman charset
-    * (codes ≤ 0x7F equal ASCII, as in Latin-1); PDF's Annex-D table
-    * is a subset of it, and for the handful of codes Annex D leaves
+    * ellipsis at 0xC9. The map is the published Mac OS Roman charset
+    * (codes ≤ 0x7F equal ASCII, as in Latin-1) EXCEPT where PDF's
+    * Annex-D MacRomanEncoding disagrees with the modern charset: PDF
+    * froze the pre-8.5 table, so 0xDB is `currency` (¤, not the euro
+    * that later replaced it) and 0xCA is `space` (not NBSP — which
+    * trim/tokenizers would not strip). For codes Annex D leaves
     * unlisted (the math symbols, 0xF0) the charset value is strictly
     * better than the C1 control the passthrough would emit. Values
     * are \\u escapes so the source stays byte-robust; the table was
-    * generated from the charset, not transcribed by hand (closing the
-    * r13 "partly-remembered table would be worse" boundary). */
+    * generated from the charset + the two Annex-D overrides, not
+    * transcribed by hand (closing the r13 "partly-remembered table
+    * would be worse" boundary). */
   private val MacRomanDelta: Map[Int, String] = Map(
     0x80 -> "\u00C4", 0x81 -> "\u00C5", 0x82 -> "\u00C7", 0x83 -> "\u00C9",
     0x84 -> "\u00D1", 0x85 -> "\u00D6", 0x86 -> "\u00DC", 0x87 -> "\u00E1",
@@ -1259,11 +1274,11 @@ object PdfText {
     0xBC -> "\u00BA", 0xBD -> "\u03A9", 0xBE -> "\u00E6", 0xBF -> "\u00F8",
     0xC0 -> "\u00BF", 0xC1 -> "\u00A1", 0xC2 -> "\u00AC", 0xC3 -> "\u221A",
     0xC4 -> "\u0192", 0xC5 -> "\u2248", 0xC6 -> "\u2206", 0xC7 -> "\u00AB",
-    0xC8 -> "\u00BB", 0xC9 -> "\u2026", 0xCA -> "\u00A0", 0xCB -> "\u00C0",
+    0xC8 -> "\u00BB", 0xC9 -> "\u2026", 0xCA -> " ", 0xCB -> "\u00C0",
     0xCC -> "\u00C3", 0xCD -> "\u00D5", 0xCE -> "\u0152", 0xCF -> "\u0153",
     0xD0 -> "\u2013", 0xD1 -> "\u2014", 0xD2 -> "\u201C", 0xD3 -> "\u201D",
     0xD4 -> "\u2018", 0xD5 -> "\u2019", 0xD6 -> "\u00F7", 0xD7 -> "\u25CA",
-    0xD8 -> "\u00FF", 0xD9 -> "\u0178", 0xDA -> "\u2044", 0xDB -> "\u20AC",
+    0xD8 -> "\u00FF", 0xD9 -> "\u0178", 0xDA -> "\u2044", 0xDB -> "\u00A4",
     0xDC -> "\u2039", 0xDD -> "\u203A", 0xDE -> "\uFB01", 0xDF -> "\uFB02",
     0xE0 -> "\u2021", 0xE1 -> "\u00B7", 0xE2 -> "\u201A", 0xE3 -> "\u201E",
     0xE4 -> "\u2030", 0xE5 -> "\u00C2", 0xE6 -> "\u00CA", 0xE7 -> "\u00C1",
@@ -1472,12 +1487,10 @@ object PdfText {
     // iterations inside an executor — bail at 2M chars visited, far
     // above any real font, and keep whatever inverted cleanly
     var budget = 1 << 21
-    def put(gid: Int, cp: Int): Unit = {
-      budget -= 1
+    def put(gid: Int, cp: Int): Unit =
       if (gid > 0 && cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF) &&
         !m.contains(gid) && m.size < 0x10000)
         m(gid) = new String(Character.toChars(cp))
-    }
     u16(best) match {
       case 4 =>
         val segX2 = u16(best + 6)
@@ -1495,6 +1508,10 @@ object PdfText {
           val ro = u16(rangeAt + 2 * i)
           var c = start
           while (c <= end && c != 0xFFFF && budget > 0) {
+            budget -= 1 // per CHAR VISITED, not per successful put —
+            // else a corrupt table whose lookups all miss (offsets
+            // past EOF, zeroed glyphIdArray) walks unbounded (review
+            // r14)
             if (ro == 0) put((c + delta) & 0xFFFF, c)
             else {
               // idRangeOffset is relative to ITS OWN position (spec)
@@ -1519,6 +1536,7 @@ object PdfText {
             var c = sc
             // cap per group: glyph ids are u16 in TrueType anyway
             while (c <= ec && c - sc <= 0xFFFF && budget > 0) {
+              budget -= 1
               put(sg + (c - sc), c)
               c += 1
             }

@@ -115,6 +115,22 @@ class PdfCidSpec extends AnyFunSuite {
     val m = PdfText.invertTrueTypeCmap(assemble(sub.toByteArray, pidEid = (3, 10)))
     assert((System.nanoTime() - t0) / 1e9 < 5.0, "budget must bound the walk")
     assert(m.nonEmpty) // the first group inverted before the budget ran out
+    // format-4 twin whose lookups all MISS (idRangeOffset far past
+    // EOF): the budget must charge per char VISITED, not per
+    // successful put, or this walks 32767 x 65535 iterations
+    // (review r14)
+    val seg4 = 0x7FFF // 32767 segments (the u16 segCountX2 maximum)
+    val f4 = new java.io.ByteArrayOutputStream()
+    f4.write(u16(4)); f4.write(u16(0)); f4.write(u16(0))
+    f4.write(u16(seg4 * 2)); f4.write(u16(0)); f4.write(u16(0)); f4.write(u16(0))
+    (0 until seg4).foreach(_ => f4.write(u16(0xFFFE))) // endCode: giant spans
+    f4.write(u16(0))
+    (0 until seg4).foreach(_ => f4.write(u16(0))) // startCode 0
+    (0 until seg4).foreach(_ => f4.write(u16(0))) // idDelta
+    (0 until seg4).foreach(_ => f4.write(u16(0x7000))) // idRangeOffset: past EOF
+    val t1 = System.nanoTime()
+    PdfText.invertTrueTypeCmap(assemble(f4.toByteArray))
+    assert((System.nanoTime() - t1) / 1e9 < 5.0, "format-4 miss path must be budgeted")
     // and a NEGATIVE start char cannot poison the map via toChars
     val neg = new java.io.ByteArrayOutputStream()
     neg.write(u16(12)); neg.write(u16(0)); neg.write(u32(28)); neg.write(u32(0))

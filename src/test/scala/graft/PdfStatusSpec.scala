@@ -37,6 +37,9 @@ class PdfStatusSpec extends AnyFunSuite {
   test("PdfGen sanitize mirrors the oracle's printable-ASCII projection") {
     assert(PdfGen.sanitize("ab\u00E9c\nd\te") == "ab?c?d?e")
     assert(PdfGen.sanitize(" edge ") == " edge ")
+    // per CODE POINT: an astral char is ONE '?', matching DuckDB's
+    // codepoint-based regexp_replace + length (review r14)
+    assert(PdfGen.sanitize("a" + new String(Character.toChars(0x1F600)) + "b") == "a?b")
     // trimmed length of the sanitized text is what the report counts
     val t = "\nleading and trailing\n"
     val e = PdfText.extract(PdfGen.payloadFor(0L, PdfGen.sanitize(t)))
@@ -88,9 +91,10 @@ class PdfStatusSpec extends AnyFunSuite {
   }
 
   test("MacRomanEncoding: the classic-Mac upper half decodes (smart punctuation twin)") {
-    // 0xD2"0xD3 quotes, 0xD0/0xD1 dashes, 0xC9 ellipsis, 0xDB euro,
-    // 0x8E e-acute, 0xA5 bullet -- the bytes a Mac writer emits where
-    // a Windows writer emits the WinAnsi 0x80-0x9F block
+    // 0xD2"0xD3 quotes, 0xD0/0xD1 dashes, 0xC9 ellipsis, 0xDB currency
+    // (Annex D froze the pre-euro table), 0x8E e-acute, 0xA5 bullet --
+    // the bytes a Mac writer emits where a Windows writer emits the
+    // WinAnsi 0x80-0x9F block
     val raw = Array[Byte](0xD2.toByte, 'o', 'k', 0xD3.toByte, ' ',
       0xD0.toByte, ' ', 0xD1.toByte, ' ', 0xC9.toByte, ' ', 0xDB.toByte,
       ' ', 0x8E.toByte, ' ', 0xA5.toByte)
@@ -100,8 +104,15 @@ class PdfStatusSpec extends AnyFunSuite {
     val e = PdfText.extract(pdf)
     assert(e.status == "clear")
     assert(e.text ==
-      "\u201Cok\u201D \u2013 \u2014 \u2026 \u20AC \u00E9 \u2022",
+      "\u201Cok\u201D \u2013 \u2014 \u2026 \u00A4 \u00E9 \u2022",
       s"got [${e.text}]")
+    // and the Annex-D space override: 0xCA is a REAL space (trimmable,
+    // tokenizable), not the charset's NBSP
+    val raw2 = Array[Byte]('a', 0xCA.toByte, 'b')
+    val content2 = "BT /F1 10 Tf (".getBytes(latin1) ++ raw2 ++ ") Tj ET".getBytes(latin1)
+    val pdf2 = pageDoc(stream("<< /Length " + content2.length + " >>", content2),
+      " /Resources << /Font << /F1 5 0 R >> >>")
+    assert(PdfText.extractText(pdf2) == "a b")
   }
 
   test("literal string: octal escapes above \\377 wrap mod 256 (spec rule)") {
@@ -180,6 +191,22 @@ class PdfStatusSpec extends AnyFunSuite {
       s" /ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n").getBytes(latin1))
     val e = PdfText.extract(out.toByteArray)
     assert(e.status == "decrypted_rc4" && e.text == sample, s"got [${e.text}] ${e.status}")
+  }
+
+  test("a spoofed or dangling /Encrypt ref cannot blank a clear document") {
+    // '/Encrypt 99 0 R' inside an uncompressed content stream (a doc
+    // QUOTING a PDF trailer) or dangling to no object: noise, not a
+    // reason to report the whole clear file unsupported (review r14)
+    val content = "BT (see the /Encrypt 99 0 R entry in your trailer) Tj ET".getBytes(latin1)
+    val pdf = pageDoc(stream("<< /Length " + content.length + " >>", content))
+    val e = PdfText.extract(pdf)
+    assert(e.status == "clear", s"got ${e.status}")
+    assert(e.text == "see the /Encrypt 99 0 R entry in your trailer")
+    // a ref RESOLVING to a real object that is not handler-shaped
+    // (here the content stream's own dict) is equally noise
+    val content2 = "BT (per /Encrypt 4 0 R above) Tj ET".getBytes(latin1)
+    val pdf2 = pageDoc(stream("<< /Length " + content2.length + " >>", content2))
+    assert(PdfText.extract(pdf2).status == "clear")
   }
 
   test("V4 /StmF: explicit Identity is clear; a named filter with no /CF is unsupported") {
