@@ -135,8 +135,16 @@ object Bench {
     * host), a still-busy still-slow run records "load", and a retry
     * that lands inside 2× records "noise". Quiet-host regressions
     * verdict "code" with no retry. This turns the last narrative step
-    * of drift adjudication into data in bench_full.json. */
-  private[graft] val LoadBar = 8.0
+    * of drift adjudication into data in bench_full.json. The bar is
+    * host-relative — cpus/4 (8.0 on the calibration host's 32 cpus),
+    * floored at 2.0 so a tiny CI box still distinguishes idle from
+    * busy — and overridable via GRAFT_LOAD_BAR for hosts whose
+    * idle/busy bands sit elsewhere (ADVICE r14: the 8.0 constant
+    * misclassified genuinely-busy draws as quiet on smaller hosts). */
+  private[graft] val LoadBar: Double =
+    sys.env.get("GRAFT_LOAD_BAR")
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      .getOrElse(math.max(Runtime.getRuntime.availableProcessors() / 4.0, 2.0))
 
   /** Pure drift classification for one query vs the same-SF witness:
     * None = not regressed (no witness, a failed run, or within 2×);

@@ -888,144 +888,166 @@ object PdfText {
     * element comes from a raw scan of the trailer (or xref-stream
     * dict) bytes — the one value the extractor needs that does not
     * live in an object. */
-  private def cryptState(objs: Vector[PdfObj], s: String): CryptState = try {
-    // resolve via the trailer's (or xref-stream dict's) /Encrypt N G R
-    // reference — LAST occurrence wins (incremental updates); only if
-    // no reference parses anywhere, fall back to duck-typing the
-    // handler dict (damaged trailers), so a random object carrying
-    // O/U/R keys cannot switch decryption on by itself
-    val refPat = java.util.regex.Pattern.compile("/Encrypt\\s+(\\d+)\\s+\\d+\\s+R")
-    val m = refPat.matcher(s)
-    // a ref only COUNTS when it resolves to something shaped like a
-    // security-handler dict (/Filter name + the /V or /O+/U material a
-    // handler must carry, per spec). A '/Encrypt 99 0 R' byte sequence
-    // inside an uncompressed content stream or a string value — or a
-    // stale ref to a since-replaced object — must be NOISE, not a
-    // reason to blank the whole (clear) document as unsupported
-    // (review r14). A ref landing on a content stream's /Filter
-    // /FlateDecode dict is equally noise: compression filters carry no
-    // handler material.
-    var sawHandlerRef = false
-    var byRef: Option[PdfObj] = None
-    while (m.find()) {
-      val n = try m.group(1).toInt catch { case _: NumberFormatException => -1 }
-      objs.filter(_.num == n).lastOption.foreach { o =>
-        val d = o.dict.v
-        val handlerShaped = d.get("Filter").exists(_.isInstanceOf[PName]) &&
-          (d.contains("V") || (d.contains("O") && d.contains("U")))
-        if (handlerShaped) {
-          sawHandlerRef = true
-          // last Standard-resolving ref wins (incremental updates)
-          if (d.get("Filter").contains(PName("Standard"))) byRef = Some(o)
+  private def cryptState(objs: Vector[PdfObj], s: String): CryptState = {
+    // Detection and key derivation carry DIFFERENT failure meanings, so
+    // they get separate catch scopes (ADVICE r14): an unexpected
+    // exception while PROBING for a handler - noise /Encrypt matches in
+    // an otherwise clear document - falls through to NoCrypt and the
+    // text is extracted best-effort, while an exception AFTER a real
+    // Standard handler dict is found means its key cannot be derived,
+    // and scanning its ciphertext would be silent garbage: unsupported.
+    val found: Either[CryptState, PdfObj] = try {
+      // resolve via the trailer's (or xref-stream dict's) /Encrypt N G R
+      // reference — LAST occurrence wins (incremental updates); only if
+      // no reference parses anywhere, fall back to duck-typing the
+      // handler dict (damaged trailers), so a random object carrying
+      // O/U/R keys cannot switch decryption on by itself
+      val refPat = java.util.regex.Pattern.compile("/Encrypt\\s+(\\d+)\\s+\\d+\\s+R")
+      val m = refPat.matcher(s)
+      // a ref only COUNTS when it resolves to something shaped like a
+      // security-handler dict (/Filter name + the /V or /O+/U material a
+      // handler must carry, per spec). A '/Encrypt 99 0 R' byte sequence
+      // inside an uncompressed content stream or a string value — or a
+      // stale ref to a since-replaced object — must be NOISE, not a
+      // reason to blank the whole (clear) document as unsupported
+      // (review r14). A ref landing on a content stream's /Filter
+      // /FlateDecode dict is equally noise: compression filters carry no
+      // handler material.
+      var sawHandlerRef = false
+      var byRef: Option[PdfObj] = None
+      while (m.find()) {
+        val n = try m.group(1).toInt catch { case _: NumberFormatException => -1 }
+        objs.filter(_.num == n).lastOption.foreach { o =>
+          val d = o.dict.v
+          val handlerShaped = d.get("Filter").exists(_.isInstanceOf[PName]) &&
+            (d.contains("V") || (d.contains("O") && d.contains("U")))
+          if (handlerShaped) {
+            sawHandlerRef = true
+            // last Standard-resolving ref wins (incremental updates)
+            if (d.get("Filter").contains(PName("Standard"))) byRef = Some(o)
+          }
         }
       }
-    }
-    val encObj = byRef.orElse {
-      if (sawHandlerRef) None // a real handler dict, but not Standard
-      else objs.find { o =>
-        val d = o.dict.v
-        d.get("Filter").contains(PName("Standard")) &&
-          d.contains("O") && d.contains("U") && d.contains("R")
+      val encObj = byRef.orElse {
+        if (sawHandlerRef) None // a real handler dict, but not Standard
+        else objs.find { o =>
+          val d = o.dict.v
+          d.get("Filter").contains(PName("Standard")) &&
+            d.contains("O") && d.contains("U") && d.contains("R")
+        }
       }
+      encObj match {
+        case Some(o) => Right(o)
+        case None =>
+          // an /Encrypt reference that resolves to a NON-Standard handler
+          // is a security handler we do not implement; feeding its
+          // ciphertext to the text scanner would be silent garbage
+          Left(if (sawHandlerRef) Blocked(StatusUnsupported) else NoCrypt)
+      }
+    } catch { case NonFatal(_) => Left(NoCrypt) }
+    found match {
+      case Left(state) => state
+      case Right(o) =>
+        try deriveEmptyUserKey(o, s)
+        catch { case NonFatal(_) => Blocked(StatusUnsupported) }
     }
-    if (encObj.isEmpty) {
-      // an /Encrypt reference that resolves to a NON-Standard handler
-      // is a security handler we do not implement; feeding its
-      // ciphertext to the text scanner would be silent garbage
-      if (sawHandlerRef) Blocked(StatusUnsupported) else NoCrypt
-    } else {
-      val o = encObj.get
-      val d = o.dict.v
-      def num(k: String, dflt: Int): Int =
-        d.get(k).collect { case PNum(x) => x.toInt }.getOrElse(dflt)
-      def str(k: String): Array[Byte] =
-        d.get(k).collect { case PStr(x) => x.getBytes(Latin1) }.getOrElse(Array.emptyByteArray)
-      val v = num("V", 0)
-      val r = num("R", 2)
-      // V4/V5 route streams through a named crypt filter; /StmF
-      // Identity (the default when absent) leaves them unencrypted
-      val stmF = if (v < 4) None else d.get("StmF").collect { case PName(n) => n }
-      val cfm: Option[String] =
-        for {
-          f <- stmF
-          cf <- d.get("CF").collect { case c: PDict => c }
-          stdCf <- cf.v.get(f).collect { case c: PDict => c }
-          m <- stdCf.v.get("CFM").collect { case PName(n) => n }
-        } yield m
-      // V4/V5 CFM table: /V2 = RC4, /AESV2 = AES-128, /AESV3 = AES-256;
-      // /None means the filter does NOT decrypt (streams in the clear —
-      // same outcome as /StmF Identity, so NoCrypt). An unknown CFM is
-      // a cipher we cannot run, and a NAMED non-Identity /StmF whose
-      // crypt-filter entry is missing/malformed still means the
-      // streams ARE encrypted: both surface `unsupported` rather than
-      // scanning ciphertext (and never guess RC4).
-      if (v >= 4 && (stmF.isEmpty || stmF.contains("Identity") || cfm.contains("None")))
-        NoCrypt // Identity (explicit or by default) / CFM None: clear
-      else if (v >= 4 && cfm.isEmpty)
-        Blocked(StatusUnsupported) // named filter, unresolvable CFM: encrypted
-      else if (v == 4 && !(cfm.contains("V2") || cfm.contains("AESV2")))
+  }
+
+  /** Derive the empty-user-password file key from a resolved Standard
+    * security-handler dict: the V/R dispatch, Algorithm 2 (R2-R4) or
+    * 2.B (R6), and the /U empty-password validation. Throws on
+    * malformed material; [[cryptState]] maps that to unsupported. */
+  private def deriveEmptyUserKey(o: PdfObj, s: String): CryptState = {
+    val d = o.dict.v
+    def num(k: String, dflt: Int): Int =
+      d.get(k).collect { case PNum(x) => x.toInt }.getOrElse(dflt)
+    def str(k: String): Array[Byte] =
+      d.get(k).collect { case PStr(x) => x.getBytes(Latin1) }.getOrElse(Array.emptyByteArray)
+    val v = num("V", 0)
+    val r = num("R", 2)
+    // V4/V5 route streams through a named crypt filter; /StmF
+    // Identity (the default when absent) leaves them unencrypted
+    val stmF = if (v < 4) None else d.get("StmF").collect { case PName(n) => n }
+    val cfm: Option[String] =
+      for {
+        f <- stmF
+        cf <- d.get("CF").collect { case c: PDict => c }
+        stdCf <- cf.v.get(f).collect { case c: PDict => c }
+        m <- stdCf.v.get("CFM").collect { case PName(n) => n }
+      } yield m
+    // V4/V5 CFM table: /V2 = RC4, /AESV2 = AES-128, /AESV3 = AES-256;
+    // /None means the filter does NOT decrypt (streams in the clear —
+    // same outcome as /StmF Identity, so NoCrypt). An unknown CFM is
+    // a cipher we cannot run, and a NAMED non-Identity /StmF whose
+    // crypt-filter entry is missing/malformed still means the
+    // streams ARE encrypted: both surface `unsupported` rather than
+    // scanning ciphertext (and never guess RC4).
+    if (v >= 4 && (stmF.isEmpty || stmF.contains("Identity") || cfm.contains("None")))
+      NoCrypt // Identity (explicit or by default) / CFM None: clear
+    else if (v >= 4 && cfm.isEmpty)
+      Blocked(StatusUnsupported) // named filter, unresolvable CFM: encrypted
+    else if (v == 4 && !(cfm.contains("V2") || cfm.contains("AESV2")))
+      Blocked(StatusUnsupported)
+    else if (v >= 5) {
+      // R5/R6 (AES-256): the user-password route — validation salt
+      // U[32..40), key salt U[40..48); file key = AES-256-CBC(UE)
+      // under the key-salt hash, zero IV
+      val u = str("U"); val ue = str("UE")
+      if (u.length < 48 || ue.length < 32 || !cfm.contains("AESV3"))
         Blocked(StatusUnsupported)
-      else if (v >= 5) {
-        // R5/R6 (AES-256): the user-password route — validation salt
-        // U[32..40), key salt U[40..48); file key = AES-256-CBC(UE)
-        // under the key-salt hash, zero IV
-        val u = str("U"); val ue = str("UE")
-        if (u.length < 48 || ue.length < 32 || !cfm.contains("AESV3"))
-          Blocked(StatusUnsupported)
+      else {
+        val check = hash2B(r, Array.emptyByteArray, u.slice(32, 40), Array.emptyByteArray)
+        if (!java.util.Arrays.equals(check, u.take(32)))
+          Blocked(StatusLocked) // non-empty user password
         else {
-          val check = hash2B(r, Array.emptyByteArray, u.slice(32, 40), Array.emptyByteArray)
-          if (!java.util.Arrays.equals(check, u.take(32)))
-            Blocked(StatusLocked) // non-empty user password
-          else {
-            val ik = hash2B(r, Array.emptyByteArray, u.slice(40, 48), Array.emptyByteArray)
-            val fileKey = aesCbc(javax.crypto.Cipher.DECRYPT_MODE, ik,
-              new Array[Byte](16), ue.take(32))
-            Decrypt(Crypt(fileKey, v, r, aes = true))
-          }
-        }
-      } else {
-        // Algorithm 2 (R2–R4): MD5 over padded password, /O, /P and
-        // the file /ID; R3+ iterates 50×
-        val oBytes = str("O")
-        if (oBytes.length < 32) Blocked(StatusUnsupported)
-        else {
-          val p = num("P", -1)
-          val pLe = Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
-            ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
-          val n = if (r == 2) 5 else math.max(5, math.min(16, num("Length", 40) / 8))
-          // booleans parse as POther, so /EncryptMetadata false is
-          // detected on the raw dict source — whitespace-tolerant, so a
-          // writer's newline between key and value is not missed and the
-          // R4 key left wrong (ADVICE r13)
-          val meta = if (r >= 4 && EncMetaFalse.matcher(o.dictSrc).find())
-            Array[Byte](-1, -1, -1, -1) else Array.emptyByteArray
-          var h = md5(PwPad, oBytes.take(32), pLe, fileId(s), meta)
-          if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(n))
-          val fileKey = h.take(n)
-          // Algorithm 6: validate the EMPTY user password against /U
-          // before decrypting — a wrong password previously decoded to
-          // silent mojibake/empty; now it surfaces as `locked`. R2
-          // compares RC4(key, pad); R3+ compares the first 16 bytes of
-          // the 20-round construction (the tail 16 are arbitrary pad by
-          // spec). A missing/short /U (legacy writers) skips the check
-          // and proceeds best-effort, the pre-r14 behavior.
-          val uBytes = str("U")
-          val uOk = uBytes.length < 16 || {
-            val expect =
-              if (r == 2) rc4(fileKey, PwPad)
-              else {
-                var u = rc4(fileKey, md5(PwPad, fileId(s)))
-                for (i <- 1 to 19) u = rc4(fileKey.map(b => (b ^ i).toByte), u)
-                u
-              }
-            java.util.Arrays.equals(expect.take(16), uBytes.take(16))
-          }
-          if (!uOk) Blocked(StatusLocked)
-          else Decrypt(Crypt(fileKey, v, r, aes = cfm.contains("AESV2")))
+          val ik = hash2B(r, Array.emptyByteArray, u.slice(40, 48), Array.emptyByteArray)
+          val fileKey = aesCbc(javax.crypto.Cipher.DECRYPT_MODE, ik,
+            new Array[Byte](16), ue.take(32))
+          Decrypt(Crypt(fileKey, v, r, aes = true))
         }
       }
+    } else {
+      // Algorithm 2 (R2–R4): MD5 over padded password, /O, /P and
+      // the file /ID; R3+ iterates 50×
+      val oBytes = str("O")
+      if (oBytes.length < 32) Blocked(StatusUnsupported)
+      else {
+        val p = num("P", -1)
+        val pLe = Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+          ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+        val n = if (r == 2) 5 else math.max(5, math.min(16, num("Length", 40) / 8))
+        // booleans parse as POther, so /EncryptMetadata false is
+        // detected on the raw dict source — whitespace-tolerant, so a
+        // writer's newline between key and value is not missed and the
+        // R4 key left wrong (ADVICE r13)
+        val meta = if (r >= 4 && EncMetaFalse.matcher(o.dictSrc).find())
+          Array[Byte](-1, -1, -1, -1) else Array.emptyByteArray
+        var h = md5(PwPad, oBytes.take(32), pLe, fileId(s), meta)
+        if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(n))
+        val fileKey = h.take(n)
+        // Algorithm 6: validate the EMPTY user password against /U
+        // before decrypting — a wrong password previously decoded to
+        // silent mojibake/empty; now it surfaces as `locked`. R2
+        // compares RC4(key, pad); R3+ compares the first 16 bytes of
+        // the 20-round construction (the tail 16 are arbitrary pad by
+        // spec). A missing/short /U (legacy writers) skips the check
+        // and proceeds best-effort, the pre-r14 behavior.
+        val uBytes = str("U")
+        val uOk = uBytes.length < 16 || {
+          val expect =
+            if (r == 2) rc4(fileKey, PwPad)
+            else {
+              var u = rc4(fileKey, md5(PwPad, fileId(s)))
+              for (i <- 1 to 19) u = rc4(fileKey.map(b => (b ^ i).toByte), u)
+              u
+            }
+          java.util.Arrays.equals(expect.take(16), uBytes.take(16))
+        }
+        if (!uOk) Blocked(StatusLocked)
+        else Decrypt(Crypt(fileKey, v, r, aes = cfm.contains("AESV2")))
+      }
     }
-  } catch { case NonFatal(_) => Blocked(StatusUnsupported) }
+  }
 
   /** First element of the trailer /ID array, by raw scan (token
     * `/ID`, then `[ <string> … ]`). Scans BACKWARDS from EOF: trailers
@@ -1457,7 +1479,12 @@ object PdfText {
       t += 1
     }
     if (cmapOff < 0 || cmapOff + 4 > b.length) return Map.empty
-    // choose the best Unicode subtable on offer
+    // choose the best Unicode subtable on offer whose FORMAT we can
+    // invert (4 or 12): scoring by (platform,encoding) alone could
+    // pick e.g. a (3,10) subtable that turns out to be format 6 and
+    // give up while a perfectly good (3,1) format-4 twin sits next to
+    // it (ADVICE r14) - unsupported-format candidates are skipped so
+    // the next-best supported subtable wins
     val nSub = u16(cmapOff + 2)
     var best = -1
     var bestScore = 0
@@ -1474,7 +1501,8 @@ object PdfText {
           case _ => 1
         }
         if (off >= 0 && off + 4 <= b.length && score > bestScore) {
-          best = off; bestScore = score
+          val fmt = u16(off)
+          if (fmt == 4 || fmt == 12) { best = off; bestScore = score }
         }
       }
       k += 1
@@ -1611,7 +1639,7 @@ object PdfText {
       // shares its fonts across pages, and re-parsing the same CMap —
       // or re-inverting the same TrueType cmap — once per page is
       // 100× wasted work per document
-      val streamMemo = collection.mutable.Map.empty[Int, Option[UniMap]]
+      val streamMemo = collection.mutable.Map.empty[(Int, Int), Option[UniMap]]
       contentRefs.foreach { case (page, n) =>
         byNum.get(n).foreach { o =>
           val fonts = fontCache.getOrElseUpdate(page.num,
@@ -1642,9 +1670,13 @@ object PdfText {
     * font object whose /ToUnicode stream parses to a [[UniMap]].
     * Fonts without a CMap are simply absent (Latin-1 passthrough).
     * `streamMemo` caches parse/inversion results per backing stream
-    * object across the DOCUMENT's pages (shared fonts parse once). */
+    * object across the DOCUMENT's pages (shared fonts parse once),
+    * keyed by (kind, objNum) - kind 0 = ToUnicode CMap parse, kind 1
+    * = FontFile2 cmap inversion - so a (pathological) document whose
+    * ToUnicode and FontFile2 cite the SAME object number cannot be
+    * served the wrong cached map type (ADVICE r14). */
   private def fontsOf(pageDict: PDict, byNum: Map[Int, PdfObj],
-      streamMemo: collection.mutable.Map[Int, Option[UniMap]] =
+      streamMemo: collection.mutable.Map[(Int, Int), Option[UniMap]] =
         collection.mutable.Map.empty): Map[String, UniMap] = {
     def asDict(v: Option[PVal]): Option[PDict] = v match {
       case Some(d: PDict) => Some(d)
@@ -1656,7 +1688,7 @@ object PdfText {
       fd.v.flatMap { case (name, v) =>
         asDict(Some(v)).flatMap { fontDict =>
           val viaCMap = fontDict.v.get("ToUnicode") match {
-            case Some(PRef(n)) => streamMemo.getOrElseUpdate(n, for {
+            case Some(PRef(n)) => streamMemo.getOrElseUpdate((0, n), for {
               obj <- byNum.get(n)
               data <- try decodedStream(obj) catch { case NonFatal(_) => None }
             } yield parseCMap(new String(data, Latin1)))
@@ -1730,7 +1762,7 @@ object PdfText {
                 ffRef <- fd.v.get("FontFile2") match {
                   case Some(PRef(n)) => Some(n); case _ => None
                 }
-                uni <- streamMemo.getOrElseUpdate(ffRef, for {
+                uni <- streamMemo.getOrElseUpdate((1, ffRef), for {
                   ff <- byNum.get(ffRef)
                   data <- try decodedStream(ff) catch { case NonFatal(_) => None }
                   inv = invertTrueTypeCmap(data)

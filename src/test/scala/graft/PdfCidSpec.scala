@@ -192,4 +192,68 @@ class PdfCidSpec extends AnyFunSuite {
     val pdf2 = cidPdf(ttfFormat4(), Seq(3, 1), cidToGid = " /CIDToGIDMap /Identity")
     assert(PdfText.extractText(pdf2) == "CA")
   }
+
+  test("invertTrueTypeCmap: a format-6 decoy subtable falls back to the format-4 twin") {
+    // ADVICE r14: the best-SCORING subtable -- (3,10) outranks (3,1)
+    // -- points at a format-6 table the inverter does not support.
+    // Selection must skip it and invert the supported (3,1) format-4
+    // sibling instead of returning empty.
+    val f4 = ttfFormat4()
+    // rip the raw format-4 subtable back out of the one-table sfnt
+    // (it starts right after the 12+16 header + 4+8 cmap preamble)
+    val sub4 = f4.drop(12 + 16 + 4 + 8)
+    val decoy = new java.io.ByteArrayOutputStream()
+    decoy.write(u16(6)); decoy.write(u16(20)); decoy.write(u16(0)) // format 6
+    decoy.write(u16(0x41)); decoy.write(u16(2)) // firstCode, entryCount
+    decoy.write(u16(1)); decoy.write(u16(2)) // glyphIdArray
+    val d = decoy.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(u32(0x00010000)); out.write(u16(1))
+    out.write(u16(16)); out.write(u16(0)); out.write(u16(0))
+    val cmapOff = 12 + 16
+    val preamble = 4 + 2 * 8 // version/count + TWO records
+    out.write("cmap".getBytes(latin1)); out.write(u32(0))
+    out.write(u32(cmapOff)); out.write(u32(preamble + d.length + sub4.length))
+    out.write(u16(0)); out.write(u16(2)) // 2 subtables
+    out.write(u16(3)); out.write(u16(10)); out.write(u32(preamble)) // decoy first
+    out.write(u16(3)); out.write(u16(1)); out.write(u32(preamble + d.length))
+    out.write(d); out.write(sub4)
+    val m = PdfText.invertTrueTypeCmap(out.toByteArray)
+    assert(m(1) == "A" && m(40) == "a", s"format-4 fallback lost: $m")
+  }
+
+  test("shared object number between ToUnicode and FontFile2 keeps both map kinds") {
+    // ADVICE r14: streamMemo shared one object-number keyspace, so a
+    // document whose simple font's /ToUnicode and whose Type0 font's
+    // /FontFile2 cite the SAME object returned the wrong cached
+    // UniMap type for one of them. Object 8 is a 1-byte CMap mapping
+    // 'X' -> 'Q': font F1 must decode through it, while font F2's
+    // FontFile2 inversion of the same bytes fails (not an sfnt) and
+    // must fall to U+FFFD-per-CID -- never to the cached 1-byte CMap.
+    val cmap = ("1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+      "1 beginbfchar\n<58> <0051>\nendbfchar\n").getBytes(latin1)
+    val content = "BT /F1 10 Tf (X) Tj ET BT /F2 10 Tf <00030001> Tj ET"
+      .getBytes(latin1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.6\n".getBytes(latin1))
+    out.write(obj(1, "<< /Type /Catalog /Pages 2 0 R >>".getBytes(latin1)))
+    out.write(obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(latin1)))
+    out.write(obj(3, ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R" +
+      " /Resources << /Font << /F1 9 0 R /F2 5 0 R >> >> >>").getBytes(latin1)))
+    out.write(obj(4, (s"<< /Length ${content.length} >>\nstream\n".getBytes(latin1)
+      ++ content ++ "\nendstream".getBytes(latin1))))
+    out.write(obj(5, ("<< /Type /Font /Subtype /Type0 /BaseFont /Fake" +
+      " /Encoding /Identity-H /DescendantFonts [6 0 R] >>").getBytes(latin1)))
+    out.write(obj(6, ("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake" +
+      " /FontDescriptor 7 0 R >>").getBytes(latin1)))
+    out.write(obj(7, ("<< /Type /FontDescriptor /FontName /Fake" +
+      " /FontFile2 8 0 R >>").getBytes(latin1)))
+    out.write(obj(8, (s"<< /Length ${cmap.length} >>\nstream\n".getBytes(latin1)
+      ++ cmap ++ "\nendstream".getBytes(latin1))))
+    out.write(obj(9, ("<< /Type /Font /Subtype /Type1 /BaseFont /Helv" +
+      " /ToUnicode 8 0 R >>").getBytes(latin1)))
+    out.write("trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n".getBytes(latin1))
+    val text = PdfText.extractText(out.toByteArray)
+    assert(text == "Q\uFFFD\uFFFD", s"got [$text]")
+  }
 }

@@ -45,12 +45,17 @@ whitespace split, no punctuation stripping).
 Correctness inputs remain the driver's parquet — this output is only
 for the one-off scaling measurement recorded in SURVEY §6.
 """
+import re
 import sys
 from pathlib import Path
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+# compiled once at module scope (ADVICE r14: recompiling inside the
+# per-table per-batch column loop was avoidably slow at large copies)
+_SALT_SUB = re.compile(r"\S+").sub
 
 # table -> columns to shift, grouped by key family (same family =
 # same stride, so cross-table joins stay consistent)
@@ -120,12 +125,10 @@ def main():
                     # newlines; a space-only split would leave interior
                     # tokens unsalted and let some shingles collide
                     # cross-copy), whitespace preserved
-                    import re
                     field_t = tbl.schema.field(name).type
-                    sub = re.compile(r"\S+").sub
                     rep = f"\\g<0>~s{i}"
                     col = pa.array(
-                        [None if v is None else sub(rep, v)
+                        [None if v is None else _SALT_SUB(rep, v)
                          for v in col.combine_chunks().to_pylist()],
                         type=field_t)
                 cols.append(col)
