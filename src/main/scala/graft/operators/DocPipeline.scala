@@ -448,8 +448,27 @@ object DocPipeline {
         sum("extract_chars").as("total_chars"))
       .orderBy("extract_status")
 
+  /** The CID decode gate (r15, VERDICT r14 item 1): every document
+    * becomes a ToUnicode-less Identity-H PDF whose embedded TrueType
+    * cmap (format 4 under a permuted glyphIdArray for even doc_ids,
+    * format 12 for odd — [[graft.sources.PdfGen.cidTable]]) is the
+    * ONLY route back to the text, and the gate demands the recovered
+    * text BYTE-EXACT per document — the strongest possible check on
+    * the r14 inversion path, which until now was spec-pinned but
+    * never hash-checked. The DuckDB oracle predicts the exact text
+    * from the documents column alone (the sanitize projection + trim),
+    * so any inversion defect — wrong subtable, off-by-one segment
+    * arithmetic, byte-order slip — diverges the hash. Same topology
+    * as [[extractReport]]: narrow synthesize+decode map, no shuffle
+    * before the output sort. */
+  def extractCid(s: SparkSession, dir: String): DataFrame =
+    graft.sources.PdfText.utlToTextReport(s, graft.sources.PdfGen.cidTable(s, dir))
+      .select(col("doc_id"), col("extract_status"), col("text"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_extract_report" -> (extractReport _),
+    "doc_extract_cid" -> (extractCid _),
     "doc_chunk" -> (chunksOrdered _),
     "doc_chunk_chars" -> (chunksByChars _),
     "doc_chunk_sentence" -> (chunksBySentence _),
@@ -480,6 +499,15 @@ object DocPipeline {
         |  count(*) AS n_docs,
         |  CAST(sum(CASE WHEN k <= 2 THEN chars ELSE 0 END) AS BIGINT) AS total_chars
         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+    // byte-exact text equality through the Identity-H round trip: the
+    // oracle never sees a PDF — it predicts the recovered text from
+    // the documents column via the same sanitize projection the
+    // generator applies (codepoint-wise printable-ASCII '?'
+    // substitution, then the trim extract() performs).
+    "doc_extract_cid" ->
+      """SELECT doc_id, 'clear' AS extract_status,
+        |  trim(regexp_replace(text, '[^\x20-\x7e]', '?', 'g')) AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_chunk" ->
       s"""$chunkCte
          |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,

@@ -290,4 +290,126 @@ object PdfGen {
       .mapPartitions(_.map { case (id, t) => (id, payloadFor(id, sanitize(t))) })
       .toDF("doc_id", "payload")
   }
+
+  // -------------------------------------------------------------------
+  // Identity-H / CID class (r15, VERDICT r14 item 1): the forward
+  // twin of PdfText's TrueType cmap inversion. Each documents row
+  // becomes a ToUnicode-less Identity-H Type0 PDF whose embedded
+  // TrueType carries a real cmap — format 4 with the FULL
+  // glyphIdArray indirection under a permuted gid assignment (even
+  // doc_ids) or a format-12 group (odd doc_ids) — and whose content
+  // stream shows the text as 2-byte gid hex strings. The decoder can
+  // only recover the text by actually inverting the cmap: the gid
+  // permutation (x37 mod 95) makes a passthrough or off-by-one
+  // inversion visibly wrong, and the two flavors pin both subtable
+  // formats end-to-end. The cmap spec here is the public sfnt format
+  // (OpenType/TrueType); the builder is independent of both
+  // PdfText's inverter and PdfCidSpec's fixture builder.
+  // -------------------------------------------------------------------
+
+  private def u16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def u32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Printable-ASCII code points [0x20,0x7E]: the whole [[sanitize]]d
+    * alphabet, 95 chars. */
+  private val CidLo = 0x20
+  private val CidN = 95
+
+  /** Flavor 0 gid for a sanitized char: a x37-mod-95 permutation of
+    * the alphabet, 1-based (gid 0 = .notdef is never assigned). 37 is
+    * coprime to 95, so the map is a bijection — each gid inverts to
+    * exactly one char. */
+  private[graft] def gid4(c: Char): Int = ((c - CidLo) * 37 % CidN) + 1
+
+  /** Flavor 1 gid: one contiguous format-12 group at +100. */
+  private[graft] def gid12(c: Char): Int = c - CidLo + 100
+
+  /** sfnt wrapper: header + a one-entry table directory + the cmap
+    * table with a single (3,1) or (3,10) subtable. */
+  private def sfnt(subtable: Array[Byte], pid: Int, eid: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(u32(0x00010000)); out.write(u16(1)) // scaler, 1 table
+    out.write(u16(16)); out.write(u16(0)); out.write(u16(0)) // search fields
+    val cmapOff = 12 + 16
+    out.write("cmap".getBytes(Latin1)); out.write(u32(0)) // tag, checksum
+    out.write(u32(cmapOff)); out.write(u32(4 + 8 + subtable.length))
+    out.write(u16(0)); out.write(u16(1)) // cmap version, 1 subtable
+    out.write(u16(pid)); out.write(u16(eid)); out.write(u32(12))
+    out.write(subtable)
+    out.toByteArray
+  }
+
+  /** Flavor 0: format-4 cmap, one mapped segment [0x20..0x7E] whose
+    * idRangeOffset indirects EVERY lookup through a 95-entry
+    * glyphIdArray holding the [[gid4]] permutation, plus the
+    * mandatory 0xFFFF terminal segment. */
+  private[graft] lazy val cidFont4: Array[Byte] = {
+    val segX2 = 2 * 2 // two segments
+    val sub = new java.io.ByteArrayOutputStream()
+    val subLen = 16 + segX2 * 4 + CidN * 2
+    sub.write(u16(4)); sub.write(u16(subLen)); sub.write(u16(0))
+    sub.write(u16(segX2)); sub.write(u16(0)); sub.write(u16(0)); sub.write(u16(0))
+    sub.write(u16(0x7E)); sub.write(u16(0xFFFF)) // endCode
+    sub.write(u16(0)) // reservedPad
+    sub.write(u16(CidLo)); sub.write(u16(0xFFFF)) // startCode
+    sub.write(u16(0)); sub.write(u16(1)) // idDelta
+    // entry 0 sits 2 entries (4 bytes) before the glyphIdArray, so an
+    // offset of 4 lands lookups at array[ c - start ]
+    sub.write(u16(4)); sub.write(u16(0)) // idRangeOffset
+    (0 until CidN).foreach(j => sub.write(u16(gid4((CidLo + j).toChar))))
+    sfnt(sub.toByteArray, 3, 1)
+  }
+
+  /** Flavor 1: format-12 cmap, one group covering the alphabet at
+    * startGlyph 100 ([[gid12]]). */
+  private[graft] lazy val cidFont12: Array[Byte] = {
+    val sub = new java.io.ByteArrayOutputStream()
+    sub.write(u16(12)); sub.write(u16(0)) // format 12.0
+    sub.write(u32(16 + 12)); sub.write(u32(0)) // length, language
+    sub.write(u32(1)) // one group
+    sub.write(u32(CidLo)); sub.write(u32(0x7E)); sub.write(u32(100))
+    sfnt(sub.toByteArray, 3, 10)
+  }
+
+  /** One ToUnicode-less Identity-H PDF: the sanitized text is shown
+    * as 2-byte gid codes under the flavor's embedded TrueType. */
+  def cidPdf(docId: Long, text: String): Array[Byte] = {
+    val f4 = docId % 2 == 0
+    val font = if (f4) cidFont4 else cidFont12
+    val hex = new StringBuilder(text.length * 4)
+    text.foreach { c =>
+      val g = if (f4) gid4(c) else gid12(c)
+      hex.append(f"$g%04X")
+    }
+    val contentBytes = s"BT /F1 10 Tf <$hex> Tj ET".getBytes(Latin1)
+    val bodies = Seq[Either[String, Array[Byte]]](
+      Left("<< /Type /Catalog /Pages 2 0 R >>"),
+      Left("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      Left("<< /Type /Page /Parent 2 0 R /Contents 4 0 R" +
+        " /Resources << /Font << /F1 5 0 R >> >> >>"),
+      Right(contentBytes),
+      Left("<< /Type /Font /Subtype /Type0 /BaseFont /GraftCid" +
+        " /Encoding /Identity-H /DescendantFonts [6 0 R] >>"),
+      Left("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCid" +
+        " /FontDescriptor 7 0 R >>"), // /CIDToGIDMap defaults to Identity
+      Left("<< /Type /FontDescriptor /FontName /GraftCid /Flags 4" +
+        " /FontFile2 8 0 R >>"),
+      Right(font))
+    assemble(bodies, "")
+  }
+
+  /** Binary Identity-H PDF table — (doc_id, payload), flavor cycling
+    * with doc_id parity. Same topology as [[pdfTable]]: narrow map,
+    * no shuffle, documents pruned to (doc_id, text). */
+  def cidTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, cidPdf(id, sanitize(t))) })
+      .toDF("doc_id", "payload")
+  }
 }

@@ -193,6 +193,26 @@ class PdfCidSpec extends AnyFunSuite {
     assert(PdfText.extractText(pdf2) == "CA")
   }
 
+  test("PdfGen cidPdf: both flavors round-trip the full printable alphabet byte-exact") {
+    // the doc_extract_cid gate's unit twin (r15): the forward builder
+    // lives in main scope (PdfGen), the inverter in PdfText; the
+    // alphabet string exercises every one of the 95 gids in both the
+    // permuted format-4 glyphIdArray and the format-12 group.
+    val alphabet = (0x20 to 0x7E).map(_.toChar).mkString
+    for (docId <- Seq(0L, 1L)) { // flavor = parity
+      val e = PdfText.extract(graft.sources.PdfGen.cidPdf(docId, alphabet))
+      assert(e.status == "clear", s"docId=$docId status=${e.status}")
+      assert(e.text == alphabet.trim, s"docId=$docId got [${e.text}]")
+    }
+    // the x37-mod-95 gid assignment is a bijection (inversion can
+    // never merge two chars into one gid)
+    val gids = (0x20 to 0x7E).map(c => graft.sources.PdfGen.gid4(c.toChar))
+    assert(gids.distinct.size == 95 && gids.forall(g => g >= 1 && g <= 95))
+    // and it is NOT the identity layout: a decoder that ignored the
+    // glyphIdArray indirection would produce visibly wrong text
+    assert(gids != (1 to 95).toSeq)
+  }
+
   test("invertTrueTypeCmap: a format-6 decoy subtable falls back to the format-4 twin") {
     // ADVICE r14: the best-SCORING subtable -- (3,10) outranks (3,1)
     // -- points at a format-6 table the inverter does not support.
