@@ -146,7 +146,7 @@ class PdfCidSpec extends AnyFunSuite {
     s"$num 0 obj\n".getBytes(latin1) ++ body ++ "\nendobj\n".getBytes(latin1)
 
   private def cidPdf(font: Array[Byte], gids: Seq[Int],
-      cidToGid: String = ""): Array[Byte] = {
+      cidToGid: String = "", fontKey: String = "FontFile2"): Array[Byte] = {
     val hexStr = gids.map(g => f"$g%04X").mkString
     val content = s"BT /F1 10 Tf <$hexStr> Tj ET".getBytes(latin1)
     val out = new java.io.ByteArrayOutputStream()
@@ -159,13 +159,78 @@ class PdfCidSpec extends AnyFunSuite {
       ++ content ++ "\nendstream".getBytes(latin1))))
     out.write(obj(5, ("<< /Type /Font /Subtype /Type0 /BaseFont /Fake" +
       " /Encoding /Identity-H /DescendantFonts [6 0 R] >>").getBytes(latin1)))
-    out.write(obj(6, ("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake" +
-      cidToGid + " /FontDescriptor 7 0 R >>").getBytes(latin1)))
+    out.write(obj(6, ("<< /Type /Font /Subtype " +
+      (if (fontKey == "FontFile2") "/CIDFontType2" else "/CIDFontType0") +
+      " /BaseFont /Fake" + cidToGid + " /FontDescriptor 7 0 R >>").getBytes(latin1)))
     out.write(obj(7, ("<< /Type /FontDescriptor /FontName /Fake" +
-      " /FontFile2 8 0 R >>").getBytes(latin1)))
+      s" /$fontKey 8 0 R >>").getBytes(latin1)))
     out.write(obj(8, (s"<< /Length ${font.length} >>\nstream\n".getBytes(latin1)
       ++ font ++ "\nendstream".getBytes(latin1))))
     out.write("trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n".getBytes(latin1))
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Forward CFF builders (r15): independent of PdfText's parser, so
+  // the round trip crosses two implementations of the public CFF
+  // format (INDEX / Top DICT / charset structures).
+  // ------------------------------------------------------------------
+
+  /** A minimal structurally-valid CFF. `names` = glyph names for gids
+    * 1..k via custom SIDs in the String INDEX (name-keyed), OR
+    * `cids` = charset CIDs for gids 1..k with a /ROS (CID-keyed).
+    * Charset is format 0; all Top DICT offsets are absolute 5-byte
+    * (op 29) encodings so the layout is computable in one pass. */
+  private def cff(names: Seq[String] = Nil, cids: Seq[Int] = Nil): Array[Byte] = {
+    val cid = cids.nonEmpty
+    val k = if (cid) cids.length else names.length
+    val n = k + 1 // + .notdef
+    val header = Array[Byte](1, 0, 4, 4)
+    // Name INDEX: one entry "T"
+    val nameIdx = u16(1) ++ Array[Byte](1, 1, 2) ++ "T".getBytes(latin1)
+    val topDictLen = (if (cid) 17 else 0) + 12 // [ROS] + charset + CharStrings
+    val topIdx0 = u16(1) ++ Array[Byte](1, 1, (1 + topDictLen).toByte)
+    val topEnd = 4 + nameIdx.length + topIdx0.length + topDictLen
+    val strIdx =
+      if (cid) u16(0)
+      else {
+        val offs = names.scanLeft(1)(_ + _.length)
+        u16(names.length) ++ Array[Byte](2) ++
+          offs.flatMap(o => u16(o)).toArray ++
+          names.mkString.getBytes(latin1)
+      }
+    val charsetOff = topEnd + strIdx.length
+    val charset = Array[Byte](0) ++ // format 0
+      (1 until n).flatMap(g => u16(if (cid) cids(g - 1) else 391 + (g - 1))).toArray
+    val charStringsOff = charsetOff + charset.length
+    // CharStrings INDEX: n entries of one dummy byte each
+    val charStrings = u16(n) ++ Array[Byte](1) ++
+      (1 to n + 1).map(_.toByte).toArray ++ Array.fill[Byte](n)(0x0e) // endchar
+    def op29(v: Int, op: Int) = Array[Byte](29) ++ u32(v) ++ Array[Byte](op.toByte)
+    val topDict =
+      (if (cid) // ROS: registry SID, ordering SID, supplement, op 12 30
+        Array[Byte](29) ++ u32(0) ++ Array[Byte](29) ++ u32(0) ++
+        Array[Byte](29) ++ u32(0) ++ Array[Byte](12, 30)
+      else Array.emptyByteArray) ++
+      op29(charsetOff, 15) ++ op29(charStringsOff, 17)
+    assert(topDict.length == topDictLen, s"${topDict.length} != $topDictLen")
+    header ++ nameIdx ++ topIdx0 ++ topDict ++ strIdx ++ charset ++ charStrings
+  }
+
+  /** An OpenType wrapper: sfnt with a `cmap` (the format-4 subtable
+    * ripped from [[ttfFormat4]]) and a `CFF ` table side by side. */
+  private def openTypeCff(cffBytes: Array[Byte]): Array[Byte] = {
+    val sub4 = ttfFormat4().drop(12 + 16 + 4 + 8) // raw format-4 subtable
+    val cmap = u16(0) ++ u16(1) ++ u16(3) ++ u16(1) ++ u32(12) ++ sub4
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(u32(0x4F54544F)); out.write(u16(2)) // OTTO, 2 tables
+    out.write(u16(16)); out.write(u16(0)); out.write(u16(0))
+    val dirEnd = 12 + 2 * 16
+    out.write("CFF ".getBytes(latin1)); out.write(u32(0))
+    out.write(u32(dirEnd)); out.write(u32(cffBytes.length))
+    out.write("cmap".getBytes(latin1)); out.write(u32(0))
+    out.write(u32(dirEnd + cffBytes.length)); out.write(u32(cmap.length))
+    out.write(cffBytes); out.write(cmap)
     out.toByteArray
   }
 
@@ -211,6 +276,96 @@ class PdfCidSpec extends AnyFunSuite {
     // and it is NOT the identity layout: a decoder that ignored the
     // glyphIdArray indirection would produce visibly wrong text
     assert(gids != (1 to 95).toSeq)
+  }
+
+  test("bare name-keyed CFF (/FontFile3) recovers text byte-identically to the TrueType twin") {
+    // gids 1..4 get glyph names via custom String INDEX SIDs; the
+    // name -> unicode route is the same AGL resolution /Differences
+    // uses. The recovered text must equal the TrueType twin's, so the
+    // two embedded-font classes are interchangeable to a reader.
+    val font = cff(names = Seq("C", "A", "B", "a"))
+    val e = PdfText.extract(cidPdf(font, Seq(1, 2, 3, 4), fontKey = "FontFile3"))
+    assert(e.status == "clear")
+    assert(e.text == "CABa", s"got [${e.text}]")
+    val twin = PdfText.extract(cidPdf(ttfFormat4(), Seq(3, 1, 2, 40)))
+    assert(e.text == twin.text)
+  }
+
+  test("bare name-keyed CFF resolves standard-string SIDs too") {
+    // charset cites standard SIDs directly (34 = 'A', 1 = 'space',
+    // 104 = 'quotesingle'): no String INDEX entry needed
+    val font = cff(cids = Seq(34, 1, 104)) // reuse the SID writer...
+    // ...but cids= sets /ROS; build the name-keyed variant by hand:
+    // a format-0 charset with std SIDs and an empty String INDEX
+    val patched = cff(names = Seq("x", "y", "z"))
+    // overwrite the three charset SIDs (391, 392, 393) with 34, 1, 104
+    val needle = Array[Byte](0, 0x01.toByte, 0x87.toByte) // fmt0 + u16(391)
+    val at = patched.indexOfSlice(needle)
+    assert(at > 0, "charset not found")
+    val bytes = patched.clone()
+    def put16(i: Int, v: Int): Unit = {
+      bytes(i) = ((v >> 8) & 0xff).toByte; bytes(i + 1) = (v & 0xff).toByte
+    }
+    put16(at + 1, 34); put16(at + 3, 1); put16(at + 5, 104)
+    val e = PdfText.extract(cidPdf(bytes, Seq(1, 2, 3), fontKey = "FontFile3"))
+    assert(e.text == "A '", s"got [${e.text}]")
+    assert(font.nonEmpty) // (the cids variant is exercised below)
+  }
+
+  test("OpenType-wrapped CID-keyed CFF composes the charset with the cmap inversion") {
+    // inner CFF: CID-keyed, charset maps gid g -> cid g+50 for gids
+    // 1..45 (covers the cmap's A..Z = 1..26 and a..c = 40..42); the
+    // content stream shows CIDs, so a decoder that skipped the
+    // charset composition (treating cids as gids) would miss: gid 51
+    // is unmapped in the cmap.
+    val inner = cff(cids = (1 to 45).map(_ + 50))
+    val pdf = cidPdf(openTypeCff(inner), Seq(51, 52, 90), fontKey = "FontFile3")
+    val got = PdfText.extractText(pdf)
+    assert(got == "ABa", s"got [$got]")
+  }
+
+  test("bare CID-keyed CFF keeps the U+FFFD fallback, never invented text") {
+    // a CID-keyed CFF without a cmap carries no unicode information;
+    // the honest answer is the visible per-CID fallback
+    val font = cff(cids = Seq(1, 2, 3, 4))
+    val got = PdfText.extractText(cidPdf(font, Seq(1, 2), fontKey = "FontFile3"))
+    assert(got == "\uFFFD\uFFFD", s"got [$got]")
+  }
+
+  test("hostile CFF: lying glyph counts and truncated charsets stay fast and total") {
+    // 64k-glyph claim with a format-2 charset range covering it all:
+    // the name route must walk it in bounded time (sids above the
+    // standard range resolve to None)
+    val hostile = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](1, 0, 4, 4)) // header
+      out.write(u16(1)); out.write(Array[Byte](1, 1, 2)); out.write('T'.toInt) // Name INDEX
+      out.write(u16(1)); out.write(Array[Byte](1, 1, 13)) // Top DICT INDEX, len 12
+      val charsetOff = 4 + 6 + 5 + 12 + 2
+      out.write(Array[Byte](29)); out.write(u32(charsetOff)); out.write(15)
+      out.write(Array[Byte](29)); out.write(u32(charsetOff + 5)); out.write(17)
+      out.write(u16(0)) // empty String INDEX
+      out.write(2); out.write(u16(0)); out.write(u16(0xFFFF)) // charset fmt 2
+      out.write(u16(0xFFFF)) // CharStrings count: 65535 glyphs
+      out.toByteArray
+    }
+    val t0 = System.nanoTime()
+    val m = PdfText.invertEmbeddedFont(hostile)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "hostile CFF must be bounded")
+    assert(m.nonEmpty) // the standard-SID prefix still resolved
+    // truncation ladder: every prefix parses to empty or partial,
+    // never throws
+    Seq(3, 10, 20, 28, 33, hostile.length - 1).foreach { cut =>
+      PdfText.invertEmbeddedFont(hostile.take(cut))
+    }
+    assert(PdfText.invertEmbeddedFont("not a font".getBytes(latin1)).isEmpty)
+  }
+
+  test("invertEmbeddedFont dispatches plain TrueType unchanged") {
+    assert(PdfText.invertEmbeddedFont(ttfFormat4()) ==
+      PdfText.invertTrueTypeCmap(ttfFormat4()))
+    assert(PdfText.invertEmbeddedFont(ttfFormat12()) ==
+      PdfText.invertTrueTypeCmap(ttfFormat12()))
   }
 
   test("invertTrueTypeCmap: a format-6 decoy subtable falls back to the format-4 twin") {

@@ -26,7 +26,7 @@ object PdfThroughputProbe {
 
   /** Deterministic paragraph text for (doc, para) — enough entropy to
     * defeat trivial dedup, fixed per seed so runs are comparable. */
-  private def para(doc: Long, p: Int): String = {
+  private[graft] def para(doc: Long, p: Int): String = {
     val sb = new StringBuilder
     var x = doc * 2654435761L + p * 40503L + 12345L
     var i = 0
@@ -167,16 +167,49 @@ object PdfThroughputProbe {
 
   private def gidOf(c: Char): Int = if (c == ' ') 40 else c - 0x60
 
+  /** Bare name-keyed CFF whose charset names gids 1..26 'a'..'z' and
+    * gid 27 'space' through custom String INDEX SIDs — the r15
+    * /FontFile3 twin of [[cidFont]]; text is recovered through the
+    * charset → SID → glyph-name → AGL route. */
+  private[graft] def cffFont(): Array[Byte] = {
+    def u16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val names = ('a' to 'z').map(_.toString) :+ "space"
+    val n = names.length + 1 // + .notdef
+    val header = Array[Byte](1, 0, 4, 4)
+    val nameIdx = u16(1) ++ Array[Byte](1, 1, 2) ++ "T".getBytes(latin1)
+    val topDictLen = 12
+    val topIdx0 = u16(1) ++ Array[Byte](1, 1, (1 + topDictLen).toByte)
+    val topEnd = 4 + nameIdx.length + topIdx0.length + topDictLen
+    val offs = names.scanLeft(1)(_ + _.length)
+    val strIdx = u16(names.length) ++ Array[Byte](2) ++
+      offs.flatMap(u16).toArray ++ names.mkString.getBytes(latin1)
+    val charsetOff = topEnd + strIdx.length
+    val charset = Array[Byte](0) ++
+      (1 until n).flatMap(g => u16(391 + (g - 1))).toArray
+    val charStringsOff = charsetOff + charset.length
+    val charStrings = u16(n) ++ Array[Byte](1) ++
+      (1 to n + 1).map(_.toByte).toArray ++ Array.fill[Byte](n)(0x0e)
+    def op29(v: Int, op: Int) = Array[Byte](29) ++ u32(v) ++ Array[Byte](op.toByte)
+    header ++ nameIdx ++ topIdx0 ++
+      op29(charsetOff, 15) ++ op29(charStringsOff, 17) ++
+      strIdx ++ charset ++ charStrings
+  }
+
+  private def gidOfCff(c: Char): Int = if (c == ' ') 27 else c - 0x60
+
   /** Identity-H variant of [[buildPdf]]: same paragraphs shown as
     * 2-byte gid hex strings under a ToUnicode-less Type0 font whose
-    * embedded program is [[cidFont]]. */
-  private[graft] def buildCidPdf(doc: Long, pages: Int, parasPerPage: Int): Array[Byte] = {
-    val font = cidFont()
+    * embedded program is `font` (a TrueType under /FontFile2 or a
+    * bare CFF under /FontFile3). */
+  private[graft] def buildCidPdf(doc: Long, pages: Int, parasPerPage: Int,
+      font: Array[Byte], gid: Char => Int, fontKey: String): Array[Byte] = {
     val contentObjs = (0 until pages).map { pg =>
       val body = new StringBuilder("BT\n/F1 10 Tf\n72 720 Td\n")
       (0 until parasPerPage).foreach { p =>
         body.append('<')
-        para(doc, pg * parasPerPage + p).foreach(c => body.append(f"${gidOf(c)}%04X"))
+        para(doc, pg * parasPerPage + p).foreach(c => body.append(f"${gid(c)}%04X"))
         body.append("> Tj\n0 -12 Td\n")
       }
       body.append("ET")
@@ -198,9 +231,10 @@ object PdfThroughputProbe {
     }
     objs += (s"<< /Type /Font /Subtype /Type0 /BaseFont /Fake /Encoding /Identity-H" +
       s" /DescendantFonts [${4 + 2 * n} 0 R] >>").getBytes(latin1)
-    objs += (s"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake" +
-      s" /FontDescriptor ${5 + 2 * n} 0 R >>").getBytes(latin1)
-    objs += (s"<< /Type /FontDescriptor /FontName /Fake /FontFile2 ${6 + 2 * n} 0 R >>")
+    objs += (s"<< /Type /Font /Subtype " +
+      (if (fontKey == "FontFile2") "/CIDFontType2" else "/CIDFontType0") +
+      s" /BaseFont /Fake /FontDescriptor ${5 + 2 * n} 0 R >>").getBytes(latin1)
+    objs += (s"<< /Type /FontDescriptor /FontName /Fake /$fontKey ${6 + 2 * n} 0 R >>")
       .getBytes(latin1)
     objs += (s"<< /Length ${font.length} >>\nstream\n".getBytes(latin1)
       ++ font ++ "\nendstream".getBytes(latin1))
@@ -338,19 +372,25 @@ object PdfThroughputProbe {
     // shown as 2-byte gid hex strings, text recovered by inverting the
     // embedded TrueType cmap (memoized once per document). Guard:
     // byte-identical text volume to the simple-font corpus.
-    locally {
+    // two embedded-font legs: TrueType cmap inversion (r14) and the
+    // bare name-keyed CFF charset/AGL route (r15) — same paragraphs,
+    // so both must recover byte-identical text volume
+    Seq[(String, Long => Array[Byte])](
+      ("cid", id => buildCidPdf(id, pages, parasPerPage, cidFont(), gidOf, "FontFile2")),
+      ("cff", id => buildCidPdf(id, pages, parasPerPage, cffFont(), gidOfCff, "FontFile3"))
+    ).foreach { case (label, build) =>
       val cidPdfs = spark.range(0, nDocs, 1, 32)
-        .as[Long].map(id => (id, buildCidPdf(id, pages, parasPerPage)))
+        .as[Long].map(id => (id, build(id)))
         .toDF("doc_id", "payload").persist()
       cidPdfs.count()
       graft.sources.PdfText.utlToText(spark, cidPdfs.limit(200)).count() // warm
-      val decCid = timed("decode-cid") {
+      val decCid = timed(s"decode-$label") {
         val d = graft.sources.PdfText.utlToText(spark, cidPdfs).persist()
         d.count(); d
       }
       val cidTextBytes = decCid.agg(sum(length(col("text")))).head().getLong(0)
       require(cidTextBytes == textBytes,
-        s"cid decode must recover identical text volume ($cidTextBytes vs $textBytes)")
+        s"$label decode must recover identical text volume ($cidTextBytes vs $textBytes)")
       decCid.unpersist(); cidPdfs.unpersist()
     }
     // downstream stages on the SAME decoded frame — where decode sits
