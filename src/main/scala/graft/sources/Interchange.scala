@@ -136,10 +136,32 @@ object Interchange {
       .orderBy("lang")
   }
 
+  /** HTML → text ingestion gate (r15, VERDICT r14 item 3): each
+    * documents row is wrapped in deterministic dirty HTML —
+    * title/h1, style + script blocks with sentinel payloads, a
+    * comment, the body text entity-ESCAPED, and an entity decoration
+    * sentence ([[HtmlGen.page]]) — then extracted back through
+    * [[HtmlText.htmlToText]]. The gate demands the clean text
+    * byte-exact per document; the DuckDB oracle predicts it from the
+    * text column alone (title + h1 + the unescaped body + the
+    * decoded decoration, whitespace-collapsed), so it never runs an
+    * extractor: tag/script/style leakage, entity mis-decode, or
+    * collapse drift all diverge the hash. Two narrow maps
+    * (synthesize, extract), no shuffle before the output sort. */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    // text equality IS the gate; no char-count column on purpose --
+    // DuckDB length() counts codepoints, Spark's counts UTF-16 units,
+    // and the byte-exact text column subsumes any count.
+    HtmlText.utlHtmlToText(s, HtmlGen.htmlTable(s, dir))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jsonl_corrupt" -> (jsonlCorrupt _),
     "src_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
+    "src_html_extract" -> (htmlExtract _),
     "src_schema_evolution" -> (schemaEvolution _))
 
   private def checksumSql(seed: Int): String =
@@ -178,5 +200,19 @@ object Interchange {
          |  bit_xor(${PortableHash.duckSql("text", 29)})::BIGINT AS text_checksum
          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_csv_roundtrip" -> checksumSql(19),
-    "src_jsonl_roundtrip" -> checksumSql(17))
+    "src_jsonl_roundtrip" -> checksumSql(17),
+    // predicts the extraction from the text column alone: title + h1
+    // ("Doc N" twice), the body text (escape/decode round-trips to
+    // itself), the decoded decoration sentence — all under one final
+    // whitespace collapse + trim, exactly htmlToText's last step.
+    "src_html_extract" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      'Doc ' || doc_id || ' Doc ' || doc_id || ' ' ||
+        |        coalesce(text, '') || ' café & résumé "ok"',
+        |      '\s+', ' ', 'g')) AS text
+        |  FROM documents)
+        |SELECT doc_id, text
+        |FROM t ORDER BY doc_id""".stripMargin)
 }

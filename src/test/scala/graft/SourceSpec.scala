@@ -26,4 +26,56 @@ class SourceSpec extends AnyFunSuite {
     val stats = DocumentSource.ingestStats(spark, dir.toString, "*.txt").collect()(0)
     assert(stats.getLong(0) == 2 && stats.getLong(1) == 44L)
   }
+
+  // ---- HTML -> text (r15) ------------------------------------------
+
+  test("htmlToText: strip, decode, collapse — the documented chain") {
+    import graft.sources.HtmlText.htmlToText
+    assert(htmlToText("<p>a</p><p>b</p>") == "a b")
+    assert(htmlToText("<SCRIPT src='x'>var a = '<p>hi</p>';</script>k") == "k")
+    assert(htmlToText("<style>p { color: red }</style>text") == "text")
+    assert(htmlToText("a <!-- secret --> b") == "a b")
+    assert(htmlToText("x &amp; y &lt;z&gt; &quot;q&quot; &#65;&#x42;") ==
+      "x & y <z> \"q\" AB")
+    // one-pass decode: double-encoded stays singly decoded
+    assert(htmlToText("&amp;lt;") == "&lt;")
+    // unknown named / invalid numeric entities stay literal
+    assert(htmlToText("&notanentity; &#xD800; &#1114112;") ==
+      "&notanentity; &#xD800; &#1114112;")
+    // nbsp normalizes to a plain space and collapses with neighbors
+    assert(htmlToText("a&nbsp; \t\n b") == "a b")
+    // a bare '<' in text is not a tag; unclosed script degrades to
+    // tag-stripping, never throws
+    assert(htmlToText("1 < 2 and > 0") == "1 < 2 and > 0")
+    assert(htmlToText("<script>never closed") == "never closed")
+    assert(htmlToText(null) == "" && htmlToText("") == "")
+  }
+
+  test("HtmlGen escape/decode round-trips any text through the page") {
+    import graft.sources.{HtmlGen, HtmlText}
+    val nasty = "a&b <tag> &amp; x\n\ty   z"
+    val got = HtmlText.htmlToText(HtmlGen.page(7L, nasty))
+    assert(got == s"Doc 7 Doc 7 a&b <tag> &amp; x y z ${HtmlGen.DecorDecoded}",
+      s"got [$got]")
+  }
+
+  test("script/style/comment content never leaks into chunks") {
+    // the src_html_extract sentinel payloads (trackpixel, analyticsleak,
+    // commentleak, the css color) must be absent from every chunk the
+    // downstream pipeline would train on — the leak gate VERDICT r14
+    // item 3 asked for
+    import org.apache.spark.sql.functions.col
+    val extracted = graft.sources.HtmlText.utlHtmlToText(spark,
+      graft.sources.HtmlGen.htmlTable(spark, "/root/testdata/sf0.001"))
+    val chunks = graft.operators.DocPipeline.chunksOf(extracted)
+    val leaks = chunks.filter(
+      col("chunk_text").contains("trackpixel") ||
+      col("chunk_text").contains("analyticsleak") ||
+      col("chunk_text").contains("commentleak") ||
+      col("chunk_text").contains("1a2b3c") ||
+      col("chunk_text").contains("<") ||
+      col("chunk_text").contains("&amp"))
+    assert(leaks.count() == 0, "script/style/comment content leaked into chunks")
+    assert(chunks.count() > 0)
+  }
 }
