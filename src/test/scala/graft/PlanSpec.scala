@@ -333,4 +333,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!pMine.contains("SortMergeJoin"), pMine)
     assert(!pMine.contains("CartesianProduct"), pMine)
   }
+
+  test("doc_extract_report: pruned scan, narrow decode, partial agg before the only hash exchange") {
+    // the r14 ExplainAudit narrative, pinned (VERDICT r14 item 6): the
+    // gate query reads documents with ReadSchema pruned to
+    // (doc_id, text), runs the synthesize+decode maps with no join
+    // anywhere, and aggregates map-side BEFORE the single 6-row
+    // hash exchange (the trailing orderBy adds only a range exchange)
+    val p = plan(DocPipeline.extractReport(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source") &&
+      !readSchema.contains("n_chars"), s"columns not pruned: $readSchema")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"agg must be partial: $p")
+    // formatted mode separates the operator from its argument line
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("doc_extract_cid and src_html_extract: pruned scan, no shuffle before the output sort") {
+    for (q <- Seq(
+      DocPipeline.extractCid(spark, sf),
+      graft.sources.Interchange.htmlExtract(spark, sf))) {
+      val p = plan(q)
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+      assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+      assert(!p.contains("hashpartitioning"),
+        s"per-doc gate must not shuffle: $p")
+    }
+  }
 }
