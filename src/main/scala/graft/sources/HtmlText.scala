@@ -79,7 +79,12 @@ object HtmlText {
                 Integer.parseInt(body.substring(2), 16)
               else Integer.parseInt(body.substring(1), 10)
             } catch { case _: NumberFormatException => -1 }
-          if (cp >= 0x20 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+          // tab/LF/CR are legitimate whitespace references in crawl
+          // HTML (they decode, then collapse); other controls and
+          // surrogates stay literal
+          if ((cp == 0x09 || cp == 0x0A || cp == 0x0D ||
+              (cp >= 0x20 && cp <= 0x10FFFF)) &&
+            !(cp >= 0xD800 && cp <= 0xDFFF))
             Some(new String(Character.toChars(cp)))
           else None
         } else Named.get(body)

@@ -42,6 +42,10 @@ class SourceSpec extends AnyFunSuite {
     // unknown named / invalid numeric entities stay literal
     assert(htmlToText("&notanentity; &#xD800; &#1114112;") ==
       "&notanentity; &#xD800; &#1114112;")
+    // numeric whitespace references decode, then collapse (review r15)
+    assert(htmlToText("a&#9;b&#10;c&#13;d&#x0A;e") == "a b c d e")
+    // other control references stay literal (never invent C0 bytes)
+    assert(htmlToText("x&#7;y") == "x&#7;y")
     // nbsp normalizes to a plain space and collapses with neighbors
     assert(htmlToText("a&nbsp; \t\n b") == "a b")
     // a bare '<' in text is not a tag; unclosed script degrades to
