@@ -361,6 +361,40 @@ class PdfCidSpec extends AnyFunSuite {
     assert(PdfText.invertEmbeddedFont("not a font".getBytes(latin1)).isEmpty)
   }
 
+  test("RC4-encrypted Identity-H PDF decrypts, then inverts the embedded cmap") {
+    // cipher x font interaction (r15): encryption covers ALL streams,
+    // so the FontFile2 program arrives as ciphertext too — the
+    // decoder must decrypt object 8 BEFORE inverting its cmap, and
+    // the status channel must still say decrypted_rc4
+    val setup = PdfThroughputProbe.encSetup(aes = false)
+    val hexStr = Seq(3, 1, 2, 40).map(g => f"$g%04X").mkString // CABa
+    val content = PdfThroughputProbe.encryptPayload(setup, 4,
+      s"BT /F1 10 Tf <$hexStr> Tj ET".getBytes(latin1))
+    val font = PdfThroughputProbe.encryptPayload(setup, 8, ttfFormat4())
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.6\n".getBytes(latin1))
+    out.write(obj(1, "<< /Type /Catalog /Pages 2 0 R >>".getBytes(latin1)))
+    out.write(obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(latin1)))
+    out.write(obj(3, ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R" +
+      " /Resources << /Font << /F1 5 0 R >> >> >>").getBytes(latin1)))
+    out.write(obj(4, (s"<< /Length ${content.length} >>\nstream\n".getBytes(latin1)
+      ++ content ++ "\nendstream".getBytes(latin1))))
+    out.write(obj(5, ("<< /Type /Font /Subtype /Type0 /BaseFont /Fake" +
+      " /Encoding /Identity-H /DescendantFonts [6 0 R] >>").getBytes(latin1)))
+    out.write(obj(6, ("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake" +
+      " /FontDescriptor 7 0 R >>").getBytes(latin1)))
+    out.write(obj(7, ("<< /Type /FontDescriptor /FontName /Fake" +
+      " /FontFile2 8 0 R >>").getBytes(latin1)))
+    out.write(obj(8, (s"<< /Length ${font.length} >>\nstream\n".getBytes(latin1)
+      ++ font ++ "\nendstream".getBytes(latin1))))
+    out.write(obj(9, setup.dict.getBytes(latin1)))
+    out.write(("trailer\n<< /Size 10 /Root 1 0 R /Encrypt 9 0 R" +
+      s" /ID [<${setup.id0Hex}> <${setup.id0Hex}>] >>\n%%EOF\n").getBytes(latin1))
+    val e = PdfText.extract(out.toByteArray)
+    assert(e.status == "decrypted_rc4", e.status)
+    assert(e.text == "CABa", s"got [${e.text}]")
+  }
+
   test("invertEmbeddedFont dispatches plain TrueType unchanged") {
     assert(PdfText.invertEmbeddedFont(ttfFormat4()) ==
       PdfText.invertTrueTypeCmap(ttfFormat4()))

@@ -72,4 +72,42 @@ class PdfFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Identity-H gate PDFs survive 400 mutants per flavor (cmap/CFF parsers in the blast zone)") {
+    // the r15 CID surface: corrupted sfnt directories, cmap subtables
+    // and glyphIdArrays (even doc_ids), format-12 groups (odd), all
+    // behind the same never-throw/valid-status contract. Mutating the
+    // FontFile2 stream also exercises invertEmbeddedFont's bare-CFF
+    // dispatch on random leading bytes.
+    val text = "cid fuzz corpus with spaces and CAPS and 0123"
+    (0 until 8).foreach { id =>
+      val base = PdfGen.cidPdf(id.toLong, PdfGen.sanitize(text))
+      (0 until 50).foreach { k =>
+        val mutant = mutate(base, 7000L + id * 1000L + k)
+        val e = PdfText.extract(mutant) // must not throw
+        assert(Statuses.contains(e.status),
+          s"cid doc $id mutant $k: invalid status ${e.status}")
+        assert(e.chars == e.text.length)
+      }
+      var n = base.length
+      while (n > 0) { // truncation ladder too
+        assert(Statuses.contains(PdfText.extract(base.take(n)).status))
+        n = n / 2
+      }
+    }
+  }
+
+  test("htmlToText never throws over 400 mutants of the gate page") {
+    // same contract for the markup front door: mutated tags, broken
+    // entities, unterminated script/style, spliced comments
+    val page = graft.sources.HtmlGen.page(3L,
+      "html fuzz body & <escaped> text with lines\nand more")
+    val bytes = page.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    (0 until 400).foreach { k =>
+      val mutant = new String(mutate(bytes, 90000L + k),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val out = graft.sources.HtmlText.htmlToText(mutant) // must not throw
+      assert(out != null)
+    }
+  }
 }

@@ -118,7 +118,7 @@ object PdfThroughputProbe {
     EncSetup(fileKey, aes = true, dict, hexId, v5 = true)
   }
 
-  private def encryptPayload(e: EncSetup, objNum: Int, payload: Array[Byte]): Array[Byte] = {
+  private[graft] def encryptPayload(e: EncSetup, objNum: Int, payload: Array[Byte]): Array[Byte] = {
     val salt = if (e.aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray
     val key =
       if (e.v5) e.fileKey // V5: the file key IS the stream key
