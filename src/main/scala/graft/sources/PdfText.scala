@@ -1817,6 +1817,23 @@ object PdfText {
     }
   } catch { case NonFatal(_) => Map.empty }
 
+  /** Compose a /CIDToGIDMap stream (2 big-endian bytes per CID) with
+    * a gid -> unicode inversion into cid -> unicode. gid 0 (.notdef)
+    * and unmapped gids drop out — those CIDs keep the visible U+FFFD
+    * fallback. Bounded by the 2-byte CID space. */
+  private[graft] def composeCidToGid(map: Array[Byte],
+      gidUni: Map[Int, String]): Map[Int, String] = {
+    val m = scala.collection.mutable.HashMap.empty[Int, String]
+    val n = math.min(map.length / 2, 0x10000)
+    var cid = 0
+    while (cid < n) {
+      val gid = ((map(2 * cid) & 0xff) << 8) | (map(2 * cid + 1) & 0xff)
+      if (gid > 0) gidUni.get(gid).foreach(u => if (!m.contains(cid)) m(cid) = u)
+      cid += 1
+    }
+    m.toMap
+  }
+
   // ---------------------------------------------------------------------
   // Extraction.
   // ---------------------------------------------------------------------
@@ -1880,7 +1897,7 @@ object PdfText {
       // shares its fonts across pages, and re-parsing the same CMap —
       // or re-inverting the same TrueType cmap — once per page is
       // 100× wasted work per document
-      val streamMemo = collection.mutable.Map.empty[(Int, Int), Option[UniMap]]
+      val streamMemo = collection.mutable.Map.empty[(Int, Long), Option[UniMap]]
       contentRefs.foreach { case (page, n) =>
         byNum.get(n).foreach { o =>
           val fonts = fontCache.getOrElseUpdate(page.num,
@@ -1913,11 +1930,13 @@ object PdfText {
     * `streamMemo` caches parse/inversion results per backing stream
     * object across the DOCUMENT's pages (shared fonts parse once),
     * keyed by (kind, objNum) - kind 0 = ToUnicode CMap parse, kind 1
-    * = FontFile2 cmap inversion - so a (pathological) document whose
-    * ToUnicode and FontFile2 cite the SAME object number cannot be
-    * served the wrong cached map type (ADVICE r14). */
+    * = embedded-font inversion, kind 2 = a CIDToGIDMap-composed
+    * inversion (objNum packs mapRef<<32 | fontRef: the result depends
+    * on BOTH streams) - so a (pathological) document whose ToUnicode
+    * and FontFile2 cite the SAME object number cannot be served the
+    * wrong cached map type (ADVICE r14). */
   private def fontsOf(pageDict: PDict, byNum: Map[Int, PdfObj],
-      streamMemo: collection.mutable.Map[(Int, Int), Option[UniMap]] =
+      streamMemo: collection.mutable.Map[(Int, Long), Option[UniMap]] =
         collection.mutable.Map.empty): Map[String, UniMap] = {
     def asDict(v: Option[PVal]): Option[PDict] = v match {
       case Some(d: PDict) => Some(d)
@@ -1929,7 +1948,7 @@ object PdfText {
       fd.v.flatMap { case (name, v) =>
         asDict(Some(v)).flatMap { fontDict =>
           val viaCMap = fontDict.v.get("ToUnicode") match {
-            case Some(PRef(n)) => streamMemo.getOrElseUpdate((0, n), for {
+            case Some(PRef(n)) => streamMemo.getOrElseUpdate((0, n.toLong), for {
               obj <- byNum.get(n)
               data <- try decodedStream(obj) catch { case NonFatal(_) => None }
             } yield parseCMap(new String(data, Latin1)))
@@ -1976,15 +1995,14 @@ object PdfText {
             if (merged.nonEmpty) Some(UniMap(1, merged)) else None
           }.orElse {
             // Identity-H/V Type0 WITHOUT a ToUnicode: the 2-byte codes
-            // are font-internal glyph ids, not Unicode. When the
-            // TrueType program is embedded (/FontFile2) and
-            // /CIDToGIDMap is Identity (the default), the font's own
-            // cmap table inverts to glyph→unicode and the text is
-            // RECOVERED (r14). Otherwise decode each CID to U+FFFD
-            // (cidOnly) instead of falling through to the Latin-1
-            // passthrough, which would emit two mojibake chars per
-            // glyph (VERDICT r12 item 6) — with a cmap, unmapped gids
-            // still take that visible fallback.
+            // are font-internal ids, not Unicode. When a font program
+            // is embedded (/FontFile2 TrueType, /FontFile3 CFF) it
+            // inverts to glyph→unicode (r14/r15), and a stream-valued
+            // /CIDToGIDMap composes on top (r15). Otherwise decode
+            // each CID to U+FFFD (cidOnly) instead of falling through
+            // to the Latin-1 passthrough, which would emit two
+            // mojibake chars per glyph (VERDICT r12 item 6) — with a
+            // cmap, unmapped gids still take that visible fallback.
             val enc = fontDict.v.get("Encoding")
             if (enc.contains(PName("Identity-H")) || enc.contains(PName("Identity-V"))) {
               val viaCmap = for {
@@ -1996,9 +2014,6 @@ object PdfText {
                   }
                   case _ => None
                 }
-                // a non-Identity CIDToGIDMap (a stream) reorders
-                // glyphs — the inversion would lie; keep the fallback
-                if desc.v.get("CIDToGIDMap").forall(_ == PName("Identity"))
                 fd <- asDict(desc.v.get("FontDescriptor"))
                 // /FontFile2 = TrueType, /FontFile3 = CFF or
                 // OpenType-wrapped CFF (r15) -- one inverter
@@ -2006,12 +2021,30 @@ object PdfText {
                 ffRef <- fd.v.get("FontFile2").orElse(fd.v.get("FontFile3")) match {
                   case Some(PRef(n)) => Some(n); case _ => None
                 }
-                uni <- streamMemo.getOrElseUpdate((1, ffRef), for {
+                base <- streamMemo.getOrElseUpdate((1, ffRef.toLong), for {
                   ff <- byNum.get(ffRef)
                   data <- try decodedStream(ff) catch { case NonFatal(_) => None }
                   inv = invertEmbeddedFont(data)
                   if inv.nonEmpty
                 } yield UniMap(2, inv, cidOnly = true))
+                // /CIDToGIDMap: absent or /Identity = codes ARE gids;
+                // a stream ref (2 big-endian bytes per CID, the public
+                // layout) composes cid -> gid -> unicode (r15 - the
+                // last documented fallback class); an unresolvable or
+                // corrupt map keeps the U+FFFD fallback rather than
+                // ASSUMING identity and emitting confidently-wrong text
+                uni <- desc.v.get("CIDToGIDMap") match {
+                  case None | Some(PName("Identity")) => Some(base)
+                  case Some(PRef(mapRef)) =>
+                    streamMemo.getOrElseUpdate(
+                      (2, (mapRef.toLong << 32) | (ffRef.toLong & 0xFFFFFFFFL)), for {
+                        mo <- byNum.get(mapRef)
+                        bytes <- try decodedStream(mo) catch { case NonFatal(_) => None }
+                        composed = composeCidToGid(bytes, base.map)
+                        if composed.nonEmpty
+                      } yield UniMap(2, composed, cidOnly = true))
+                  case _ => None // a name that is not /Identity: fallback
+                }
               } yield uni
               viaCmap.orElse(Some(UniMap(2, Map.empty, cidOnly = true)))
             } else None

@@ -146,7 +146,8 @@ class PdfCidSpec extends AnyFunSuite {
     s"$num 0 obj\n".getBytes(latin1) ++ body ++ "\nendobj\n".getBytes(latin1)
 
   private def cidPdf(font: Array[Byte], gids: Seq[Int],
-      cidToGid: String = "", fontKey: String = "FontFile2"): Array[Byte] = {
+      cidToGid: String = "", fontKey: String = "FontFile2",
+      mapStream: Option[Array[Byte]] = None): Array[Byte] = {
     val hexStr = gids.map(g => f"$g%04X").mkString
     val content = s"BT /F1 10 Tf <$hexStr> Tj ET".getBytes(latin1)
     val out = new java.io.ByteArrayOutputStream()
@@ -166,7 +167,10 @@ class PdfCidSpec extends AnyFunSuite {
       s" /$fontKey 8 0 R >>").getBytes(latin1)))
     out.write(obj(8, (s"<< /Length ${font.length} >>\nstream\n".getBytes(latin1)
       ++ font ++ "\nendstream".getBytes(latin1))))
-    out.write("trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n".getBytes(latin1))
+    mapStream.foreach(m =>
+      out.write(obj(9, (s"<< /Length ${m.length} >>\nstream\n".getBytes(latin1)
+        ++ m ++ "\nendstream".getBytes(latin1)))))
+    out.write("trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n".getBytes(latin1))
     out.toByteArray
   }
 
@@ -248,14 +252,35 @@ class PdfCidSpec extends AnyFunSuite {
     assert(PdfText.extractText(pdf) == "C\uFFFD")
   }
 
-  test("Identity-H with a non-Identity CIDToGIDMap keeps the U+FFFD fallback") {
-    // a stream-valued CIDToGIDMap reorders glyphs; inverting the cmap
-    // would produce confidently-wrong text, so the decoder must not
+  test("Identity-H with an UNRESOLVABLE CIDToGIDMap keeps the U+FFFD fallback") {
+    // the map ref points at a missing object: assuming identity would
+    // emit confidently-wrong text, so the decoder must not (r15: a
+    // RESOLVABLE stream now composes instead \u2014 next test)
     val pdf = cidPdf(ttfFormat4(), Seq(3, 1), cidToGid = " /CIDToGIDMap 9 0 R")
     assert(PdfText.extractText(pdf) == "\uFFFD\uFFFD")
     // while an explicit /Identity name still recovers
     val pdf2 = cidPdf(ttfFormat4(), Seq(3, 1), cidToGid = " /CIDToGIDMap /Identity")
     assert(PdfText.extractText(pdf2) == "CA")
+    // and a non-Identity NAME (not a spec value) also falls back
+    val pdf3 = cidPdf(ttfFormat4(), Seq(3, 1), cidToGid = " /CIDToGIDMap /Custom")
+    assert(PdfText.extractText(pdf3) == "\uFFFD\uFFFD")
+  }
+
+  test("Identity-H with a stream CIDToGIDMap composes cid -> gid -> unicode") {
+    // map: cid 0 -> gid 0 (.notdef), cid 1 -> gid 3 ('C'),
+    // cid 2 -> gid 1 ('A'), cid 3 -> gid 0 \u2014 so codes <000100020003>
+    // read "CA" + a visible fallback for the .notdef cid, and a cid
+    // beyond the map's extent also falls back
+    val map = Array[Byte](0, 0, 0, 3, 0, 1, 0, 0)
+    val pdf = cidPdf(ttfFormat4(), Seq(1, 2, 3, 9),
+      cidToGid = " /CIDToGIDMap 9 0 R", mapStream = Some(map))
+    val got = PdfText.extractText(pdf)
+    assert(got == "CA\uFFFD\uFFFD", s"got [$got]")
+    // an odd-length (truncated) map composes what it covers
+    val oddPdf = cidPdf(ttfFormat4(), Seq(1, 2),
+      cidToGid = " /CIDToGIDMap 9 0 R", mapStream = Some(map.take(5)))
+    val got2 = PdfText.extractText(oddPdf)
+    assert(got2 == "C\uFFFD", s"got [$got2]")
   }
 
   test("PdfGen cidPdf: both flavors round-trip the full printable alphabet byte-exact") {
