@@ -374,17 +374,88 @@ object PdfGen {
     sfnt(sub.toByteArray, 3, 10)
   }
 
-  /** One ToUnicode-less Identity-H PDF: the sanitized text is shown
-    * as 2-byte gid codes under the flavor's embedded TrueType. */
-  def cidPdf(docId: Long, text: String): Array[Byte] = {
-    val f4 = docId % 2 == 0
-    val font = if (f4) cidFont4 else cidFont12
-    val hex = new StringBuilder(text.length * 4)
-    text.foreach { c =>
-      val g = if (f4) gid4(c) else gid12(c)
-      hex.append(f"$g%04X")
+  /** Flavor 2 gid: the bare name-keyed CFF orders glyphs by char. */
+  private[graft] def gidCff(c: Char): Int = c - CidLo + 1
+
+  /** The CFF standard-string SID whose glyph NAME denotes `c`: the
+    * standard strings list the printable alphabet in ASCII order
+    * except that SIDs 8/65 are quoteright/quoteleft (the TYPOGRAPHIC
+    * quotes) — apostrophe and backtick live at quotesingle(104) and
+    * grave(124). Using the exact SIDs keeps recovery byte-exact. */
+  private[graft] def cffSidOf(c: Char): Int = c match {
+    case '\'' => 104 // quotesingle
+    case '`' => 124 // grave
+    case _ => c - CidLo + 1
+  }
+
+  /** Flavor 2: a bare name-keyed CFF whose format-0 charset cites the
+    * STANDARD strings for all 95 printable chars (no String INDEX
+    * needed); the decoder recovers through charset → SID → glyph name
+    * → AGL. Public CFF spec structures: header, Name INDEX, Top DICT
+    * INDEX (charset + CharStrings offsets, 5-byte operands), empty
+    * String INDEX, charset, CharStrings INDEX (one endchar per
+    * glyph). */
+  private[graft] lazy val cidFontCff: Array[Byte] = {
+    val n = CidN + 1 // + .notdef
+    val header = Array[Byte](1, 0, 4, 4)
+    val nameIdx = u16(1) ++ Array[Byte](1, 1, 2) ++ "G".getBytes(Latin1)
+    val topDictLen = 12
+    val topIdx0 = u16(1) ++ Array[Byte](1, 1, (1 + topDictLen).toByte)
+    val topEnd = 4 + nameIdx.length + topIdx0.length + topDictLen
+    val strIdx = u16(0)
+    val charsetOff = topEnd + strIdx.length
+    val charset = Array[Byte](0) ++
+      (1 until n).flatMap(g => u16(cffSidOf((CidLo + g - 1).toChar))).toArray
+    val charStringsOff = charsetOff + charset.length
+    val charStrings = u16(n) ++ Array[Byte](1) ++
+      (1 to n + 1).map(_.toByte).toArray ++ Array.fill[Byte](n)(0x0e)
+    def op29(v: Int, op: Int) = Array[Byte](29) ++ u32(v) ++ Array[Byte](op.toByte)
+    header ++ nameIdx ++ topIdx0 ++
+      op29(charsetOff, 15) ++ op29(charStringsOff, 17) ++
+      strIdx ++ charset ++ charStrings
+  }
+
+  /** Flavor 3 cid: a second permutation (×53 mod 95, coprime) — the
+    * content shows CIDs that only a CIDToGIDMap-stream composition
+    * can route to the format-12 font's gids. */
+  private[graft] def cidMapped(c: Char): Int = ((c - CidLo) * 53 % CidN) + 1
+
+  /** Flavor 3's /CIDToGIDMap stream: entry [[cidMapped]](c) holds
+    * [[gid12]](c), big-endian, cid 0 = .notdef. */
+  private[graft] lazy val cidToGidStream: Array[Byte] = {
+    val out = new Array[Byte](2 * (CidN + 1))
+    (0 until CidN).foreach { j =>
+      val c = (CidLo + j).toChar
+      val cid = cidMapped(c); val gid = gid12(c)
+      out(2 * cid) = ((gid >> 8) & 0xff).toByte
+      out(2 * cid + 1) = (gid & 0xff).toByte
     }
+    out
+  }
+
+  /** One ToUnicode-less Identity-H PDF. Four decode-path flavors
+    * cycle with doc_id % 4, every one byte-exact under the SAME
+    * flavor-independent oracle:
+    *
+    *   0 → TrueType format-4 cmap, permuted glyphIdArray ([[gid4]])
+    *   1 → TrueType format-12 group ([[gid12]])
+    *   2 → bare name-keyed CFF, standard-string SIDs ([[gidCff]])
+    *   3 → format-12 TrueType behind a stream /CIDToGIDMap whose
+    *       ×53-mod-95 cid permutation only the composition resolves
+    */
+  def cidPdf(docId: Long, text: String): Array[Byte] = {
+    val flavor = (math.floorMod(docId, 4)).toInt
+    val (font, code, fontKey): (Array[Byte], Char => Int, String) = flavor match {
+      case 0 => (cidFont4, gid4 _, "FontFile2")
+      case 1 => (cidFont12, gid12 _, "FontFile2")
+      case 2 => (cidFontCff, gidCff _, "FontFile3")
+      case _ => (cidFont12, cidMapped _, "FontFile2")
+    }
+    val hex = new StringBuilder(text.length * 4)
+    text.foreach(c => hex.append(f"${code(c)}%04X"))
     val contentBytes = s"BT /F1 10 Tf <$hex> Tj ET".getBytes(Latin1)
+    val subtype = if (fontKey == "FontFile2") "/CIDFontType2" else "/CIDFontType0"
+    val mapEntry = if (flavor == 3) " /CIDToGIDMap 9 0 R" else ""
     val bodies = Seq[Either[String, Array[Byte]]](
       Left("<< /Type /Catalog /Pages 2 0 R >>"),
       Left("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
@@ -393,17 +464,19 @@ object PdfGen {
       Right(contentBytes),
       Left("<< /Type /Font /Subtype /Type0 /BaseFont /GraftCid" +
         " /Encoding /Identity-H /DescendantFonts [6 0 R] >>"),
-      Left("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCid" +
-        " /FontDescriptor 7 0 R >>"), // /CIDToGIDMap defaults to Identity
+      Left(s"<< /Type /Font /Subtype $subtype /BaseFont /GraftCid" +
+        mapEntry + " /FontDescriptor 7 0 R >>"),
       Left("<< /Type /FontDescriptor /FontName /GraftCid /Flags 4" +
-        " /FontFile2 8 0 R >>"),
-      Right(font))
+        s" /$fontKey 8 0 R >>"),
+      Right(font)) ++
+      (if (flavor == 3) Seq(Right(cidToGidStream): Either[String, Array[Byte]])
+       else Nil)
     assemble(bodies, "")
   }
 
-  /** Binary Identity-H PDF table — (doc_id, payload), flavor cycling
-    * with doc_id parity. Same topology as [[pdfTable]]: narrow map,
-    * no shuffle, documents pruned to (doc_id, text). */
+  /** Binary Identity-H PDF table — (doc_id, payload), decode-path
+    * flavor cycling with doc_id % 4. Same topology as [[pdfTable]]:
+    * narrow map, no shuffle, documents pruned to (doc_id, text). */
   def cidTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)

@@ -283,13 +283,15 @@ class PdfCidSpec extends AnyFunSuite {
     assert(got2 == "C\uFFFD", s"got [$got2]")
   }
 
-  test("PdfGen cidPdf: both flavors round-trip the full printable alphabet byte-exact") {
+  test("PdfGen cidPdf: all four flavors round-trip the full printable alphabet byte-exact") {
     // the doc_extract_cid gate's unit twin (r15): the forward builder
     // lives in main scope (PdfGen), the inverter in PdfText; the
-    // alphabet string exercises every one of the 95 gids in both the
-    // permuted format-4 glyphIdArray and the format-12 group.
+    // alphabet string exercises every one of the 95 gids in the
+    // permuted format-4 glyphIdArray, the format-12 group, the bare
+    // name-keyed CFF (standard-string SIDs incl. quotesingle/grave),
+    // and the CIDToGIDMap-stream composition.
     val alphabet = (0x20 to 0x7E).map(_.toChar).mkString
-    for (docId <- Seq(0L, 1L)) { // flavor = parity
+    for (docId <- 0L to 3L) { // flavor = doc_id % 4
       val e = PdfText.extract(graft.sources.PdfGen.cidPdf(docId, alphabet))
       assert(e.status == "clear", s"docId=$docId status=${e.status}")
       assert(e.text == alphabet.trim, s"docId=$docId got [${e.text}]")
@@ -301,6 +303,9 @@ class PdfCidSpec extends AnyFunSuite {
     // and it is NOT the identity layout: a decoder that ignored the
     // glyphIdArray indirection would produce visibly wrong text
     assert(gids != (1 to 95).toSeq)
+    // flavor 3's cid permutation is also a bijection and non-identity
+    val cids = (0x20 to 0x7E).map(c => graft.sources.PdfGen.cidMapped(c.toChar))
+    assert(cids.distinct.size == 95 && cids != (1 to 95).toSeq)
   }
 
   test("bare name-keyed CFF (/FontFile3) recovers text byte-identically to the TrueType twin") {
