@@ -506,7 +506,7 @@ object DocPipeline {
     // substitution, then the trim extract() performs).
     "doc_extract_cid" ->
       """SELECT doc_id, 'clear' AS extract_status,
-        |  trim(regexp_replace(text, '[^\x20-\x7e]', '?', 'g')) AS text
+        |  trim(regexp_replace(coalesce(text, ''), '[^\x20-\x7e]', '?', 'g')) AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_chunk" ->
       s"""$chunkCte

@@ -29,17 +29,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object HtmlText {
 
-  private val Comments = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
-  private val Script =
-    java.util.regex.Pattern.compile("(?is)<script\\b[^>]*>.*?</script[^>]*>")
-  private val Style =
-    java.util.regex.Pattern.compile("(?is)<style\\b[^>]*>.*?</style[^>]*>")
-  // a real tag starts with a letter, '/', or '!' (doctype) after '<';
-  // a bare '<' in text (which well-formed HTML escapes) is left alone
-  private val Tags = java.util.regex.Pattern.compile("(?s)<[!/]?[a-zA-Z][^>]*>")
   private val Entity = java.util.regex.Pattern.compile(
     "&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|[a-zA-Z][a-zA-Z0-9]{1,30});")
-  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  // the explicit Java \s class, mirrored verbatim in the DuckDB
+  // oracle: RE2's \s lacks \x0B, so a bare \s+ on both sides would
+  // diverge on a vertical tab (review r15)
+  private val Ws = java.util.regex.Pattern.compile("[ \\t\\n\\x0B\\f\\r]+")
 
   /** Named entities decoded: the HTML core four + nbsp + the Latin-1
     * and typographic names crawl text actually carries. Unknown names
@@ -95,16 +90,98 @@ object HtmlText {
     sb.toString
   }
 
+  /** One linear left-to-right pass replacing comments, script/style
+    * blocks (content included), and tags with spaces. A lazy-dotall
+    * regex chain here is O(openers × length) on hostile pages
+    * (thousands of unclosed `<script>` tokens each scan to EOF before
+    * failing — review r15); this scanner is O(n): each closer search
+    * that fails sets an exhausted flag, so the expensive miss happens
+    * at most once per needle per document.
+    *
+    * Semantics preserved from the regex chain: a construct missing
+    * its terminator is NOT a construct — an unterminated comment
+    * keeps its literal text, an unclosed script/style opener strips
+    * as a plain tag (content kept), a `<` not followed by a tag shape
+    * stays literal. Case-insensitive via an ASCII-only lowercase
+    * shadow (length-safe, unlike String.toLowerCase). */
+  private def stripMarkup(html: String): String = {
+    val n = html.length
+    val lower = {
+      val a = html.toCharArray
+      var k = 0
+      while (k < n) { val c = a(k); if (c >= 'A' && c <= 'Z') a(k) = (c + 32).toChar; k += 1 }
+      new String(a)
+    }
+    val sb = new java.lang.StringBuilder(n)
+    // exhausted-needle flags: a failed indexOf from position p fails
+    // for every later p too. The multi-char needles are only ever
+    // searched from monotonically increasing positions, so a boolean
+    // suffices; '>' is searched from BOTH an opener and a later
+    // closer, so it gets a fail-position watermark instead (a miss
+    // from p only dooms searches starting at or after p).
+    var noComment, noScriptClose, noStyleClose = false
+    var gtFailFrom = Int.MaxValue
+    def find(needle: String, from: Int, exhausted: Boolean): Int =
+      if (exhausted) -1 else lower.indexOf(needle, from)
+    def findGt(from: Int): Int =
+      if (from >= gtFailFrom) -1
+      else {
+        val r = lower.indexOf('>', from)
+        if (r < 0) gtFailFrom = math.min(gtFailFrom, from)
+        r
+      }
+    def isBoundary(k: Int): Boolean =
+      k >= n || { val c = lower.charAt(k); !(c.isLetterOrDigit || c == '_') }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = lower.charAt(i + 1)
+        var consumed = false
+        if (c1 == '!' && lower.startsWith("!--", i + 1)) {
+          val end = find("-->", i + 4, noComment)
+          if (end >= 0) { sb.append(' '); i = end + 3; consumed = true }
+          else noComment = true // literal '<' below
+        } else if (c1 == 's' &&
+          (lower.startsWith("script", i + 1) && isBoundary(i + 7) ||
+            lower.startsWith("style", i + 1) && isBoundary(i + 6))) {
+          val script = lower.charAt(i + 2) == 'c'
+          val close = if (script) find("</script", i, noScriptClose)
+            else find("</style", i, noStyleClose)
+          if (close >= 0) {
+            val gt = findGt(close)
+            if (gt >= 0) { sb.append(' '); i = gt + 1; consumed = true }
+          } else if (script) noScriptClose = true
+          else noStyleClose = true
+          // no closer (or a closer with no '>'): fall through to the
+          // plain-tag strip below — opener out, content kept
+        }
+        if (!consumed && (c1 == '!' || c1 == '/' ||
+          (c1 >= 'a' && c1 <= 'z')) &&
+          (c1 != '!' || (i + 2 < n && { val c2 = lower.charAt(i + 2)
+            c2 >= 'a' && c2 <= 'z' }))) {
+          // a real tag needs a letter after < or </ (or <!LETTER for
+          // doctype); otherwise the '<' is literal text
+          val tagOk = c1 != '/' || (i + 2 < n && { val c2 = lower.charAt(i + 2)
+            c2 >= 'a' && c2 <= 'z' })
+          if (tagOk) {
+            val gt = findGt(i + 1)
+            if (gt >= 0) { sb.append(' '); i = gt + 1; consumed = true }
+          }
+        }
+        if (!consumed) { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** The extraction chain: comments out, script/style blocks out
     * (content included), tags to spaces, entities decoded once,
-    * whitespace collapsed, trimmed. Total on any input. */
+    * whitespace collapsed, trimmed. Total on any input, linear in
+    * its length. */
   def htmlToText(html: String): String = {
     if (html == null) return ""
-    val noComments = Comments.matcher(html).replaceAll(" ")
-    val noScript = Script.matcher(noComments).replaceAll(" ")
-    val noStyle = Style.matcher(noScript).replaceAll(" ")
-    val noTags = Tags.matcher(noStyle).replaceAll(" ")
-    val decoded = decodeEntities(noTags)
+    val decoded = decodeEntities(stripMarkup(html))
     Ws.matcher(decoded).replaceAll(" ").trim
   }
 

@@ -211,7 +211,7 @@ object Interchange {
         |    trim(regexp_replace(
         |      'Doc ' || doc_id || ' Doc ' || doc_id || ' ' ||
         |        coalesce(text, '') || ' café & résumé "ok"',
-        |      '\s+', ' ', 'g')) AS text
+        |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
         |  FROM documents)
         |SELECT doc_id, text
         |FROM t ORDER BY doc_id""".stripMargin)

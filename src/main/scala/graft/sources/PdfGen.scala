@@ -287,7 +287,8 @@ object PdfGen {
     Tables.documents(s, dir)
       .select("doc_id", "text")
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, payloadFor(id, sanitize(t))) })
+      .mapPartitions(_.map { case (id, t) =>
+        (id, payloadFor(id, sanitize(Option(t).getOrElse("")))) })
       .toDF("doc_id", "payload")
   }
 
@@ -482,7 +483,8 @@ object PdfGen {
     Tables.documents(s, dir)
       .select("doc_id", "text")
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, cidPdf(id, sanitize(t))) })
+      .mapPartitions(_.map { case (id, t) =>
+        (id, cidPdf(id, sanitize(Option(t).getOrElse("")))) })
       .toDF("doc_id", "payload")
   }
 }

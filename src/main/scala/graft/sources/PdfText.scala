@@ -1726,7 +1726,8 @@ object PdfText {
       }
       else if (b0 >= 32 && b0 <= 246) { last = b0 - 139; i += 1 }
       else if (b0 >= 247 && b0 <= 250) { last = (b0 - 247) * 256 + u8(i + 1) + 108; i += 2 }
-      else { last = -(b0 - 251) * 256 - u8(i + 1) - 108; i += 2 } // 251..254
+      else if (b0 >= 251 && b0 <= 254) { last = -(b0 - 251) * 256 - u8(i + 1) - 108; i += 2 }
+      else return None // 22..27, 31, 255: reserved -- never guess (review r15)
     }
     if (charStringsOff <= 0 || off + charStringsOff + 2 > b.length) return None
     val n = math.min(u16(off + charStringsOff), 0x10000)
@@ -1793,7 +1794,13 @@ object PdfText {
       if (isSfnt) {
         val gidUni = invertTrueTypeCmap(b)
         val cffAt = sfntTable(b, "CFF ")
-        val inner = if (cffAt >= 0) parseCff(b, cffAt) else None
+        // a corrupt inner CFF must degrade to the cmap-only result,
+        // not discard it (review r15): parseCff throws on OOB by
+        // design, so it gets its own guard here
+        val inner =
+          if (cffAt >= 0)
+            try parseCff(b, cffAt) catch { case NonFatal(_) => None }
+          else None
         inner match {
           case Some(info) if info.cidKeyed && gidUni.nonEmpty =>
             // codes are CIDs; charset maps gid -> CID. Deterministic
@@ -2018,8 +2025,10 @@ object PdfText {
                 // /FontFile2 = TrueType, /FontFile3 = CFF or
                 // OpenType-wrapped CFF (r15) -- one inverter
                 // dispatches on the program's own magic bytes
-                ffRef <- fd.v.get("FontFile2").orElse(fd.v.get("FontFile3")) match {
-                  case Some(PRef(n)) => Some(n); case _ => None
+                ffEntry <- fd.v.get("FontFile2").map((_, true))
+                  .orElse(fd.v.get("FontFile3").map((_, false)))
+                (ffRef, isTrueType) <- ffEntry match {
+                  case (PRef(n), tt) => Some((n, tt)); case _ => None
                 }
                 base <- streamMemo.getOrElseUpdate((1, ffRef.toLong), for {
                   ff <- byNum.get(ffRef)
@@ -2032,9 +2041,14 @@ object PdfText {
                 // layout) composes cid -> gid -> unicode (r15 - the
                 // last documented fallback class); an unresolvable or
                 // corrupt map keeps the U+FFFD fallback rather than
-                // ASSUMING identity and emitting confidently-wrong text
+                // ASSUMING identity and emitting confidently-wrong
+                // text. The key is spec-scoped to CIDFontType2
+                // (TrueType): a CFF base map is keyed by CID already,
+                // so composing it with gids would lie (review r15) --
+                // for /FontFile3 the entry is ignored per spec.
                 uni <- desc.v.get("CIDToGIDMap") match {
                   case None | Some(PName("Identity")) => Some(base)
+                  case Some(_) if !isTrueType => Some(base)
                   case Some(PRef(mapRef)) =>
                     streamMemo.getOrElseUpdate(
                       (2, (mapRef.toLong << 32) | (ffRef.toLong & 0xFFFFFFFFL)), for {

@@ -35,11 +35,15 @@ class BenchSpec extends AnyFunSuite {
     // ADVICE r14: the 8.0 constant was calibrated to the 32-cpu
     // builder host and misread smaller hosts. Unless GRAFT_LOAD_BAR
     // overrides it, the bar is cpus/4 with a 2.0 floor (= 8.0 on the
-    // calibration host, preserving the r13 band split).
-    val expected = sys.env.get("GRAFT_LOAD_BAR").map(_.trim.toDouble)
-      .getOrElse(math.max(Runtime.getRuntime.availableProcessors() / 4.0, 2.0))
-    assert(Bench.LoadBar == expected)
-    assert(Bench.LoadBar >= 2.0)
+    // calibration host, preserving the r13 band split). The env path
+    // mirrors production's lenient parse (unparseable -> default) and
+    // skips the floor assert: an explicit override below 2.0 is a
+    // legitimate operator choice (review r15).
+    val envBar = sys.env.get("GRAFT_LOAD_BAR")
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+    val default = math.max(Runtime.getRuntime.availableProcessors() / 4.0, 2.0)
+    assert(Bench.LoadBar == envBar.getOrElse(default))
+    if (envBar.isEmpty) assert(Bench.LoadBar >= 2.0)
   }
 
   test("parsePrevQueries + sameSf: the witness only binds at the matching SF") {

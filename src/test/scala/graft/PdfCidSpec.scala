@@ -425,6 +425,28 @@ class PdfCidSpec extends AnyFunSuite {
     assert(e.text == "CABa", s"got [${e.text}]")
   }
 
+  test("a corrupt inner CFF table degrades to the cmap-only inversion, not U+FFFD") {
+    // review r15: parseCff throws on out-of-bounds by design; that
+    // throw must not discard an already-valid cmap inversion in the
+    // OpenType-wrapped case
+    val wrapped = openTypeCff(cff(names = Seq("A", "B")).take(12)) // truncated CFF
+    val m = PdfText.invertEmbeddedFont(wrapped)
+    assert(m(1) == "A" && m(40) == "a", s"cmap recovery lost: $m")
+  }
+
+  test("a stream CIDToGIDMap on a CFF descendant is ignored, never composed") {
+    // review r15: /CIDToGIDMap is spec-scoped to CIDFontType2; a CFF
+    // base map is keyed by CID already, so composing it with gids
+    // would emit confidently-wrong text. The map entry (even with a
+    // resolvable garbage stream as object 9) must be ignored.
+    val font = cff(names = Seq("C", "A"))
+    val garbageMap = Array[Byte](0, 9, 0, 9, 0, 9, 0, 9)
+    val pdf = cidPdf(font, Seq(1, 2), cidToGid = " /CIDToGIDMap 9 0 R",
+      fontKey = "FontFile3", mapStream = Some(garbageMap))
+    val got = PdfText.extractText(pdf)
+    assert(got == "CA", s"got [$got]")
+  }
+
   test("invertEmbeddedFont dispatches plain TrueType unchanged") {
     assert(PdfText.invertEmbeddedFont(ttfFormat4()) ==
       PdfText.invertTrueTypeCmap(ttfFormat4()))

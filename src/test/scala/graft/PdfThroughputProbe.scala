@@ -167,37 +167,13 @@ object PdfThroughputProbe {
 
   private def gidOf(c: Char): Int = if (c == ' ') 40 else c - 0x60
 
-  /** Bare name-keyed CFF whose charset names gids 1..26 'a'..'z' and
-    * gid 27 'space' through custom String INDEX SIDs — the r15
-    * /FontFile3 twin of [[cidFont]]; text is recovered through the
-    * charset → SID → glyph-name → AGL route. */
-  private[graft] def cffFont(): Array[Byte] = {
-    def u16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    def u32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    val names = ('a' to 'z').map(_.toString) :+ "space"
-    val n = names.length + 1 // + .notdef
-    val header = Array[Byte](1, 0, 4, 4)
-    val nameIdx = u16(1) ++ Array[Byte](1, 1, 2) ++ "T".getBytes(latin1)
-    val topDictLen = 12
-    val topIdx0 = u16(1) ++ Array[Byte](1, 1, (1 + topDictLen).toByte)
-    val topEnd = 4 + nameIdx.length + topIdx0.length + topDictLen
-    val offs = names.scanLeft(1)(_ + _.length)
-    val strIdx = u16(names.length) ++ Array[Byte](2) ++
-      offs.flatMap(u16).toArray ++ names.mkString.getBytes(latin1)
-    val charsetOff = topEnd + strIdx.length
-    val charset = Array[Byte](0) ++
-      (1 until n).flatMap(g => u16(391 + (g - 1))).toArray
-    val charStringsOff = charsetOff + charset.length
-    val charStrings = u16(n) ++ Array[Byte](1) ++
-      (1 to n + 1).map(_.toByte).toArray ++ Array.fill[Byte](n)(0x0e)
-    def op29(v: Int, op: Int) = Array[Byte](29) ++ u32(v) ++ Array[Byte](op.toByte)
-    header ++ nameIdx ++ topIdx0 ++
-      op29(charsetOff, 15) ++ op29(charStringsOff, 17) ++
-      strIdx ++ charset ++ charStrings
-  }
-
-  private def gidOfCff(c: Char): Int = if (c == ' ') 27 else c - 0x60
+  /** The r15 /FontFile3 leg reuses the gate's own name-keyed CFF
+    * (PdfGen.cidFontCff, standard-string SIDs over the full printable
+    * alphabet): the probe prices decode throughput; the independent
+    * forward-side cross-check lives in PdfCidSpec (review r15 - a
+    * third hand-rolled copy of the CFF layout was maintenance debt).
+    */
+  private def gidOfCff(c: Char): Int = graft.sources.PdfGen.gidCff(c)
 
   /** Identity-H variant of [[buildPdf]]: same paragraphs shown as
     * 2-byte gid hex strings under a ToUnicode-less Type0 font whose
@@ -377,7 +353,8 @@ object PdfThroughputProbe {
     // so both must recover byte-identical text volume
     Seq[(String, Long => Array[Byte])](
       ("cid", id => buildCidPdf(id, pages, parasPerPage, cidFont(), gidOf, "FontFile2")),
-      ("cff", id => buildCidPdf(id, pages, parasPerPage, cffFont(), gidOfCff, "FontFile3"))
+      ("cff", id => buildCidPdf(id, pages, parasPerPage,
+        graft.sources.PdfGen.cidFontCff, gidOfCff, "FontFile3"))
     ).foreach { case (label, build) =>
       val cidPdfs = spark.range(0, nDocs, 1, 32)
         .as[Long].map(id => (id, build(id)))

@@ -55,6 +55,25 @@ class SourceSpec extends AnyFunSuite {
     assert(htmlToText(null) == "" && htmlToText("") == "")
   }
 
+  test("htmlToText is linear on hostile pages full of unclosed openers") {
+    // review r15: the lazy-dotall regex chain was O(openers x length)
+    // — thousands of unclosed <script>/<!--/bare-< tokens each
+    // scanned to EOF before failing. The scanner's exhausted-needle
+    // flags make the expensive miss happen once per needle.
+    import graft.sources.HtmlText.htmlToText
+    val hostile = ("<script>" * 50000) + "tail"
+    val t0 = System.nanoTime()
+    val out = htmlToText(hostile + "<!--" * 10000 + "<div attr" * 10000)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "hostile page must stay linear")
+    assert(out.contains("tail"))
+    // and the unclosed-opener semantics survive the rewrite: the LAST
+    // opener has no closer left, so it strips as a plain tag
+    assert(htmlToText("<script>a</script><script>b") == "b")
+    // a closer whose '>' is missing degrades to tag-strip (opener
+    // out, content kept)
+    assert(htmlToText("<script>hi</script") == "hi</script")
+  }
+
   test("HtmlGen escape/decode round-trips any text through the page") {
     import graft.sources.{HtmlGen, HtmlText}
     val nasty = "a&b <tag> &amp; x\n\ty   z"
