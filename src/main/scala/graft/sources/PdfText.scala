@@ -1824,6 +1824,33 @@ object PdfText {
     }
   } catch { case NonFatal(_) => Map.empty }
 
+  /** Process-wide inversion cache over font-program BYTES (r15): a
+    * crawl corpus repeats embedded subset fonts heavily — the same
+    * generator emits the same subset across a site's documents — and
+    * the per-document streamMemo cannot see that. Keyed by
+    * (length, MD5) of the decoded program (collision-safe for any
+    * practical purpose; MD5 over a few KB is ~100x cheaper than the
+    * sfnt/CFF parse it saves). Bounded: at [[FontCacheMax]] entries
+    * the map is cleared — a crawl's font population is zipfian, so
+    * the hot heads repopulate immediately and eviction churn is
+    * negligible; executors hold at most a few MB. */
+  private val FontCacheMax = 256
+  private val fontInvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, String]]()
+  private def invertEmbeddedFontCached(b: Array[Byte]): Map[Int, String] = {
+    val key = b.length.toString + ":" +
+      java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("MD5").digest(b))
+    val hit = fontInvCache.get(key)
+    if (hit != null) hit
+    else {
+      val inv = invertEmbeddedFont(b)
+      if (fontInvCache.size >= FontCacheMax) fontInvCache.clear()
+      fontInvCache.put(key, inv)
+      inv
+    }
+  }
+
   /** Compose a /CIDToGIDMap stream (2 big-endian bytes per CID) with
     * a gid -> unicode inversion into cid -> unicode. gid 0 (.notdef)
     * and unmapped gids drop out — those CIDs keep the visible U+FFFD
@@ -2033,7 +2060,7 @@ object PdfText {
                 base <- streamMemo.getOrElseUpdate((1, ffRef.toLong), for {
                   ff <- byNum.get(ffRef)
                   data <- try decodedStream(ff) catch { case NonFatal(_) => None }
-                  inv = invertEmbeddedFont(data)
+                  inv = invertEmbeddedFontCached(data)
                   if inv.nonEmpty
                 } yield UniMap(2, inv, cidOnly = true))
                 // /CIDToGIDMap: absent or /Identity = codes ARE gids;

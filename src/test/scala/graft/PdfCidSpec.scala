@@ -454,6 +454,18 @@ class PdfCidSpec extends AnyFunSuite {
       PdfText.invertTrueTypeCmap(ttfFormat12()))
   }
 
+  test("the process-wide font cache returns identical inversions across documents") {
+    // r15: crawl corpora repeat subset fonts across documents; the
+    // cache must be invisible to correctness — two documents sharing
+    // font BYTES (different object numbers, different docs) decode
+    // identically, and a different font never serves a stale entry
+    val a = PdfText.extractText(cidPdf(ttfFormat4(), Seq(3, 1, 2, 40)))
+    val b = PdfText.extractText(cidPdf(ttfFormat4(), Seq(40, 3)))
+    assert(a == "CABa" && b == "aC", s"got [$a] [$b]")
+    val c = PdfText.extractText(cidPdf(ttfFormat12(), Seq(100, 107)))
+    assert(c == "HO", s"got [$c]")
+  }
+
   test("invertTrueTypeCmap: a format-6 decoy subtable falls back to the format-4 twin") {
     // ADVICE r14: the best-SCORING subtable -- (3,10) outranks (3,1)
     // -- points at a format-6 table the inverter does not support.
