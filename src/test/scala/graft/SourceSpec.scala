@@ -82,6 +82,28 @@ class SourceSpec extends AnyFunSuite {
       s"got [$got]")
   }
 
+  test("doc_pipeline over HTML-extracted frames equals the plain-text pipeline") {
+    // the PdfSpec composition pin, for markup: a minimal page whose
+    // only content is the (escaped) body text must flow through the
+    // UNCHANGED doc_pipeline DAG with identical output — the chunker
+    // tokenizes on whitespace, so extraction's collapse is invisible
+    import spark.implicits._
+    import graft.sources.{HtmlGen, HtmlText}
+    import graft.operators.DocPipeline
+    val texts = Seq(
+      (0L, "tungsten codegen pipeline pushdown broadcast exchange shuffle"),
+      (1L, "a&b < c and   multi\n\nline   spacing here"))
+    val pages = texts.map { case (id, t) =>
+      (id, s"<html><body><p>${HtmlGen.escape(t)}</p></body></html>")
+    }.toDF("doc_id", "html")
+    val viaHtml = DocPipeline.docPipelineOf(HtmlText.utlHtmlToText(spark, pages))
+      .collect().map(_.toSeq).toSeq
+    val viaText = DocPipeline.docPipelineOf(texts.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaHtml == viaText, "HTML-extracted corpus must flow through the DAG unchanged")
+    assert(viaHtml.nonEmpty && viaHtml.map(_.head).distinct.size == 2)
+  }
+
   test("script/style/comment content never leaks into chunks") {
     // the src_html_extract sentinel payloads (trackpixel, analyticsleak,
     // commentleak, the css color) must be absent from every chunk the
