@@ -257,19 +257,62 @@ object PdfText {
   // File parse: N G obj … endobj, with stream payloads.
   // ---------------------------------------------------------------------
 
-  private val ObjPat = java.util.regex.Pattern.compile("(\\d+)\\s+(\\d+)\\s+obj\\b")
+  /** All `N G obj` header candidates, as (start, end, num, gen) --
+    * the exact match set of the old regex `(\d+)\s+(\d+)\s+obj\b`,
+    * found by anchoring on the literal `obj` and walking the digits
+    * BACKWARD. The regex was quadratic on digit runs (review r15): at
+    * every start inside a run it greedily ate the remaining digits
+    * before failing on `\s+`, so a content stream showing 2-byte hex
+    * codes whose hex happens to be digit-heavy (the CID gate's
+    * ordered-gid flavors) made `find()` O(run^2) -- ~200 ms/doc where
+    * the anchored scan pays ~40. `obj` cannot appear inside hex
+    * content (its alphabet is 0-9A-F), so the anchor count stays one
+    * per real object. */
+  private def objHeaders(s: String): Vector[(Int, Int, Int, Int)] = {
+    val b = Vector.newBuilder[(Int, Int, Int, Int)]
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+      c == '\f' || c == '\r'
+    def isDigit(c: Char) = c >= '0' && c <= '9'
+    def isWord(c: Char) =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || isDigit(c) || c == '_'
+    var at = s.indexOf("obj")
+    while (at >= 0) {
+      val okAfter = at + 3 >= s.length || !isWord(s.charAt(at + 3))
+      if (okAfter) {
+        var i = at - 1
+        val wsEnd1 = i
+        while (i >= 0 && isWs(s.charAt(i))) i -= 1
+        if (i < wsEnd1) { // \s+ before obj
+          val genEnd = i
+          while (i >= 0 && isDigit(s.charAt(i))) i -= 1
+          val genStart = i + 1
+          if (genEnd >= genStart) { // gen digits
+            val wsEnd2 = i
+            while (i >= 0 && isWs(s.charAt(i))) i -= 1
+            if (i < wsEnd2) { // \s+ between num and gen
+              val numEnd = i
+              while (i >= 0 && isDigit(s.charAt(i))) i -= 1
+              val numStart = i + 1
+              if (numEnd >= numStart) {
+                val num = try s.substring(numStart, numEnd + 1).toInt
+                  catch { case _: NumberFormatException => -1 }
+                val gen = try s.substring(genStart, genEnd + 1).toInt
+                  catch { case _: NumberFormatException => 0 }
+                b += ((numStart, at + 3, num, gen))
+              }
+            }
+          }
+        }
+      }
+      at = s.indexOf("obj", at + 1)
+    }
+    b.result()
+  }
 
   private def parseObjects(s: String): Vector[PdfObj] = {
     // collect every raw header match up front: capping a malformed
     // object's extent needs the NEXT header's position (below)
-    val raw = {
-      val b = Vector.newBuilder[(Int, Int, Int, Int)] // (start, end, num, gen)
-      val m = ObjPat.matcher(s)
-      while (m.find()) b += ((m.start(), m.end(),
-        try m.group(1).toInt catch { case _: NumberFormatException => -1 },
-        try m.group(2).toInt catch { case _: NumberFormatException => 0 }))
-      b.result()
-    }
+    val raw = objHeaders(s)
     val out = Vector.newBuilder[PdfObj]
     var lastEnd = 0 // end of the previous object's extent (incl. stream)
     var k = 0
