@@ -157,11 +157,25 @@ object Interchange {
       .orderBy("doc_id")
   }
 
+  /** WARC container gate (r15): the same documents, packed into
+    * multi-record WARC files (warcinfo + request + response records
+    * per [[WarcGen.warcFile]]) and read back through record framing →
+    * HTTP body → the HTML chain. Per-document byte-exact against the
+    * SAME oracle prediction as [[htmlExtract]] — the container layer
+    * must be invisible: any framing slip, skipped-type leak, or HTTP
+    * header residue diverges the hash. */
+  def warcExtract(s: SparkSession, dir: String): DataFrame = {
+    WarcText.utlWarcToText(s, WarcGen.warcTable(s, dir))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jsonl_corrupt" -> (jsonlCorrupt _),
     "src_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_html_extract" -> (htmlExtract _),
+    "src_warc_extract" -> (warcExtract _),
     "src_schema_evolution" -> (schemaEvolution _))
 
   private def checksumSql(seed: Int): String =
@@ -206,6 +220,18 @@ object Interchange {
     // itself), the decoded decoration sentence — all under one final
     // whitespace collapse + trim, exactly htmlToText's last step.
     "src_html_extract" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      'Doc ' || doc_id || ' Doc ' || doc_id || ' ' ||
+        |        coalesce(text, '') || ' café & résumé "ok"',
+        |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
+        |  FROM documents)
+        |SELECT doc_id, text
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // the container layer must be invisible: same prediction as the
+    // bare-page gate
+    "src_warc_extract" ->
       """WITH t AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(

@@ -104,6 +104,41 @@ class SourceSpec extends AnyFunSuite {
     assert(viaHtml.nonEmpty && viaHtml.map(_.head).distinct.size == 2)
   }
 
+  test("WARC records: framing beats scanning, non-response types are skipped") {
+    import spark.implicits._
+    import graft.sources.{WarcGen, WarcText}
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    // a body CONTAINING a "WARC/1.0" lookalike must not split the
+    // record: Content-Length framing, not scanning, delimits it
+    val trap = "HTTP/1.1 200 OK\r\n\r\nbefore WARC/1.0 after"
+    def rec(typ: String, uri: String, body: String): String =
+      s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n"
+    val file = (rec("warcinfo", "urn:x", "software: x\r\n") +
+      rec("request", "http://e/1", "GET / HTTP/1.1\r\n\r\n") +
+      rec("response", "http://e/1", trap) +
+      rec("response", "http://e/2", "HTTP/1.1 200 OK\r\n\r\nsecond")).getBytes(latin1)
+    val got = WarcText.records(file)
+    assert(got == Seq(("http://e/1", "before WARC/1.0 after"),
+      ("http://e/2", "second")), got)
+    // an unframeable record (garbled length) loses only itself
+    val broken = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://e/9\r\nContent-Length: NOPE\r\n\r\nx\r\n\r\n")
+      .getBytes(latin1) ++ file
+    assert(WarcText.records(broken).map(_._1) == Seq("http://e/1", "http://e/2"))
+    // truncation ladders stay total
+    var n = file.length
+    while (n > 0) { WarcText.records(file.take(n)); n = n / 2 }
+    assert(WarcText.records("not a warc".getBytes(latin1)).isEmpty)
+    // and the generator round-trips through the real-use entry point
+    val table = Seq(("f.warc", WarcGen.warcFile(Seq((3L, "hello warc world")))))
+      .toDF("path", "content")
+    val out = WarcText.utlWarcToText(spark, table)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((3L, "Doc 3 Doc 3 hello warc world " +
+      graft.sources.HtmlGen.DecorDecoded)), out)
+  }
+
   test("script/style/comment content never leaks into chunks") {
     // the src_html_extract sentinel payloads (trackpixel, analyticsleak,
     // commentleak, the css color) must be absent from every chunk the
