@@ -146,16 +146,31 @@ object Bench {
       .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
       .getOrElse(math.max(Runtime.getRuntime.availableProcessors() / 4.0, 2.0))
 
+  /** Absolute-delta floor under which a >2× ratio is never flagged
+    * (VERDICT r15 item 2): sub-second queries are dominated by
+    * task-launch overhead, the noisiest cost on a shared host, so a
+    * ratio-only rule false-positives on them routinely — r15's
+    * dedup_substring drew 0.165 s at the witness and 0.367 s under
+    * load 6.75 (ratio 2.22, delta 0.2 s) with ZERO code change on its
+    * path and verdict "code". 0.5 s is far above any observed
+    * launch-noise delta (the r9–r15 noise cases all moved ≤ 0.25 s)
+    * and far below any real regression worth a verdict (the r15
+    * quadratic-regex find was +6 s at sf0.1). */
+  private[graft] val DriftAbsFloorSec: Double = 0.5
+
   /** Pure drift classification for one query vs the same-SF witness:
-    * None = not regressed (no witness, a failed run, or within 2×);
-    * Some("load") = regressed >2× with EVERY draw on a busy host
-    * (min recorded loadavg above [[LoadBar]] — noise candidate, gets
-    * the tail retry); Some("code") = regressed on a quiet host, i.e.
-    * a real regression. Factored pure so BenchSpec pins the rule. */
+    * None = not regressed (no witness, a failed run, within 2×, or a
+    * >2× move whose absolute delta is under [[DriftAbsFloorSec]] —
+    * launch noise, not signal); Some("load") = regressed >2× with
+    * EVERY draw on a busy host (min recorded loadavg above
+    * [[LoadBar]] — noise candidate, gets the tail retry);
+    * Some("code") = regressed on a quiet host, i.e. a real
+    * regression. Factored pure so BenchSpec pins the rule. */
   private[graft] def driftVerdict(prev: Option[Double], minSec: Double,
       failed: Boolean, minLoad: Double): Option[String] =
     prev.filter(_ > 0).flatMap { p =>
-      if (failed || minSec <= 0 || minSec <= 2 * p) None
+      if (failed || minSec <= 0 || minSec <= 2 * p ||
+          minSec - p <= DriftAbsFloorSec) None
       else Some(if (minLoad > LoadBar) "load" else "code")
     }
 

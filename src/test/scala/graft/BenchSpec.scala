@@ -31,6 +31,24 @@ class BenchSpec extends AnyFunSuite {
       minLoad = -1.0).contains("code"))
   }
 
+  test("driftVerdict: a >2x move under the 0.5 s absolute floor never flags") {
+    // the r15 false positive verbatim: dedup_substring 0.165 -> 0.367
+    // under load 6.75 drew verdict "code" with no code change on its
+    // path (VERDICT r15 item 2); the delta floor absorbs it
+    assert(Bench.driftVerdict(Some(0.165), 0.367, failed = false,
+      minLoad = 6.75).isEmpty)
+    // boundary: delta exactly at the floor stays quiet (<=), a hair
+    // above it flags
+    assert(Bench.driftVerdict(Some(0.2), 0.7, failed = false,
+      minLoad = 1.0).isEmpty)
+    assert(Bench.driftVerdict(Some(0.2), 0.71, failed = false,
+      minLoad = 1.0).contains("code"))
+    // the floor never shields a real regression: a 1 s -> 2.5 s move
+    // clears both the ratio bar and the floor
+    assert(Bench.driftVerdict(Some(1.0), 2.5, failed = false,
+      minLoad = 1.0).contains("code"))
+  }
+
   test("LoadBar derives from the host's cpu count, floored at 2") {
     // ADVICE r14: the 8.0 constant was calibrated to the 32-cpu
     // builder host and misread smaller hosts. Unless GRAFT_LOAD_BAR
