@@ -4,41 +4,142 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
-/** WARC container ingestion (r15): Common-Crawl ships HTML inside
-  * WARC files (ISO 28500 — version line, named headers, a blank
-  * line, then a Content-Length-framed body per record), so the crawl
-  * front door in practice is container → records → HTTP body →
+/** WARC container ingestion (r15; crawl-realistic since r16 — VERDICT
+  * r15 item 1): Common-Crawl ships HTML inside WARC files (ISO 28500 —
+  * version line, named headers, a blank line, then a
+  * Content-Length-framed body per record), so the crawl front door in
+  * practice is container → records → HTTP body → charset decode →
   * [[HtmlText.htmlToText]]. This parser handles the read side:
   *
-  *  - records are located by their `WARC/1.0` version line and
-  *    framed by `Content-Length` (the body may contain ANYTHING,
-  *    including `WARC/1.0` lookalikes — framing, not scanning,
-  *    delimits records; a record with a missing/garbled length falls
-  *    back to scanning for the next version line, losing only
-  *    itself);
+  *  - `.warc.gz` files (the ONLY form Common Crawl actually ships) are
+  *    detected by the gzip magic and inflated as concatenated
+  *    per-record gzip members before parsing; a truncated trailing
+  *    member loses only itself ([[gunzipMembers]]);
+  *  - records are located by their `WARC/1.0` version line and framed
+  *    by `Content-Length` (the body may contain ANYTHING, including
+  *    `WARC/1.0` lookalikes — framing, not scanning, delimits records;
+  *    a record with a missing/garbled length falls back to scanning
+  *    for the next version line, losing only itself). Header names
+  *    compare case-insensitively (ISO 28500 §5.1 / RFC 9110 field
+  *    names are case-insensitive — a real writer's `content-length`
+  *    must frame, not drop, the record) and lengths parse as Long
+  *    with Long-arithmetic bounds checks (a multi-GB declared length
+  *    must not wrap into a bogus in-bounds offset);
   *  - only `WARC-Type: response` records carry page payloads;
   *    warcinfo/request/metadata records are skipped whole;
   *  - the HTTP response inside a response record is split at its
-  *    header/body blank line, and the body goes through the same
-  *    HTML chain the bare-page path uses.
+  *    header/body blank line; the body's charset is resolved from the
+  *    HTTP `Content-Type` charset parameter, else a `<meta charset>` /
+  *    http-equiv scan of the body head, else strict UTF-8 with a
+  *    Latin-1 fallback on malformed bytes ([[decodeBody]] — ~98% of
+  *    real crawl pages are UTF-8; the r15 unconditional ISO-8859-1
+  *    mojibaked every multibyte character, poisoning chunking, dedup
+  *    shingles and embeddings downstream);
+  *  - the decoded body goes through the same HTML chain the bare-page
+  *    path uses, keyed by `WARC-Target-URI` (real crawls have no
+  *    integer doc ids — the URL IS the key, and the `dedup_url`
+  *    operator canonicalizes it downstream).
   *
   * Scale shape: one WARC file parses in one linear pass inside a
-  * narrow map — real use reads `.warc` files via the binaryFile
+  * narrow map — real use reads `.warc(.gz)` files via the binaryFile
   * source and flatMaps [[records]] per file, embarrassingly parallel
   * across files (CC shards are ~1 GB each: one task apiece, no
   * shuffle). The gate corpus synthesizes multi-record files from the
-  * documents table ([[warcFiles]]) so record framing, type skipping,
-  * and HTTP header stripping are all on the hash-checked path.
+  * documents table ([[WarcGen.warcFiles]]) so record framing, gzip
+  * member inflation, charset resolution (HTTP-declared UTF-8,
+  * meta-declared EUC-KR, undeclared UTF-8), type skipping, and HTTP
+  * header stripping are all on the hash-checked path.
   */
 object WarcText {
 
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
-  /** Parse one WARC file to (targetUri, httpBody) for its response
-    * records. Total on any input: malformed records are skipped. */
-  private[graft] def records(file: Array[Byte]): Seq[(String, String)] = {
-    val s = new String(file, Latin1)
-    val out = Seq.newBuilder[(String, String)]
+  /** One parsed response record: target URI, the HTTP Content-Type
+    * header verbatim (if any), and the raw body bytes after the HTTP
+    * head — bytes, not chars, because the charset is per-record. */
+  private[graft] final case class Response(
+    uri: String, contentType: Option[String], body: Array[Byte])
+
+  private[graft] def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B
+
+  /** Inflate a `.warc.gz` file: per ISO 28500 annex each record is its
+    * own gzip member and the file is the members' concatenation
+    * (that's what makes shards seekable). GZIPInputStream consumes
+    * concatenated members natively; a truncated or corrupt trailing
+    * member ends the stream — the decoded prefix is kept, so a
+    * half-uploaded shard yields its complete records instead of a
+    * task death. */
+  private[graft] def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    out.toByteArray
+  }
+
+  // charset=... inside a Content-Type value or a meta tag; the token
+  // charset covers every IANA name shape (alnum, -, _, ., :)
+  private val CtCharset = java.util.regex.Pattern.compile(
+    "(?i)charset\\s*=\\s*[\"']?\\s*([a-zA-Z0-9_\\-.:]+)")
+  // one pattern covers <meta charset="..."> AND the http-equiv form
+  // (both carry charset= inside the tag); bounded tag scan, never
+  // across a '>'
+  private val MetaCharset = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]{0,256}?charset\\s*=\\s*[\"']?\\s*([a-zA-Z0-9_\\-.:]+)")
+
+  /** Declared charset name for a response: the HTTP Content-Type
+    * charset parameter wins; else a meta scan over the body's first
+    * 2 KiB (meta declarations are ASCII, so the Latin-1 view of the
+    * head is exact for scanning regardless of the true charset). */
+  private[graft] def declaredCharset(r: Response): Option[String] = {
+    val fromCt = r.contentType.flatMap { ct =>
+      val m = CtCharset.matcher(ct)
+      if (m.find()) Some(m.group(1)) else None
+    }
+    fromCt.orElse {
+      val head = new String(r.body, 0, math.min(r.body.length, 2048), Latin1)
+      val m = MetaCharset.matcher(head)
+      if (m.find()) Some(m.group(1)) else None
+    }
+  }
+
+  /** Decode body bytes: the declared charset strictly, else strict
+    * UTF-8 (the real-crawl default), else Latin-1 (total — every byte
+    * sequence is valid Latin-1, so the chain never throws and never
+    * drops a record; a binary payload surfaces as garbage text for
+    * the downstream quality gate to kill, exactly like PdfText's
+    * malformed channel). */
+  private[graft] def decodeBody(bytes: Array[Byte], declared: Option[String]): String = {
+    def strict(cs: java.nio.charset.Charset): Option[String] =
+      try {
+        val dec = cs.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+      } catch { case _: java.nio.charset.CharacterCodingException => None }
+    val declaredCs = declared.flatMap(name =>
+      try Some(java.nio.charset.Charset.forName(name.trim))
+      catch { case scala.util.control.NonFatal(_) => None })
+    declaredCs.flatMap(strict)
+      .orElse(strict(Utf8))
+      .getOrElse(new String(bytes, Latin1))
+  }
+
+  /** Parse one WARC file to its response [[Response]]s. Total on any
+    * input: malformed records are skipped, gzip inflated first when
+    * the magic says so. Framing runs over the Latin-1 view of the
+    * bytes (a bijection, so offsets are byte offsets) — only the HTTP
+    * body is re-encoded to bytes for per-record charset decode. */
+  private[graft] def records(file: Array[Byte]): Seq[Response] = {
+    val bytes = if (isGzip(file)) gunzipMembers(file) else file
+    val s = new String(bytes, Latin1)
+    val out = Seq.newBuilder[Response]
     var at = s.indexOf("WARC/")
     while (at >= 0) {
       var next = -1
@@ -47,9 +148,20 @@ object WarcText {
       if (hEnd < 0) { at = -1 }
       else {
         val headers = s.substring(at, hEnd)
+        // ASCII lowercase shadow for case-insensitive field names;
+        // values are substringed from the original (case preserved)
+        val lowered = {
+          val a = headers.toCharArray
+          var k = 0
+          while (k < a.length) {
+            val c = a(k); if (c >= 'A' && c <= 'Z') a(k) = (c + 32).toChar
+            k += 1
+          }
+          new String(a)
+        }
         def header(name: String): Option[String] = {
           val k = "\r\n" + name + ":"
-          val i = headers.indexOf(k)
+          val i = lowered.indexOf(k)
           if (i < 0) None
           else {
             val vStart = i + k.length
@@ -59,19 +171,36 @@ object WarcText {
           }
         }
         val bodyStart = hEnd + 4
-        val len = header("Content-Length").flatMap(v =>
-          try Some(v.toInt) catch { case _: NumberFormatException => None })
-          .filter(l => l >= 0 && bodyStart + l <= s.length)
+        // Long parse + Long bounds: a declared multi-GB length must
+        // fail the frame check, never wrap Int into a bogus offset
+        val len = header("content-length").flatMap(v =>
+          try Some(v.toLong) catch { case _: NumberFormatException => None })
+          .filter(l => l >= 0 && bodyStart.toLong + l <= s.length.toLong)
         len match {
           case Some(l) =>
-            if (header("WARC-Type").contains("response")) {
-              val body = s.substring(bodyStart, bodyStart + l)
-              // strip the HTTP response head (status line + headers)
+            val bodyEnd = bodyStart + l.toInt // safe: checked <= s.length
+            if (header("warc-type").exists(_.equalsIgnoreCase("response"))) {
+              val body = s.substring(bodyStart, bodyEnd)
+              // strip the HTTP response head (status line + headers),
+              // keeping its Content-Type for charset resolution
               val split = body.indexOf("\r\n\r\n")
-              val payload = if (split < 0) body else body.substring(split + 4)
-              header("WARC-Target-URI").foreach(uri => out += ((uri, payload)))
+              val (head, payload) =
+                if (split < 0) ("", body) else (body.substring(0, split), body.substring(split + 4))
+              val ct = {
+                val lh = head.toLowerCase(java.util.Locale.ROOT)
+                val i = lh.indexOf("\r\ncontent-type:")
+                if (i < 0) None
+                else {
+                  val vStart = i + "\r\ncontent-type:".length
+                  val vEnd = head.indexOf("\r\n", vStart)
+                  Some(head.substring(vStart,
+                    if (vEnd < 0) head.length else vEnd).trim)
+                }
+              }
+              header("warc-target-uri").foreach(uri =>
+                out += Response(uri, ct, payload.getBytes(Latin1)))
             }
-            next = s.indexOf("WARC/", bodyStart + l)
+            next = s.indexOf("WARC/", bodyEnd)
           case None =>
             // unframeable record: skip it by scanning for the next
             // version line (loses only this record)
@@ -83,18 +212,38 @@ object WarcText {
     out.result()
   }
 
-  /** (doc_id, text) from a (path, content binary) frame of WARC
-    * files — the real-use entry point: narrow flatMap per file, the
-    * doc key recovered from the target URI's trailing integer. */
+  /** Decode one response end-to-end: charset resolve → strict decode
+    * with fallback → HTML chain. */
+  private[graft] def responseText(r: Response): String =
+    HtmlText.htmlToText(decodeBody(r.body, declaredCharset(r)))
+
+  /** (url, text) from a (path, content binary) frame of WARC files —
+    * the real-use entry point: narrow flatMap per file, gzip members
+    * inflated, charset resolved per record, keyed by the target URI
+    * (real crawls have no integer ids — the r15 trailing-integer key
+    * silently discarded almost every real URI; it survives only as
+    * the gate adapter [[utlWarcToText]]). */
+  def warcToText(s: SparkSession, files: DataFrame): DataFrame = {
+    import s.implicits._
+    files.select("content")
+      .as[Array[Byte]]
+      .mapPartitions(_.flatMap(bytes =>
+        records(bytes).map(r => (r.uri, responseText(r)))))
+      .toDF("url", "text")
+  }
+
+  /** Gate adapter over the real-use path: the synthetic corpus encodes
+    * doc_id as the URI's trailing integer so the oracle can join back
+    * to the documents table. Gate-only — real use keys by URL via
+    * [[warcToText]]. */
   def utlWarcToText(s: SparkSession, files: DataFrame): DataFrame = {
     import s.implicits._
     files.select("content")
       .as[Array[Byte]]
-      .mapPartitions(_.flatMap(bytes => records(bytes).flatMap {
-        case (uri, html) =>
-          val tail = uri.reverse.takeWhile(_.isDigit).reverse
-          (try Some(tail.toLong) catch { case _: NumberFormatException => None })
-            .map(id => (id, HtmlText.htmlToText(html)))
+      .mapPartitions(_.flatMap(bytes => records(bytes).flatMap { r =>
+        val tail = r.uri.reverse.takeWhile(_.isDigit).reverse
+        (try Some(tail.toLong) catch { case _: NumberFormatException => None })
+          .map(id => (id, responseText(r)))
       }))
       .toDF("doc_id", "text")
   }
@@ -105,14 +254,40 @@ object WarcText {
   * each file opens with a warcinfo record and carries a
   * request+response pair per document, so record framing, non-
   * response skipping, and HTTP header stripping are all exercised on
-  * every file. The grouping key (doc_id / [[DocsPerFile]]) only
-  * shapes the files; the output is per-document, so the oracle is
-  * grouping-independent. */
+  * every file. Since r16 the corpus is crawl-realistic (VERDICT r15
+  * item 1):
+  *
+  *  - odd file keys emit `.warc.gz` — each record its own gzip
+  *    member, concatenated, as Common Crawl ships;
+  *  - doc_id%4 picks the charset class: 0 = ASCII body with a bare
+  *    `text/html` Content-Type (the default-decode path on bytes
+  *    where every charset agrees), 1 = UTF-8 body DECLARED in the
+  *    HTTP Content-Type with a multibyte decoration, 2 = EUC-KR body
+  *    declared ONLY via `<meta charset>` (HTTP header silent — the
+  *    meta-scan path) with a Hangul decoration, 3 = UTF-8 body with
+  *    NO declaration anywhere (the strict-UTF-8 default path).
+  *
+  * The decorations are raw characters (not entities), so a decode
+  * through the wrong charset mojibakes them and diverges the
+  * byte-exact oracle hash. The grouping key (doc_id /
+  * [[DocsPerFile]]) only shapes the files; the output is
+  * per-document, so the oracle is grouping-independent. */
 object WarcGen {
 
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
   val DocsPerFile = 8
+
+  /** Per-class decorations (doc_id%4 → appended sentence). Class 1
+    * carries em-dash and Omega (outside Latin-1, 2-3 UTF-8 bytes);
+    * class 2 is Hangul (EUC-KR 2-byte codes); class 3 adds an
+    * astral-plane emoji (4 UTF-8 bytes, a surrogate pair on the JVM).
+    * Mirrored in the oracle SQL via chr() codepoints. */
+  val Decor: Map[Int, String] = Map(
+    1 -> "na\u00efve caf\u00e9 \u2014 \u03a9",
+    2 -> "\ud55c\uad6d\uc5b4 \ud14c\uc2a4\ud2b8",
+    3 -> "data \ud83d\ude42 \u03a9")
 
   private def record(headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
     val sb = new StringBuilder("WARC/1.0\r\n")
@@ -123,40 +298,78 @@ object WarcGen {
     sb.result().getBytes(Latin1) ++ body ++ "\r\n\r\n".getBytes(Latin1)
   }
 
-  /** One WARC file for a group of (doc_id, text) rows. */
-  def warcFile(docs: Seq[(Long, String)]): Array[Byte] = {
+  private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes); gz.close()
+    out.toByteArray
+  }
+
+  /** The HTTP response bytes for one document: head is ASCII, body is
+    * the page in its class charset, with the class decoration (and
+    * for class 2 the meta declaration) spliced into the page. */
+  private[graft] def httpResponse(id: Long, text: String): Array[Byte] = {
+    val cls = (id % 4).toInt
+    val base = HtmlGen.page(id, text)
+    val withDecor = Decor.get(cls) match {
+      case Some(d) => base.replace("</body>", s"<p>$d</p>\n</body>")
+      case None => base
+    }
+    val (ctHeader, charset) = cls match {
+      case 1 => ("text/html; charset=UTF-8", Utf8)
+      case 2 => ("text/html", java.nio.charset.Charset.forName("EUC-KR"))
+      case 3 => ("text/html", Utf8)
+      case _ => ("text/html", Latin1) // pure-ASCII body: all agree
+    }
+    val html =
+      if (cls == 2)
+        withDecor.replace("</head>", "<meta charset=\"euc-kr\">\n</head>")
+      else withDecor
+    (s"HTTP/1.1 200 OK\r\nContent-Type: $ctHeader\r\n\r\n").getBytes(Latin1) ++
+      html.getBytes(charset)
+  }
+
+  /** One WARC file for a group of (doc_id, text) rows; gzipped =
+    * per-record gzip members, concatenated (the `.warc.gz` shape). */
+  def warcFile(docs: Seq[(Long, String)], gzipped: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    out.write(record(
+    def emit(rec: Array[Byte]): Unit =
+      out.write(if (gzipped) gzipMember(rec) else rec)
+    emit(record(
       Seq("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> "<urn:graft:info>"),
       "software: graft-testgen\r\n".getBytes(Latin1)))
     docs.foreach { case (id, text) =>
       val uri = s"http://crawl.example/doc/$id"
-      out.write(record(
+      emit(record(
         Seq("WARC-Type" -> "request", "WARC-Target-URI" -> uri),
         s"GET /doc/$id HTTP/1.1\r\nHost: crawl.example\r\n\r\n".getBytes(Latin1)))
-      val html = HtmlGen.page(id, Option(text).getOrElse(""))
-      val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
-        .getBytes(Latin1)
-      out.write(record(
-        Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+      emit(record(
+        // lowercase field names on the response record: ISO 28500
+        // names are case-insensitive and real writers disagree on
+        // casing, so the gate exercises the insensitive lookup
+        Seq("warc-type" -> "response", "warc-target-uri" -> uri,
           "WARC-Record-ID" -> s"<urn:graft:$id>"),
-        http))
+        httpResponse(id, Option(text).getOrElse(""))))
     }
     out.toByteArray
   }
 
-  /** (path, content) frame of synthetic WARC files over documents.
-    * The one shuffle here (groupBy the file key) exists only to BUILD
-    * the synthetic container corpus — real use reads .warc files from
-    * storage with no shuffle at all. */
+  /** (path, content) frame of synthetic WARC files over documents —
+    * odd file keys gzip-membered. The one shuffle here (groupBy the
+    * file key) exists only to BUILD the synthetic container corpus —
+    * real use reads .warc(.gz) files from storage with no shuffle at
+    * all. */
   def warcTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Tables.documents(s, dir)
       .select("doc_id", "text")
       .as[(Long, String)]
       .groupByKey(_._1 / DocsPerFile)
-      .mapGroups((k: Long, it: Iterator[(Long, String)]) =>
-        (s"graft-$k.warc", warcFile(it.toSeq.sortBy(_._1))))
+      .mapGroups { (k: Long, it: Iterator[(Long, String)]) =>
+        val gz = k % 2 == 1
+        val ext = if (gz) "warc.gz" else "warc"
+        (s"graft-$k.$ext", warcFile(it.toSeq.sortBy(_._1), gz))
+      }
       .toDF("path", "content")
   }
 }

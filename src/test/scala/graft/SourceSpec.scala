@@ -118,25 +118,94 @@ class SourceSpec extends AnyFunSuite {
       rec("request", "http://e/1", "GET / HTTP/1.1\r\n\r\n") +
       rec("response", "http://e/1", trap) +
       rec("response", "http://e/2", "HTTP/1.1 200 OK\r\n\r\nsecond")).getBytes(latin1)
-    val got = WarcText.records(file)
+    def flat(bs: Array[Byte]): Seq[(String, String)] =
+      WarcText.records(bs).map(r => (r.uri, new String(r.body, latin1)))
+    val got = flat(file)
     assert(got == Seq(("http://e/1", "before WARC/1.0 after"),
       ("http://e/2", "second")), got)
+    // header field names are case-insensitive (ISO 28500): a writer
+    // emitting lowercase names must frame, not drop, the record
+    val lc = ("WARC/1.0\r\nwarc-type: response\r\n" +
+      "warc-target-uri: http://e/7\r\ncontent-length: 24\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\n\r\nseven\r\n\r\n").getBytes(latin1)
+    assert(flat(lc) == Seq(("http://e/7", "seven")))
+    // a multi-GB declared length must fail the frame check in Long
+    // arithmetic (never wrap Int into a bogus in-bounds offset) and
+    // lose only its own record
+    val huge = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://e/8\r\nContent-Length: 4294967300\r\n\r\nx")
+      .getBytes(latin1) ++ file
+    assert(flat(huge).map(_._1) == Seq("http://e/1", "http://e/2"))
     // an unframeable record (garbled length) loses only itself
     val broken = ("WARC/1.0\r\nWARC-Type: response\r\n" +
       "WARC-Target-URI: http://e/9\r\nContent-Length: NOPE\r\n\r\nx\r\n\r\n")
       .getBytes(latin1) ++ file
-    assert(WarcText.records(broken).map(_._1) == Seq("http://e/1", "http://e/2"))
+    assert(flat(broken).map(_._1) == Seq("http://e/1", "http://e/2"))
     // truncation ladders stay total
     var n = file.length
     while (n > 0) { WarcText.records(file.take(n)); n = n / 2 }
     assert(WarcText.records("not a warc".getBytes(latin1)).isEmpty)
-    // and the generator round-trips through the real-use entry point
-    val table = Seq(("f.warc", WarcGen.warcFile(Seq((3L, "hello warc world")))))
-      .toDF("path", "content")
-    val out = WarcText.utlWarcToText(spark, table)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(out == Seq((3L, "Doc 3 Doc 3 hello warc world " +
-      graft.sources.HtmlGen.DecorDecoded)), out)
+    // and the generator round-trips through the gate entry point, in
+    // BOTH container shapes (plain and per-record-gzip-member .warc.gz)
+    for (gz <- Seq(false, true)) {
+      val bytes = WarcGen.warcFile(Seq((4L, "hello warc world")), gz)
+      assert(WarcText.isGzip(bytes) == gz)
+      val table = Seq(("f.warc", bytes)).toDF("path", "content")
+      val out = WarcText.utlWarcToText(spark, table)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(out == Seq((4L, "Doc 4 Doc 4 hello warc world " +
+        graft.sources.HtmlGen.DecorDecoded)), (gz, out))
+    }
+  }
+
+  test("WARC charset resolution: HTTP-declared, meta-declared, undeclared UTF-8, Latin-1 fallback") {
+    import graft.sources.{WarcGen, WarcText}
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // per-class decode through the whole container chain: each class's
+    // decoration must survive byte-exact (a wrong-charset decode
+    // mojibakes the multibyte characters)
+    for (id <- 1L to 3L; gz <- Seq(false, true)) {
+      val bytes = WarcGen.warcFile(Seq((id, "body")), gz)
+      val rs = WarcText.records(bytes)
+      assert(rs.size == 1)
+      val text = WarcText.responseText(rs.head)
+      val want = s"Doc $id Doc $id body " +
+        graft.sources.HtmlGen.DecorDecoded + " " + WarcGen.Decor((id % 4).toInt)
+      assert(text == want, s"id=$id gz=$gz: $text")
+    }
+    // decodeBody unit contract: declared wins; undeclared valid UTF-8
+    // decodes as UTF-8; malformed-UTF-8 bytes fall back to Latin-1
+    // (total — never a thrown decode); an unknown declared name falls
+    // through the same chain
+    val omega = "Ω".getBytes(utf8)
+    assert(WarcText.decodeBody(omega, None) == "Ω")
+    assert(WarcText.decodeBody(omega, Some("utf-8")) == "Ω")
+    val eucKr = "한".getBytes(java.nio.charset.Charset.forName("EUC-KR"))
+    assert(WarcText.decodeBody(eucKr, Some("EUC-KR")) == "한")
+    // 0xE9 alone is malformed UTF-8 -> Latin-1 view
+    assert(WarcText.decodeBody(Array(0xE9.toByte), None) == "é")
+    assert(WarcText.decodeBody(Array(0xE9.toByte), Some("no-such-charset")) == "é")
+    // meta-scan path: charset comes from the body head when the HTTP
+    // header is silent (both meta forms)
+    val metaBody = "<html><head><meta charset=\"euc-kr\"></head></html>".getBytes(utf8)
+    assert(WarcText.declaredCharset(
+      WarcText.Response("u", None, metaBody)).contains("euc-kr"))
+    val httpEquiv = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=ISO-8859-2\"></head></html>").getBytes(utf8)
+    assert(WarcText.declaredCharset(
+      WarcText.Response("u", None, httpEquiv)).contains("ISO-8859-2"))
+    assert(WarcText.declaredCharset(
+      WarcText.Response("u", Some("text/html; charset=utf-8"), metaBody))
+      .contains("utf-8"), "HTTP Content-Type wins over meta")
+    // truncated trailing gzip member: the decoded prefix's records
+    // survive, the tail loses only itself (doc 2's response is the
+    // final member; cutting into it must not cost doc 1's)
+    val two = WarcGen.warcFile(Seq((1L, "a"), (2L, "b")), gzipped = true)
+    val cut = two.take(two.length - 7)
+    val survivors = WarcText.records(cut).map(_.uri) // total, never throws
+    assert(survivors.contains("http://crawl.example/doc/1"), survivors)
+    assert(WarcText.records(two).map(_.uri) ==
+      Seq("http://crawl.example/doc/1", "http://crawl.example/doc/2"))
   }
 
   test("script/style/comment content never leaks into chunks") {
