@@ -931,6 +931,19 @@ object PdfText {
     * element comes from a raw scan of the trailer (or xref-stream
     * dict) bytes — the one value the extractor needs that does not
     * live in an object. */
+  /** Raw-byte check for Standard-security-handler-shaped material:
+    * an `/Encrypt` key plus either a `/Filter /Standard` name or
+    * O+U string values (the handler's password digests). Used ONLY
+    * when the structured probe throws unexpectedly — it decides
+    * between failing closed (blocked as unsupported) and the noise
+    * fallback (NoCrypt), never between decrypt modes. Deliberately
+    * shape-based, not parse-based: the parser just threw. */
+  private[graft] def rawEncryptSignature(s: String): Boolean =
+    s.contains("/Encrypt") && (
+      java.util.regex.Pattern.compile("/Filter\\s*/Standard").matcher(s).find() ||
+        (java.util.regex.Pattern.compile("/O\\s*[(<]").matcher(s).find() &&
+          java.util.regex.Pattern.compile("/U\\s*[(<]").matcher(s).find()))
+
   private def cryptState(objs: Vector[PdfObj], s: String): CryptState = {
     // Detection and key derivation carry DIFFERENT failure meanings, so
     // they get separate catch scopes (ADVICE r14): an unexpected
@@ -987,7 +1000,16 @@ object PdfText {
           // ciphertext to the text scanner would be silent garbage
           Left(if (sawHandlerRef) Blocked(StatusUnsupported) else NoCrypt)
       }
-    } catch { case NonFatal(_) => Left(NoCrypt) }
+    } catch {
+      // The probe tolerates noise-match parse failures, but an
+      // UNEXPECTED throw on a document that looks encrypted must fail
+      // CLOSED: mapping it to NoCrypt would scan ciphertext as clear
+      // text and emit silent garbage rows with status "clear"
+      // (ADVICE r15). The raw-signature re-check keeps the fail-open
+      // path only for documents with no handler-shaped material.
+      case NonFatal(_) =>
+        Left(if (rawEncryptSignature(s)) Blocked(StatusUnsupported) else NoCrypt)
+    }
     found match {
       case Left(state) => state
       case Right(o) =>

@@ -56,6 +56,25 @@ class PdfStatusSpec extends AnyFunSuite {
       .status == "malformed")
   }
 
+  test("rawEncryptSignature: the fail-closed shape check behind an unexpected probe throw") {
+    // ADVICE r15: a NonFatal in crypt detection used to map straight
+    // to NoCrypt — ciphertext scanned as clear. The raw re-check keeps
+    // handler-shaped documents blocked.
+    assert(PdfText.rawEncryptSignature(
+      "trailer <</Encrypt 5 0 R>> 5 0 obj <</Filter /Standard /V 2>>"))
+    assert(PdfText.rawEncryptSignature(
+      "<</Encrypt 5 0 R>> <</O (abc) /U (def) /R 3>>"))
+    // /Encrypt alone, or O/U that are not string values, is noise
+    assert(!PdfText.rawEncryptSignature("/Encrypt 5 0 R but nothing handler-shaped"))
+    assert(!PdfText.rawEncryptSignature("/Outlines /Universe <</Filter /FlateDecode>>"))
+    assert(!PdfText.rawEncryptSignature("<</O (x) /U (y)>> no encrypt key at all"))
+    // a real encrypted gate payload carries the signature; a clear one doesn't
+    assert(PdfText.rawEncryptSignature(
+      new String(PdfGen.rc4Pdf(3L, sample), latin1)))
+    assert(!PdfText.rawEncryptSignature(
+      new String(PdfGen.clearPdf(sample), latin1)))
+  }
+
   test("extract: RC4 file with a non-matching /U is locked, not mojibake (Algorithm 6)") {
     val locked = PdfGen.rc4Pdf(7L, sample, lock = true)
     val e = PdfText.extract(locked)
