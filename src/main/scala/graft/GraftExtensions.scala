@@ -34,7 +34,8 @@ object GraftExtensions {
     FloatVecDistance.metrics.toSeq.sorted.map { m =>
       s"vec_${m}_distance" ->
         ((args: Seq[Expression]) => FloatVecDistance(args(0), args(1), m))
-    }
+    } :+ ("url_canonicalize" ->
+      ((args: Seq[Expression]) => graft.functions.UrlCanonicalize(args(0))))
 
   /** Idempotent programmatic registration on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -22,6 +22,7 @@ object SparkEntry {
       (BinaryVector.queries, BinaryVector.oracleSql),
       (DocPipeline.queries, DocPipeline.oracleSql),
       (Dedup.queries, Dedup.oracleSql),
+      (UrlDedup.queries, UrlDedup.oracleSql),
       (TextAnalysis.queries, TextAnalysis.oracleSql),
       (Multimodal.queries, Multimodal.oracleSql),
       (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracleSql),

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One-off corpus-scale pricing of the crawl front door (VERDICT r15
+  * item 4): WarcFuzzSpec/SourceSpec prove correctness on fixtures;
+  * this probe prices the END-TO-END decode surface at the sf1
+  * documents leg — warc(.gz) container → gzip member inflation →
+  * framing → charset resolution → html→text → chunks → dedup
+  * shingles — reporting s/GB per stage so SURVEY §6 can say where
+  * container decode sits vs the downstream CPU (the
+  * PdfThroughputProbe pattern for the crawl path). Run via
+  * Test/runMain graft.CrawlThroughputProbe [sfDir].
+  *
+  * Three container mixes are priced: the gate's mixed corpus (odd
+  * file keys gzipped), all-plain, and all-gzip — the plain/gz delta
+  * isolates the inflate cost real `.warc.gz` shards pay. Generation
+  * is persisted and counted BEFORE timing, so the draws price decode
+  * only. */
+object CrawlThroughputProbe {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+
+    def corpus(gzAll: Option[Boolean]) =
+      graft.Tables.documents(spark, dir)
+        .select("doc_id", "text").as[(Long, String)]
+        .groupByKey(_._1 / graft.sources.WarcGen.DocsPerFile)
+        .mapGroups { (k: Long, it: Iterator[(Long, String)]) =>
+          val gz = gzAll.getOrElse(k % 2 == 1)
+          (s"graft-$k.warc", graft.sources.WarcGen.warcFile(it.toSeq.sortBy(_._1), gz))
+        }
+        .toDF("path", "content")
+
+    def timed[A](label: String, gb: Double)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"CRAWLTHRU $label%-16s sec=$sec%7.1f sPerGB=${sec / gb}%7.1f")
+      r
+    }
+
+    // container mixes: decode-only timing (corpus persisted first)
+    val mixes = Seq(("mixed", None), ("plain", Some(false)), ("gz", Some(true)))
+    var decodedMixed: org.apache.spark.sql.DataFrame = null
+    var filesMixed: org.apache.spark.sql.DataFrame = null
+    var gbMixed = 0.0
+    mixes.foreach { case (label, gzAll) =>
+      val files = corpus(gzAll).persist()
+      val bytes = files.agg(sum(length(col("content")))).head().getLong(0)
+      val gb = bytes / 1e9
+      println(f"CRAWLTHRU corpus-$label%-9s bytes=$bytes (${gb}%.3f GB)")
+      // warm: JIT for the framing scanner + charset decoders
+      graft.sources.WarcText.utlWarcToText(spark, files.limit(8)).count()
+      val t = timed(s"warc-text-$label", gb) {
+        val d = graft.sources.WarcText.utlWarcToText(spark, files)
+        if (label == "mixed") { val p = d.persist(); p.count(); p }
+        else { d.count(); d }
+      }
+      if (label == "mixed") { decodedMixed = t; filesMixed = files; gbMixed = gb }
+      else files.unpersist()
+    }
+
+    // downstream stages over the mixed-corpus decoded text (the frame
+    // doc_pipeline consumes) — priced against the CONTAINER bytes so
+    // the stages compose into one front-door s/GB figure
+    val nDocs = decodedMixed.count()
+    println(s"CRAWLTHRU decoded docs=$nDocs")
+    timed("chunks", gbMixed) {
+      graft.operators.DocPipeline.chunksOf(decodedMixed).count()
+    }
+    timed("shingles", gbMixed) {
+      graft.operators.Dedup.shingleSetOf(decodedMixed).count()
+    }
+    timed("url-dedup-keys", gbMixed) {
+      // the dedup_url front-door step over the decoded frame's URLs:
+      // canonicalize + distinct-key count (keeper election is priced
+      // in the bench's dedup_url row; this is the canonicalization
+      // pass itself at corpus scale, over the PERSISTED container
+      // corpus so only decode+canonicalize is timed)
+      graft.sources.WarcText.warcToText(spark, filesMixed)
+        .select(graft.functions.UrlCanon.urlCanonicalize(col("url")).as("u"))
+        .distinct().count()
+    }
+  }
+}
