@@ -280,17 +280,23 @@ object Bench {
     def r2(v: Double): String = f"$v%.2f"
     // ---- loadavg-aware drift adjudication (VERDICT r13 item 4) ----
     // A query still >2× vs the same-SF witness after its escalation
-    // draws, ALL of which ran on a busy host (loadavg > LoadBar), gets
-    // exactly ONE more draw here on the run's tail — the quietest
-    // moment, every other query already finished. The verdict lands in
-    // bench_full.json `drift`: "load" (slow draws, busy host — noise,
-    // watch), "code" (slow draws, quiet host — a real regression), or
-    // "noise" (the tail retry came back inside 2× — adjudicated clean).
+    // draws gets exactly ONE more draw here on the run's tail — the
+    // quietest moment, every other query already finished. r16 widened
+    // the retry from busy-host ("load") candidates to EVERY flagged
+    // query: quiet-host one-off spikes happen too (r15's vs_knn_ivf_pq
+    // 2.39 s vs 0.462 and this round's vs_knn_ivf_pq_batch 2.23 s vs
+    // 0.808 both re-drew in band at min_load ~4 — GC/JIT hiccups, not
+    // host load), and a manual focused re-draw was needed both times
+    // to say so. The verdict lands in bench_full.json `drift`: "load"
+    // (still slow, busy host — noise, watch), "code" (still slow on a
+    // quiet host INCLUDING its tail retry — a real regression), or
+    // "noise" (the tail retry came back inside the 2×/floor bars —
+    // adjudicated clean, in data instead of narrative).
     val qmap = SparkEntry.queries
     def minLoadOf(loads: Vector[Double]): Double =
       if (loads.nonEmpty) loads.min else -1.0
     val results = base0.map { case r @ (name, v, failed, samples, loads) =>
-      if (!driftVerdict(prev.get(name), v, failed, minLoadOf(loads)).contains("load")) r
+      if (driftVerdict(prev.get(name), v, failed, minLoadOf(loads)).isEmpty) r
       else {
         val l = load1()
         val t0 = System.nanoTime()

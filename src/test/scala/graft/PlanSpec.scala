@@ -50,6 +50,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_url: every hash exchange keys on the canonical url, no cartesian, no doc_id shuffle") {
+    val p = plan(UrlDedup.urlDedup(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the one legitimate shuffle key is the canonical url (count/max,
+    // keeper election, and assembly reuse it); a hashpartitioning on
+    // doc_id would mean the quality score was joined back onto the
+    // documents scan instead of riding the same projection
+    // formatted mode prints the exchange spec on its own
+    // "Arguments: hashpartitioning(key, n)" line
+    val hashKeys = "hashpartitioning\\(([a-zA-Z_0-9#]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashKeys.nonEmpty, p)
+    hashKeys.foreach(k => assert(k.startsWith("url#"), s"non-url shuffle key $k\n$p"))
+  }
+
   test("batch knn broadcasts the index side (nested-loop on broadcast, no shuffle cartesian)") {
     val p = plan(VectorSearch.knnBatch(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"), p)
