@@ -230,22 +230,26 @@ object Interchange {
         |SELECT doc_id, text
         |FROM t ORDER BY doc_id""".stripMargin,
     // the container layer must be invisible: the bare-page prediction
-    // plus the per-class charset decoration (doc_id%4 — WarcGen.Decor:
+    // plus the per-class decoration (doc_id%6 — WarcGen.Decor:
     // HTTP-declared UTF-8, meta-declared EUC-KR Hangul, undeclared
-    // UTF-8 with an astral-plane emoji). chr() codepoints keep this
+    // UTF-8 with an astral-plane emoji, UTF-16LE behind a BOM, and a
+    // chunked-transfer gzip entity). chr() codepoints keep this
     // source ASCII where the characters leave Latin-1; a wrong-charset
-    // decode mojibakes the decoration and diverges the hash.
+    // decode, skipped BOM, or misordered unchunk/gunzip mojibakes the
+    // decoration and diverges the hash.
     "src_warc_extract" ->
       """WITH t AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(
         |      'Doc ' || doc_id || ' Doc ' || doc_id || ' ' ||
         |        coalesce(text, '') || ' café & résumé "ok"' ||
-        |        CASE doc_id % 4
+        |        CASE doc_id % 6
         |          WHEN 1 THEN ' naïve café ' || chr(8212) || ' ' || chr(937)
         |          WHEN 2 THEN ' ' || chr(54620) || chr(44397) || chr(50612)
         |            || ' ' || chr(53580) || chr(49828) || chr(53944)
         |          WHEN 3 THEN ' data ' || chr(128578) || ' ' || chr(937)
+        |          WHEN 4 THEN ' utf16 ' || chr(10003) || ' ' || chr(937)
+        |          WHEN 5 THEN ' chunked gz ' || chr(8594) || ' ' || chr(937)
         |          ELSE '' END,
         |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
         |  FROM documents)

@@ -109,26 +109,73 @@ object WarcText {
     }
   }
 
-  /** Decode body bytes: the declared charset strictly, else strict
-    * UTF-8 (the real-crawl default), else Latin-1 (total — every byte
+  /** Decode body bytes: a BOM wins outright (the byte-order mark IS
+    * the encoding declaration — browsers rank it above the HTTP
+    * header), then the declared charset strictly, then strict UTF-8
+    * (the real-crawl default), then Latin-1 (total — every byte
     * sequence is valid Latin-1, so the chain never throws and never
     * drops a record; a binary payload surfaces as garbage text for
     * the downstream quality gate to kill, exactly like PdfText's
-    * malformed channel). */
+    * malformed channel). A BOM whose strict decode fails falls
+    * through the same chain over the full bytes. */
   private[graft] def decodeBody(bytes: Array[Byte], declared: Option[String]): String = {
-    def strict(cs: java.nio.charset.Charset): Option[String] =
+    def strict(cs: java.nio.charset.Charset, from: Int = 0): Option[String] =
       try {
         val dec = cs.newDecoder()
           .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
           .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-        Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+        Some(dec.decode(java.nio.ByteBuffer.wrap(bytes, from, bytes.length - from)).toString)
       } catch { case _: java.nio.charset.CharacterCodingException => None }
+    def b(i: Int): Int = bytes(i) & 0xFF
+    val viaBom: Option[String] =
+      if (bytes.length >= 3 && b(0) == 0xEF && b(1) == 0xBB && b(2) == 0xBF)
+        strict(Utf8, 3)
+      else if (bytes.length >= 2 && b(0) == 0xFF && b(1) == 0xFE)
+        strict(java.nio.charset.StandardCharsets.UTF_16LE, 2)
+      else if (bytes.length >= 2 && b(0) == 0xFE && b(1) == 0xFF)
+        strict(java.nio.charset.StandardCharsets.UTF_16BE, 2)
+      else None
     val declaredCs = declared.flatMap(name =>
       try Some(java.nio.charset.Charset.forName(name.trim))
       catch { case scala.util.control.NonFatal(_) => None })
-    declaredCs.flatMap(strict)
+    viaBom
+      .orElse(declaredCs.flatMap(strict(_)))
       .orElse(strict(Utf8))
       .getOrElse(new String(bytes, Latin1))
+  }
+
+  /** Undo HTTP/1.1 chunked transfer framing over the Latin-1 byte
+    * view: hex-size line (chunk extensions after ';' ignored), chunk
+    * data, CRLF, …, terminated by the 0-chunk (trailers ignored).
+    * None on any malformed framing — the caller keeps the raw body
+    * (total, never throws; the quality gate downstream owns garbage). */
+  private[graft] def dechunk(body: String): Option[String] = {
+    val sb = new java.lang.StringBuilder(body.length)
+    var i = 0
+    while (true) {
+      val eol = body.indexOf("\r\n", i)
+      if (eol < 0) return None
+      val sizeTok = {
+        val line = body.substring(i, eol)
+        val semi = line.indexOf(';')
+        (if (semi < 0) line else line.substring(0, semi)).trim
+      }
+      val size =
+        try java.lang.Long.parseLong(sizeTok, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0 || eol + 2 + size > body.length) return None
+      if (size == 0) return Some(sb.toString) // trailers ignored
+      val dataStart = eol + 2
+      val dataEnd = dataStart + size.toInt
+      sb.append(body, dataStart, dataEnd)
+      // the CRLF after each chunk is mandatory; tolerate a missing one
+      // only at end-of-input (truncated capture)
+      if (dataEnd + 2 <= body.length) {
+        if (body.charAt(dataEnd) != '\r' || body.charAt(dataEnd + 1) != '\n') return None
+        i = dataEnd + 2
+      } else return None
+    }
+    None // unreachable
   }
 
   /** Parse one WARC file to its response [[Response]]s. Total on any
@@ -182,23 +229,42 @@ object WarcText {
             if (header("warc-type").exists(_.equalsIgnoreCase("response"))) {
               val body = s.substring(bodyStart, bodyEnd)
               // strip the HTTP response head (status line + headers),
-              // keeping its Content-Type for charset resolution
+              // keeping Content-Type (charset), Transfer-Encoding and
+              // Content-Encoding (entity recovery) — real captures
+              // store the response AS SENT, chunk framing and body
+              // compression included
               val split = body.indexOf("\r\n\r\n")
               val (head, payload) =
                 if (split < 0) ("", body) else (body.substring(0, split), body.substring(split + 4))
-              val ct = {
-                val lh = head.toLowerCase(java.util.Locale.ROOT)
-                val i = lh.indexOf("\r\ncontent-type:")
+              val lh = head.toLowerCase(java.util.Locale.ROOT)
+              def httpHeader(name: String): Option[String] = {
+                val k = "\r\n" + name + ":"
+                val i = lh.indexOf(k)
                 if (i < 0) None
                 else {
-                  val vStart = i + "\r\ncontent-type:".length
+                  val vStart = i + k.length
                   val vEnd = head.indexOf("\r\n", vStart)
                   Some(head.substring(vStart,
                     if (vEnd < 0) head.length else vEnd).trim)
                 }
               }
+              val ct = httpHeader("content-type")
+              // receive order inverts send order: un-chunk the
+              // transfer framing, then undo the body compression
+              val unchunked =
+                if (httpHeader("transfer-encoding")
+                    .exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked")))
+                  dechunk(payload).getOrElse(payload) // malformed: keep raw
+                else payload
+              val entity = {
+                val raw = unchunked.getBytes(Latin1)
+                val gzipped = httpHeader("content-encoding")
+                  .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+                  .exists(e => e == "gzip" || e == "x-gzip")
+                if (gzipped && isGzip(raw)) gunzipMembers(raw) else raw
+              }
               header("warc-target-uri").foreach(uri =>
-                out += Response(uri, ct, payload.getBytes(Latin1)))
+                out += Response(uri, ct, entity))
             }
             next = s.indexOf("WARC/", bodyEnd)
           case None =>
@@ -279,15 +345,20 @@ object WarcGen {
 
   val DocsPerFile = 8
 
-  /** Per-class decorations (doc_id%4 → appended sentence). Class 1
+  /** Per-class decorations (doc_id%6 → appended sentence). Class 1
     * carries em-dash and Omega (outside Latin-1, 2-3 UTF-8 bytes);
     * class 2 is Hangul (EUC-KR 2-byte codes); class 3 adds an
-    * astral-plane emoji (4 UTF-8 bytes, a surrogate pair on the JVM).
+    * astral-plane emoji (4 UTF-8 bytes, a surrogate pair on the JVM);
+    * classes 4 (UTF-16LE+BOM) and 5 (chunked transfer + gzip entity)
+    * carry their own multibyte markers so a skipped or misordered
+    * transform mojibakes the decoration and diverges the hash.
     * Mirrored in the oracle SQL via chr() codepoints. */
   val Decor: Map[Int, String] = Map(
     1 -> "na\u00efve caf\u00e9 \u2014 \u03a9",
     2 -> "\ud55c\uad6d\uc5b4 \ud14c\uc2a4\ud2b8",
-    3 -> "data \ud83d\ude42 \u03a9")
+    3 -> "data \ud83d\ude42 \u03a9",
+    4 -> "utf16 \u2713 \u03a9",
+    5 -> "chunked gz \u2192 \u03a9")
 
   private def record(headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
     val sb = new StringBuilder("WARC/1.0\r\n")
@@ -305,28 +376,55 @@ object WarcGen {
     out.toByteArray
   }
 
+  /** HTTP/1.1 chunked transfer framing over a body (fixed 512-byte
+    * chunks, hex sizes, 0-chunk terminator) — the send-side twin of
+    * WarcText.dechunk. */
+  private[graft] def chunked(body: Array[Byte], size: Int = 512): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + 64)
+    var i = 0
+    while (i < body.length) {
+      val n = math.min(size, body.length - i)
+      out.write(s"${n.toHexString}\r\n".getBytes(Latin1))
+      out.write(body, i, n)
+      out.write("\r\n".getBytes(Latin1))
+      i += n
+    }
+    out.write("0\r\n\r\n".getBytes(Latin1))
+    out.toByteArray
+  }
+
   /** The HTTP response bytes for one document: head is ASCII, body is
     * the page in its class charset, with the class decoration (and
-    * for class 2 the meta declaration) spliced into the page. */
+    * for class 2 the meta declaration) spliced into the page; class 4
+    * prepends the UTF-16LE BOM, class 5 gzips the entity then chunks
+    * the transfer (send order — the reader must invert it). */
   private[graft] def httpResponse(id: Long, text: String): Array[Byte] = {
-    val cls = (id % 4).toInt
+    val cls = (id % 6).toInt
     val base = HtmlGen.page(id, text)
     val withDecor = Decor.get(cls) match {
       case Some(d) => base.replace("</body>", s"<p>$d</p>\n</body>")
       case None => base
     }
     val (ctHeader, charset) = cls match {
-      case 1 => ("text/html; charset=UTF-8", Utf8)
+      case 1 | 5 => ("text/html; charset=UTF-8", Utf8)
       case 2 => ("text/html", java.nio.charset.Charset.forName("EUC-KR"))
       case 3 => ("text/html", Utf8)
+      case 4 => ("text/html", java.nio.charset.StandardCharsets.UTF_16LE)
       case _ => ("text/html", Latin1) // pure-ASCII body: all agree
     }
     val html =
       if (cls == 2)
         withDecor.replace("</head>", "<meta charset=\"euc-kr\">\n</head>")
       else withDecor
-    (s"HTTP/1.1 200 OK\r\nContent-Type: $ctHeader\r\n\r\n").getBytes(Latin1) ++
-      html.getBytes(charset)
+    val encoded = cls match {
+      case 4 => Array(0xFF.toByte, 0xFE.toByte) ++ html.getBytes(charset)
+      case 5 => chunked(gzipMember(html.getBytes(charset)))
+      case _ => html.getBytes(charset)
+    }
+    val extraHeaders = if (cls == 5)
+      "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n" else ""
+    (s"HTTP/1.1 200 OK\r\nContent-Type: $ctHeader\r\n$extraHeaders\r\n")
+      .getBytes(Latin1) ++ encoded
   }
 
   /** One WARC file for a group of (doc_id, text) rows; gzipped =

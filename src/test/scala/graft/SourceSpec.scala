@@ -148,12 +148,12 @@ class SourceSpec extends AnyFunSuite {
     // and the generator round-trips through the gate entry point, in
     // BOTH container shapes (plain and per-record-gzip-member .warc.gz)
     for (gz <- Seq(false, true)) {
-      val bytes = WarcGen.warcFile(Seq((4L, "hello warc world")), gz)
+      val bytes = WarcGen.warcFile(Seq((6L, "hello warc world")), gz)
       assert(WarcText.isGzip(bytes) == gz)
       val table = Seq(("f.warc", bytes)).toDF("path", "content")
       val out = WarcText.utlWarcToText(spark, table)
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-      assert(out == Seq((4L, "Doc 4 Doc 4 hello warc world " +
+      assert(out == Seq((6L, "Doc 6 Doc 6 hello warc world " +
         graft.sources.HtmlGen.DecorDecoded)), (gz, out))
     }
   }
@@ -162,15 +162,16 @@ class SourceSpec extends AnyFunSuite {
     import graft.sources.{WarcGen, WarcText}
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     // per-class decode through the whole container chain: each class's
-    // decoration must survive byte-exact (a wrong-charset decode
-    // mojibakes the multibyte characters)
-    for (id <- 1L to 3L; gz <- Seq(false, true)) {
+    // decoration must survive byte-exact (a wrong-charset decode, a
+    // skipped BOM, or a misordered unchunk/gunzip mojibakes the
+    // multibyte characters)
+    for (id <- 1L to 5L; gz <- Seq(false, true)) {
       val bytes = WarcGen.warcFile(Seq((id, "body")), gz)
       val rs = WarcText.records(bytes)
       assert(rs.size == 1)
       val text = WarcText.responseText(rs.head)
       val want = s"Doc $id Doc $id body " +
-        graft.sources.HtmlGen.DecorDecoded + " " + WarcGen.Decor((id % 4).toInt)
+        graft.sources.HtmlGen.DecorDecoded + " " + WarcGen.Decor((id % 6).toInt)
       assert(text == want, s"id=$id gz=$gz: $text")
     }
     // decodeBody unit contract: declared wins; undeclared valid UTF-8
@@ -185,6 +186,23 @@ class SourceSpec extends AnyFunSuite {
     // 0xE9 alone is malformed UTF-8 -> Latin-1 view
     assert(WarcText.decodeBody(Array(0xE9.toByte), None) == "é")
     assert(WarcText.decodeBody(Array(0xE9.toByte), Some("no-such-charset")) == "é")
+    // a BOM wins outright (above even a declared charset) and is
+    // stripped; a lying BOM falls through the chain over full bytes
+    val bomUtf8 = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ "Ω".getBytes(utf8)
+    assert(WarcText.decodeBody(bomUtf8, Some("ISO-8859-1")) == "Ω")
+    val bomLe = Array(0xFF, 0xFE).map(_.toByte) ++
+      "hi Ω".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    assert(WarcText.decodeBody(bomLe, None) == "hi Ω")
+    val bomBe = Array(0xFE, 0xFF).map(_.toByte) ++
+      "hi Ω".getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+    assert(WarcText.decodeBody(bomBe, None) == "hi Ω")
+    // chunked transfer framing: exact round trip, extensions ignored,
+    // malformed framing falls back to the raw body (None)
+    assert(WarcText.dechunk("3\r\nabc\r\n0\r\n\r\n").contains("abc"))
+    assert(WarcText.dechunk("3;ext=1\r\nabc\r\n2\r\nde\r\n0\r\n\r\n").contains("abcde"))
+    assert(WarcText.dechunk("ZZ\r\nabc\r\n0\r\n\r\n").isEmpty)
+    assert(WarcText.dechunk("5\r\nabc\r\n0\r\n\r\n").isEmpty) // size lies long
+    assert(WarcText.dechunk("").isEmpty)
     // meta-scan path: charset comes from the body head when the HTTP
     // header is silent (both meta forms)
     val metaBody = "<html><head><meta charset=\"euc-kr\"></head></html>".getBytes(utf8)

@@ -49,7 +49,11 @@ class WarcFuzzSpec extends AnyFunSuite {
   }
 
   test("records + responseText never throw over 800 mutants of both container shapes") {
-    val docs = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma"), (4L, "delta"))
+    // one doc per gate class: plain ASCII, declared UTF-8, EUC-KR,
+    // undeclared UTF-8, UTF-16LE+BOM, chunked+gzip — so the mutants
+    // hit the BOM branch, the chunk parser, and the entity gunzip too
+    val docs = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma"),
+      (4L, "delta"), (5L, "epsilon"), (6L, "zeta"))
     for (gz <- Seq(false, true)) {
       val base = WarcGen.warcFile(docs, gz)
       (0 until 400).foreach { k =>
