@@ -70,7 +70,15 @@ object WarcText {
     * concatenated members natively; a truncated or corrupt trailing
     * member ends the stream — the decoded prefix is kept, so a
     * half-uploaded shard yields its complete records instead of a
-    * task death. */
+    * task death.
+    *
+    * Memory bound: the whole inflated shard is held per task —
+    * CC-sized 1 GB shards inflate to ~3-4 GB, so executors sized for
+    * this source need that headroom per core (the binaryFile source
+    * already holds the COMPRESSED file whole; this multiplies it by
+    * the inflation ratio). The streaming upgrade — a member-at-a-time
+    * record iterator over one GZIPInputStream — drops the bound to
+    * O(largest record) and slots in behind this same signature. */
   private[graft] def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
     try {

@@ -95,6 +95,26 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(n.head().isNullAt(0))
   }
 
+  test("warcToText composes with url canonicalization (the real crawl front door)") {
+    import spark.implicits._
+    // two fetches of the same page under messy URL variants, via the
+    // real container path: canonicalization must collapse them
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    def rec(uri: String, body: String): String =
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n"
+    val page = "HTTP/1.1 200 OK\r\n\r\n<html><body>hi</body></html>"
+    val file = (rec("HTTPS://Site.COM:443/a%7Eb?utm_source=x&id=1#f", page) +
+      rec("https://site.com/a~b?id=1", page)).getBytes(latin1)
+    val out = graft.sources.WarcText
+      .warcToText(spark, Seq(("f.warc", file)).toDF("path", "content"))
+      .select(UrlCanon.urlCanonicalize(col("url")).as("u"), col("text"))
+      .collect()
+    assert(out.length == 2)
+    assert(out.map(_.getString(0)).distinct.toSeq == Seq("https://site.com/a~b?id=1"))
+    assert(out.forall(_.getString(1) == "hi"))
+  }
+
   test("dedup_url collapses the three gate variants per key and keeps the best copy") {
     val out = UrlDedup.queries("dedup_url")(spark, sf)
     val rows = out.collect()
