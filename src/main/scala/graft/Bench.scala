@@ -266,8 +266,12 @@ object Bench {
       val base =
         if (DriftProne.contains(name)) Vector(timed(), timed(), timed())
         else Vector(timed(), timed())
+      // same ratio + absolute-delta bars as driftVerdict: a sub-floor
+      // move on a sub-second query is launch noise and must not burn
+      // three escalation draws either (review r16)
       val regressedVsPrev =
-        prev.get(name).exists(p => p > 0 && base.min > 2 * p)
+        prev.get(name).exists(p => p > 0 && base.min > 2 * p &&
+          base.min - p > DriftAbsFloorSec)
       val samples =
         if (!failed && (base.max > 2 * base.min || regressedVsPrev))
           base ++ Vector(timed(), timed(), timed())

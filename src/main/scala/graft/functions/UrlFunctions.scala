@@ -69,7 +69,11 @@ object UrlCanon {
 
   private def isTracking(param: String): Boolean = {
     val eq = param.indexOf('=')
-    val key = if (eq < 0) param else param.substring(0, eq)
+    // match on the key's DECODED form: the output query decodes
+    // unreserved escapes afterwards, so a `%75tm_source` that slipped
+    // the filter would decode into a literal tracking key and break
+    // idempotence (canonical(canonical(u)) must equal canonical(u))
+    val key = decodeUnreserved(if (eq < 0) param else param.substring(0, eq))
     key.startsWith("utm_") || TrackingKeys.contains(key)
   }
 

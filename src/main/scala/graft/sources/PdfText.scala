@@ -938,11 +938,14 @@ object PdfText {
     * between failing closed (blocked as unsupported) and the noise
     * fallback (NoCrypt), never between decrypt modes. Deliberately
     * shape-based, not parse-based: the parser just threw. */
+  private val RawStandardFilter = java.util.regex.Pattern.compile("/Filter\\s*/Standard")
+  private val RawOString = java.util.regex.Pattern.compile("/O\\s*[(<]")
+  private val RawUString = java.util.regex.Pattern.compile("/U\\s*[(<]")
+
   private[graft] def rawEncryptSignature(s: String): Boolean =
     s.contains("/Encrypt") && (
-      java.util.regex.Pattern.compile("/Filter\\s*/Standard").matcher(s).find() ||
-        (java.util.regex.Pattern.compile("/O\\s*[(<]").matcher(s).find() &&
-          java.util.regex.Pattern.compile("/U\\s*[(<]").matcher(s).find()))
+      RawStandardFilter.matcher(s).find() ||
+        (RawOString.matcher(s).find() && RawUString.matcher(s).find()))
 
   private def cryptState(objs: Vector[PdfObj], s: String): CryptState = {
     // Detection and key derivation carry DIFFERENT failure meanings, so

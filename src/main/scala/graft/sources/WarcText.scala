@@ -79,14 +79,28 @@ object WarcText {
     * the inflation ratio). The streaming upgrade — a member-at-a-time
     * record iterator over one GZIPInputStream — drops the bound to
     * O(largest record) and slots in behind this same signature. */
+  /** Inflation cap: a JVM array tops out just under 2 GiB, and
+    * ByteArrayOutputStream past it dies with an OutOfMemoryError that
+    * NO catch sees (OOME is fatal) — so without the explicit cap a
+    * CC-sized shard inflating past 2 GiB would kill the task in spite
+    * of the totality contract. Records decoded before the cap are
+    * kept, exactly like a truncated trailing member. */
+  private val MaxInflatedBytes: Int = Int.MaxValue - 64
+
   private[graft] def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
+    // initial capacity: 4x the compressed size, clamped to [64, 64 MiB]
+    // in Long arithmetic (bytes.length * 4 overflows Int at 512 MiB)
+    val cap = math.max(64L, math.min(bytes.length.toLong * 4, 64L << 20)).toInt
+    val out = new java.io.ByteArrayOutputStream(cap)
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0 && out.size() <= MaxInflatedBytes - n) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
     out.toByteArray
   }
@@ -177,11 +191,13 @@ object WarcText {
       val dataEnd = dataStart + size.toInt
       sb.append(body, dataStart, dataEnd)
       // the CRLF after each chunk is mandatory; tolerate a missing one
-      // only at end-of-input (truncated capture)
+      // only at end-of-input (truncated capture) — the full chunk data
+      // already decoded, so keep the prefix instead of regressing to
+      // the raw chunk-framed view
       if (dataEnd + 2 <= body.length) {
         if (body.charAt(dataEnd) != '\r' || body.charAt(dataEnd + 1) != '\n') return None
         i = dataEnd + 2
-      } else return None
+      } else return Some(sb.toString)
     }
     None // unreachable
   }
@@ -461,18 +477,22 @@ object WarcGen {
   }
 
   /** (path, content) frame of synthetic WARC files over documents —
-    * odd file keys gzip-membered. The one shuffle here (groupBy the
-    * file key) exists only to BUILD the synthetic container corpus —
-    * real use reads .warc(.gz) files from storage with no shuffle at
-    * all. */
-  def warcTable(s: SparkSession, dir: String): DataFrame = {
+    * `gzFor` picks which file keys gzip-member (gate default: odd
+    * keys; CrawlThroughputProbe passes constants to price all-plain
+    * and all-gz mixes against the SAME builder, so the probe can
+    * never drift from the gate corpus). The one shuffle here (groupBy
+    * the file key) exists only to BUILD the synthetic container
+    * corpus — real use reads .warc(.gz) files from storage with no
+    * shuffle at all. */
+  def warcTable(s: SparkSession, dir: String,
+      gzFor: Long => Boolean = _ % 2 == 1): DataFrame = {
     import s.implicits._
     graft.Tables.documents(s, dir)
       .select("doc_id", "text")
       .as[(Long, String)]
       .groupByKey(_._1 / DocsPerFile)
       .mapGroups { (k: Long, it: Iterator[(Long, String)]) =>
-        val gz = k % 2 == 1
+        val gz = gzFor(k)
         val ext = if (gz) "warc.gz" else "warc"
         (s"graft-$k.$ext", warcFile(it.toSeq.sortBy(_._1), gz))
       }

@@ -24,15 +24,11 @@ object CrawlThroughputProbe {
     val spark = SparkTestSession.spark
     import spark.implicits._
 
+    // the GATE's own builder (warcTable), with the gz selector forced
+    // per mix — the probe can never drift from the gate corpus shape
     def corpus(gzAll: Option[Boolean]) =
-      graft.Tables.documents(spark, dir)
-        .select("doc_id", "text").as[(Long, String)]
-        .groupByKey(_._1 / graft.sources.WarcGen.DocsPerFile)
-        .mapGroups { (k: Long, it: Iterator[(Long, String)]) =>
-          val gz = gzAll.getOrElse(k % 2 == 1)
-          (s"graft-$k.warc", graft.sources.WarcGen.warcFile(it.toSeq.sortBy(_._1), gz))
-        }
-        .toDF("path", "content")
+      graft.sources.WarcGen.warcTable(spark, dir,
+        gzAll.map(v => (_: Long) => v).getOrElse(_ % 2 == 1))
 
     def timed[A](label: String, gb: Double)(body: => A): A = {
       val t0 = System.nanoTime()

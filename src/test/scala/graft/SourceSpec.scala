@@ -203,6 +203,11 @@ class SourceSpec extends AnyFunSuite {
     assert(WarcText.dechunk("ZZ\r\nabc\r\n0\r\n\r\n").isEmpty)
     assert(WarcText.dechunk("5\r\nabc\r\n0\r\n\r\n").isEmpty) // size lies long
     assert(WarcText.dechunk("").isEmpty)
+    // a capture truncated right after the last chunk's data (final
+    // CRLF / 0-chunk cut) keeps the decoded prefix — only a cut
+    // INSIDE chunk data is unrecoverable
+    assert(WarcText.dechunk("3\r\nabc").contains("abc"))
+    assert(WarcText.dechunk("3\r\nabc\r\n3\r\nde").isEmpty)
     // meta-scan path: charset comes from the body head when the HTTP
     // header is silent (both meta forms)
     val metaBody = "<html><head><meta charset=\"euc-kr\"></head></html>".getBytes(utf8)

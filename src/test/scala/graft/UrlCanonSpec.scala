@@ -48,6 +48,13 @@ class UrlCanonSpec extends AnyFunSuite {
     // %26 ('&', reserved) in a query must NOT become a separator:
     // the param splits before any decode
     assert(c("https://h/p?a=1%262&utm_source=x") == "https://h/p?a=1%262")
+    // a percent-ENCODED tracking key must not slip the filter and
+    // decode into a literal one (that would break idempotence —
+    // review r16)
+    assert(c("https://h/p?%75tm_source=x&id=1") == "https://h/p?id=1")
+    assert(c("https://h/p?%67clid=g&id=1") == "https://h/p?id=1")
+    assert(c(c("https://h/p?%75tm_source=x&id=1")) ==
+      c("https://h/p?%75tm_source=x&id=1"))
   }
 
   test("totality and idempotence") {
