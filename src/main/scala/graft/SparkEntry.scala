@@ -36,7 +36,8 @@ object SparkEntry {
       (TrainingPipeline.queries, TrainingPipeline.oracleSql),
       (EmbeddingLsh.queries, EmbeddingLsh.oracleSql),
       (ModelRegistry.queries, ModelRegistry.oracleSql),
-      (graft.sources.Interchange.queries, graft.sources.Interchange.oracleSql))
+      (graft.sources.Interchange.queries, graft.sources.Interchange.oracleSql),
+      (graft.sources.MediaProbe.queries, graft.sources.MediaProbe.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The reference's headline flow end-to-end: documents →

@@ -1,0 +1,268 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed header metadata recovered from a real media container. Zero
+  * means not-applicable for the format (audio has no width; stills
+  * have no sample rate) — longs, not options, so the frame hashes
+  * deterministically. */
+case class ProbedMedia(
+    doc_id: Long, format: String, n_bytes: Long,
+    width: Long, height: Long,
+    channels: Long, sample_rate: Long, duration_ms: Long)
+
+/** Real media-format probing (r16) — the ffprobe-style first step of
+  * every multimodal pipeline: sniff the container by magic and parse
+  * its header for dimensions/audio geometry WITHOUT decoding any
+  * samples. Unlike the mandated-synthetic decode stub
+  * (Multimodal.stubDecode — pixel/sample decoding needs codec libs
+  * this container doesn't ship), header parsing is pure byte work, so
+  * THIS layer is real: PNG IHDR (big-endian dims), JPEG marker walk
+  * to the SOF frame header, GIF logical screen descriptor
+  * (little-endian), WAV RIFF chunk walk (fmt geometry + data length →
+  * duration). Anything else is "unknown" with byte-count metadata
+  * only.
+  *
+  * Total on any input: a truncated or corrupt header degrades to
+  * "unknown", never throws (the PdfText/WarcText contract). Scale
+  * shape: one narrow mapPartitions over the binary column — no
+  * shuffle, bounded memory (headers are read positionally; the
+  * payload is never copied).
+  *
+  * The gate corpus ([[MediaGen]]) builds REAL minimal containers —
+  * correct magics, CRC'd PNG chunks, JFIF APP0 + SOF0 walks, RIFF
+  * chunk layout — with geometry derived from doc_id, so the DuckDB
+  * oracle predicts every probed field from doc_id alone and a parser
+  * that misreads endianness, walks markers wrong, or misaligns a
+  * chunk diverges the hash.
+  */
+object MediaProbe {
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+    i + s.length <= b.length && s.indices.forall(k => (b(i + k) & 0xFF) == s.charAt(k))
+
+  private def unknown(id: Long, n: Long) =
+    ProbedMedia(id, "unknown", n, 0, 0, 0, 0, 0)
+
+  /** Probe one payload. Total: any malformed/truncated header →
+    * "unknown". */
+  def probe(id: Long, b: Array[Byte]): ProbedMedia = {
+    val n = if (b == null) 0L else b.length.toLong
+    if (b == null || b.length < 12) return unknown(id, n)
+    try {
+      if ((b(0) & 0xFF) == 0x89 && ascii(b, 1, "PNG") &&
+          ascii(b, 12, "IHDR") && b.length >= 24)
+        // PNG: 8-byte signature, then the IHDR chunk (len+type at
+        // 8..15, 4-byte BE width/height at 16/20)
+        ProbedMedia(id, "png", n, be32(b, 16), be32(b, 20), 0, 0, 0)
+      else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+        // JPEG: walk FF-markers; standalone markers have no length,
+        // everything else carries a BE16 segment length; the SOF0-15
+        // frame header (except DHT/JPG/DAC C4/C8/CC) holds the dims
+        var i = 2
+        while (i + 3 < b.length) {
+          if ((b(i) & 0xFF) != 0xFF) return unknown(id, n)
+          var m = b(i + 1) & 0xFF
+          while (m == 0xFF && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xFF }
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+            if (i + 8 >= b.length) return unknown(id, n)
+            return ProbedMedia(id, "jpeg", n,
+              width = be16(b, i + 7), height = be16(b, i + 5), 0, 0, 0)
+          } else if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+            i += 2 // standalone marker
+          } else if (m == 0xD9 || m == 0xDA) {
+            return unknown(id, n) // EOI/SOS before any SOF: no dims
+          } else {
+            i += 2 + be16(b, i + 2)
+          }
+        }
+        unknown(id, n)
+      } else if (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a"))
+        // GIF logical screen descriptor: LE16 dims right after the
+        // 6-byte version magic
+        ProbedMedia(id, "gif", n, le16(b, 6), le16(b, 8), 0, 0, 0)
+      else if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
+        // WAV: walk RIFF chunks; fmt carries the audio geometry, the
+        // data chunk's SIZE with the byte rate gives the duration
+        var i = 12
+        var channels = 0L; var rate = 0L; var byteRate = 0L; var dataLen = -1L
+        while (i + 8 <= b.length && (channels == 0 || dataLen < 0)) {
+          val size = le32(b, i + 4)
+          // a size that cannot fit the file is a lie: bail BEFORE the
+          // advance (a huge u32 would overflow the Int cursor)
+          if (size < 0 || size > b.length.toLong) return unknown(id, n)
+          if (ascii(b, i, "fmt ") && i + 24 <= b.length) {
+            channels = le16(b, i + 10).toLong
+            rate = le32(b, i + 12)
+            byteRate = le32(b, i + 16)
+          } else if (ascii(b, i, "data")) dataLen = size
+          // chunks are word-aligned: odd sizes carry a pad byte
+          i += 8 + size.toInt + (size % 2).toInt
+        }
+        if (channels == 0 || rate <= 0 || byteRate <= 0 || dataLen < 0)
+          unknown(id, n)
+        else
+          ProbedMedia(id, "wav", n, 0, 0, channels, rate,
+            duration_ms = dataLen * 1000L / byteRate)
+      } else unknown(id, n)
+    } catch { case scala.util.control.NonFatal(_) => unknown(id, n) }
+  }
+
+  /** Per-format aggregate over the gate corpus — a narrow probe map,
+    * then one partial-agg groupBy on the 5-value format key. */
+  def probeFormat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MediaGen.mediaTable(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => probe(id, bytes) })
+      .toDF()
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_media"),
+        sum("n_bytes").as("total_bytes"),
+        sum("width").as("sum_width"),
+        sum("height").as("sum_height"),
+        sum("channels").as("sum_channels"),
+        sum("sample_rate").as("sum_rate"),
+        sum("duration_ms").as("sum_duration_ms"))
+      .orderBy("format")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_probe_format" -> (probeFormat _))
+
+  /** The oracle predicts every probed field from doc_id via the
+    * generator formulas — byte counts included (container sizes are
+    * closed-form: fixed framing plus the WAV data length). */
+  val oracleSql: Map[String, String] = Map(
+    "mm_probe_format" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, doc_id % 5 AS cls,
+         |    16 + (doc_id % 97) AS w, 16 + ((doc_id * 7) % 83) AS h,
+         |    1 + (doc_id % 2) AS ch, 8000 + (doc_id % 5) * 4000 AS rate,
+         |    100 + (doc_id % 100) AS nsamp,
+         |    length(coalesce(text, '')) AS tlen
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    CASE cls WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+         |      WHEN 3 THEN 'wav' ELSE 'unknown' END AS format,
+         |    CASE cls
+         |      WHEN 0 THEN ${MediaGen.PngBytes}
+         |      WHEN 1 THEN ${MediaGen.JpegBytes}
+         |      WHEN 2 THEN ${MediaGen.GifBytes}
+         |      WHEN 3 THEN ${MediaGen.WavHeaderBytes} + nsamp * ch * 2
+         |      ELSE tlen END AS n_bytes,
+         |    CASE WHEN cls IN (0, 1, 2) THEN w ELSE 0 END AS width,
+         |    CASE WHEN cls IN (0, 1, 2) THEN h ELSE 0 END AS height,
+         |    CASE WHEN cls = 3 THEN ch ELSE 0 END AS channels,
+         |    CASE WHEN cls = 3 THEN rate ELSE 0 END AS sample_rate,
+         |    -- duration = dataLen*1000 // byteRate = nsamp*1000 // rate
+         |    CASE WHEN cls = 3 THEN (nsamp * 1000) // rate ELSE 0 END AS duration_ms
+         |  FROM m)
+         |SELECT format, count(*) AS n_media, sum(n_bytes)::BIGINT AS total_bytes,
+         |  sum(width)::BIGINT AS sum_width, sum(height)::BIGINT AS sum_height,
+         |  sum(channels)::BIGINT AS sum_channels, sum(sample_rate)::BIGINT AS sum_rate,
+         |  sum(duration_ms)::BIGINT AS sum_duration_ms
+         |FROM p GROUP BY format ORDER BY format""".stripMargin)
+}
+
+/** Deterministic REAL-container generator for the `mm_probe_format`
+  * gate: correct magics, CRC'd PNG chunks, a JFIF APP0 segment before
+  * the SOF0 (so the prober must WALK markers, not peek a fixed
+  * offset), RIFF chunk alignment — geometry closed-form in doc_id so
+  * the oracle never parses anything. */
+object MediaGen {
+
+  /** Closed-form container sizes (framing bytes), mirrored into the
+    * oracle so total_bytes is predicted, not measured. */
+  val PngBytes = 8 + 25 + 12       // sig + IHDR(8+13+4) + IEND(8+0+4)
+  val JpegBytes = 2 + 18 + 13 + 2  // SOI + APP0(2+16) + SOF0(2+11) + EOI
+  val GifBytes = 6 + 7 + 1         // magic + screen descriptor + trailer
+  val WavHeaderBytes = 12 + 24 + 8 // RIFF/WAVE + fmt(8+16) + data hdr
+
+  private def u32be(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def u16be(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def u32le(v: Long): Array[Byte] = u32be(v).reverse
+  private def u16le(v: Int): Array[Byte] = u16be(v).reverse
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    crc.update(t); crc.update(data)
+    u32be(data.length.toLong) ++ t ++ data ++ u32be(crc.getValue)
+  }
+
+  def png(w: Long, h: Long): Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      pngChunk("IHDR", u32be(w) ++ u32be(h) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+
+  def jpeg(w: Int, h: Int): Array[Byte] =
+    Array(0xFF, 0xD8).map(_.toByte) ++                       // SOI
+      (Array(0xFF, 0xE0).map(_.toByte) ++ u16be(16) ++       // APP0 JFIF
+        "JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        Array[Byte](0, 1, 2, 0) ++ u16be(1) ++ u16be(1) ++ Array[Byte](0, 0)) ++
+      (Array(0xFF, 0xC0).map(_.toByte) ++ u16be(11) ++       // SOF0
+        Array[Byte](8) ++ u16be(h) ++ u16be(w) ++
+        Array[Byte](1, 1, 0x11, 0)) ++
+      Array(0xFF, 0xD9).map(_.toByte)                        // EOI
+
+  def gif(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      u16le(w) ++ u16le(h) ++ Array[Byte](0, 0, 0) ++ Array(0x3B.toByte)
+
+  def wav(channels: Int, rate: Long, nsamples: Int): Array[Byte] = {
+    val blockAlign = channels * 2 // 16-bit PCM
+    val dataLen = nsamples.toLong * blockAlign
+    val byteRate = rate * blockAlign
+    "RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      u32le(36 + dataLen) ++
+      "WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      "fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      u32le(16) ++ u16le(1) ++ u16le(channels) ++ u32le(rate) ++
+      u32le(byteRate) ++ u16le(blockAlign) ++ u16le(16) ++
+      "data".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      u32le(dataLen) ++ new Array[Byte](dataLen.toInt)
+  }
+
+  /** One payload per documents row, format class = doc_id%5 (the
+    * fifth class is raw text bytes — the unknown-format channel). */
+  def payload(id: Long, text: String): Array[Byte] = {
+    val w = 16 + (id % 97); val h = 16 + ((id * 7) % 83)
+    val ch = 1 + (id % 2).toInt
+    val rate = 8000 + (id % 5) * 4000
+    val nsamp = 100 + (id % 100).toInt
+    (id % 5) match {
+      case 0 => png(w, h)
+      case 1 => jpeg(w.toInt, h.toInt)
+      case 2 => gif(w.toInt, h.toInt)
+      case 3 => wav(ch, rate, nsamp)
+      case _ => Option(text).getOrElse("")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  /** (doc_id, payload) frame — narrow map, no shuffle. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, payload(id, t)) })
+      .toDF("doc_id", "payload")
+  }
+}
