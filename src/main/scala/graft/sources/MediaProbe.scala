@@ -15,7 +15,11 @@ case class ProbedMedia(
 /** Real media-format probing (r16) — the ffprobe-style first step of
   * every multimodal pipeline: sniff the container by magic and parse
   * its header for dimensions/audio geometry WITHOUT decoding any
-  * samples. Unlike the mandated-synthetic decode stub
+  * samples. Reference context: the reference stores documents as
+  * opaque BLOBs and inspects them in-engine
+  * (/root/reference/scripts/01_pdf_to_vector.sql:49-59 `pdf_content
+  * BLOB` + UTL_TO_TEXT); this is that boundary's media analogue —
+  * typed metadata out of a binary column. Unlike the mandated-synthetic decode stub
   * (Multimodal.stubDecode — pixel/sample decoding needs codec libs
   * this container doesn't ship), header parsing is pure byte work, so
   * THIS layer is real: PNG IHDR (big-endian dims), JPEG marker walk
