@@ -155,7 +155,9 @@ object MediaProbe {
          |    16 + (doc_id % 97) AS w, 16 + ((doc_id * 7) % 83) AS h,
          |    1 + (doc_id % 2) AS ch, 8000 + (doc_id % 5) * 4000 AS rate,
          |    100 + (doc_id % 100) AS nsamp,
-         |    length(coalesce(text, '')) AS tlen
+         |    -- BYTES, not codepoints (DuckDB length() counts the
+         |    -- latter); +1 for the generator's NUL prefix
+         |    1 + octet_length(encode(coalesce(text, ''))) AS tlen
          |  FROM documents),
          |p AS (
          |  SELECT doc_id,
@@ -255,8 +257,14 @@ object MediaGen {
       case 1 => jpeg(w.toInt, h.toInt)
       case 2 => gif(w.toInt, h.toInt)
       case 3 => wav(ch, rate, nsamp)
-      case _ => Option(text).getOrElse("")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case _ =>
+        // the unknown-format channel: text bytes behind a NUL prefix,
+        // so a text value that happens to START with an ASCII magic
+        // ("GIF89a…", "RIFF…WAVE") can never probe as a real format —
+        // the oracle pins this class to 'unknown' unconditionally
+        // (review r16; no container magic begins with 0x00)
+        Array(0.toByte) ++ Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     }
   }
 

@@ -193,11 +193,15 @@ object WarcText {
       // the CRLF after each chunk is mandatory; tolerate a missing one
       // only at end-of-input (truncated capture) — the full chunk data
       // already decoded, so keep the prefix instead of regressing to
-      // the raw chunk-framed view
+      // the raw chunk-framed view. A present-but-WRONG byte after the
+      // data is corrupt framing, not truncation (review r16): raw body.
       if (dataEnd + 2 <= body.length) {
         if (body.charAt(dataEnd) != '\r' || body.charAt(dataEnd + 1) != '\n') return None
         i = dataEnd + 2
-      } else return Some(sb.toString)
+      } else {
+        if (dataEnd < body.length && body.charAt(dataEnd) != '\r') return None
+        return Some(sb.toString)
+      }
     }
     None // unreachable
   }

@@ -98,6 +98,15 @@ class MediaProbeSpec extends AnyFunSuite {
         assert(r.channels == 1 + (id % 2) && r.sample_rate == rate)
         assert(r.duration_ms == (100 + (id % 100)) * 1000 / rate)
       }
+      if (want == "unknown") assert(r.n_bytes == "some text".length + 1)
     }
+    // the unknown channel's NUL prefix makes it immune to text that
+    // happens to START with a container magic (review r16): the
+    // oracle pins class 4 to 'unknown' unconditionally, so the
+    // generator must guarantee it
+    val adversarial = MediaProbe.probe(4L, MediaGen.payload(4L, "GIF89a trap text"))
+    assert(adversarial.format == "unknown")
+    assert(MediaProbe.probe(4L,
+      MediaGen.payload(4L, "RIFF1234WAVE trap")).format == "unknown")
   }
 }

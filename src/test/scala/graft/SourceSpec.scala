@@ -207,7 +207,11 @@ class SourceSpec extends AnyFunSuite {
     // CRLF / 0-chunk cut) keeps the decoded prefix — only a cut
     // INSIDE chunk data is unrecoverable
     assert(WarcText.dechunk("3\r\nabc").contains("abc"))
+    assert(WarcText.dechunk("3\r\nabc\r").contains("abc"))
     assert(WarcText.dechunk("3\r\nabc\r\n3\r\nde").isEmpty)
+    // a present-but-WRONG byte after the data is corruption, not
+    // truncation: keep the raw body (review r16)
+    assert(WarcText.dechunk("3\r\nabcX").isEmpty)
     // meta-scan path: charset comes from the body head when the HTTP
     // header is silent (both meta forms)
     val metaBody = "<html><head><meta charset=\"euc-kr\"></head></html>".getBytes(utf8)
