@@ -158,6 +158,18 @@ object Bench {
     * quadratic-regex find was +6 s at sf0.1). */
   private[graft] val DriftAbsFloorSec: Double = 0.5
 
+  /** Effective floor for one query: the fixed 0.5 s floor SCALED DOWN
+    * for very fast witnesses (ADVICE r16) — a flat 0.5 s floor would
+    * permanently exempt any sub-half-second query from drift detection
+    * at ANY ratio (50 ms → 540 ms is ~11× and still under a flat
+    * floor). min(0.5 s, 3×witness) keeps the absolute floor for the
+    * r15 noise cases it was built for (witness ≥ 167 ms → unchanged
+    * 0.5 s) while a tiny-witness query still flags once it has tripled
+    * AND moved by three witness-widths; the tail retry then
+    * adjudicates noise vs code as usual. */
+  private[graft] def driftFloorSec(prev: Double): Double =
+    math.min(DriftAbsFloorSec, 3.0 * prev)
+
   /** Pure drift classification for one query vs the same-SF witness:
     * None = not regressed (no witness, a failed run, within 2×, or a
     * >2× move whose absolute delta is under [[DriftAbsFloorSec]] —
@@ -170,7 +182,7 @@ object Bench {
       failed: Boolean, minLoad: Double): Option[String] =
     prev.filter(_ > 0).flatMap { p =>
       if (failed || minSec <= 0 || minSec <= 2 * p ||
-          minSec - p <= DriftAbsFloorSec) None
+          minSec - p <= driftFloorSec(p)) None
       else Some(if (minLoad > LoadBar) "load" else "code")
     }
 
@@ -271,7 +283,7 @@ object Bench {
       // three escalation draws either (review r16)
       val regressedVsPrev =
         prev.get(name).exists(p => p > 0 && base.min > 2 * p &&
-          base.min - p > DriftAbsFloorSec)
+          base.min - p > driftFloorSec(p))
       val samples =
         if (!failed && (base.max > 2 * base.min || regressedVsPrev))
           base ++ Vector(timed(), timed(), timed())

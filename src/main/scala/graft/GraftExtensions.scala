@@ -30,12 +30,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Wrap a builder with an arity check so `SELECT vec_x_distance()`
+    * fails with a clean analysis-time message naming the function and
+    * the expected arity, instead of an IndexOutOfBoundsException from
+    * inside the builder (ADVICE r16) — and extra arguments error
+    * instead of being silently ignored. */
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args =>
+      if (args.length == n) b(args)
+      else throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> n.toString,
+          "actualNum" -> args.length.toString, "docroot" -> ""))
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] =
     FloatVecDistance.metrics.toSeq.sorted.map { m =>
-      s"vec_${m}_distance" ->
-        ((args: Seq[Expression]) => FloatVecDistance(args(0), args(1), m))
+      val name = s"vec_${m}_distance"
+      name -> arity(name, 2)(args => FloatVecDistance(args(0), args(1), m))
     } :+ ("url_canonicalize" ->
-      ((args: Seq[Expression]) => graft.functions.UrlCanonicalize(args(0))))
+      arity("url_canonicalize", 1)(args => graft.functions.UrlCanonicalize(args(0))))
 
   /** Idempotent programmatic registration on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -23,8 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     which stays case-sensitive per the RFC);
   *  3. strip the scheme's default port (`:80` http, `:443` https);
   *  4. drop tracking query params: keys with the `utm_` prefix plus
-  *     gclid / fbclid / msclkid / mc_eid / ref, preserving the order
-  *     of the survivors and dropping the `?` when none survive;
+  *     gclid / fbclid / msclkid / mc_eid, preserving the order of the
+  *     survivors and dropping the `?` when none survive. Bare `ref`
+  *     is deliberately NOT stripped (ADVICE r16): unlike the ad-click
+  *     ids it is often content-bearing — `?ref=<branch>` on code
+  *     hosts selects a different page — and collapsing on it would
+  *     silently drop genuinely distinct documents. A deployment that
+  *     knows its corpus can extend the key set; the default errs
+  *     toward keeping distinct pages distinct;
   *  5. percent-decode UNRESERVED escapes only (`%41`→A … alnum, `-`,
   *     `.`, `_`, `~`) in the path and query — reserved escapes like
   *     `%2F` stay encoded (decoding them would CHANGE the URL).
@@ -36,7 +42,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UrlCanon {
 
-  private val TrackingKeys = Set("gclid", "fbclid", "msclkid", "mc_eid", "ref")
+  private val TrackingKeys = Set("gclid", "fbclid", "msclkid", "mc_eid")
 
   private def isUnreserved(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||

@@ -139,7 +139,7 @@ object UrlDedup {
       |        string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
       |        p -> NOT (starts_with(p, 'utm_')
       |          OR regexp_extract(p, '^([^=]*)', 1)
-      |            IN ('gclid', 'fbclid', 'msclkid', 'mc_eid', 'ref'))), '&')
+      |            IN ('gclid', 'fbclid', 'msclkid', 'mc_eid'))), '&')
       |      ELSE NULL END AS query
       |  FROM usplit),
       |ucanon AS (

@@ -103,9 +103,12 @@ object MediaProbe {
         var channels = 0L; var rate = 0L; var byteRate = 0L; var dataLen = -1L
         while (i + 8 <= b.length && (channels == 0 || dataLen < 0)) {
           val size = le32(b, i + 4)
-          // a size that cannot fit the file is a lie: bail BEFORE the
-          // advance (a huge u32 would overflow the Int cursor)
-          if (size < 0 || size > b.length.toLong) return unknown(id, n)
+          // a size that cannot fit the bytes REMAINING after this
+          // chunk's own header is a lie: bail BEFORE the advance (a
+          // huge u32 would overflow the Int cursor, and a size that
+          // fits the file but overruns the remainder would otherwise
+          // fabricate a duration from the lie — ADVICE r16)
+          if (size < 0 || i.toLong + 8 + size > b.length.toLong) return unknown(id, n)
           if (ascii(b, i, "fmt ") && i + 24 <= b.length) {
             channels = le16(b, i + 10).toLong
             rate = le32(b, i + 12)

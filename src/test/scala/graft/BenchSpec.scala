@@ -49,6 +49,20 @@ class BenchSpec extends AnyFunSuite {
       minLoad = 1.0).contains("code"))
   }
 
+  test("drift floor scales down for tiny witnesses (ADVICE r16)") {
+    // a flat 0.5 s floor would let a 50 ms query regress 11x forever;
+    // min(0.5, 3*prev) flags it (delta 0.49 > floor 0.15)...
+    assert(math.abs(Bench.driftFloorSec(0.05) - 0.15) < 1e-12)
+    assert(Bench.driftVerdict(Some(0.05), 0.54, failed = false,
+      minLoad = 1.0).contains("code"))
+    // ...while a sub-3x move on the same witness stays quiet (ratio bar)
+    assert(Bench.driftVerdict(Some(0.05), 0.09, failed = false,
+      minLoad = 1.0).isEmpty)
+    // witnesses >= 167 ms keep the full 0.5 s absolute floor
+    assert(Bench.driftFloorSec(0.2) == 0.5)
+    assert(Bench.driftFloorSec(5.0) == 0.5)
+  }
+
   test("LoadBar derives from the host's cpu count, floored at 2") {
     // ADVICE r14: the 8.0 constant was calibrated to the 32-cpu
     // builder host and misread smaller hosts. Unless GRAFT_LOAD_BAR

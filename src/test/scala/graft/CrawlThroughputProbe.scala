@@ -80,5 +80,52 @@ object CrawlThroughputProbe {
         .select(graft.functions.UrlCanon.urlCanonicalize(col("url")).as("u"))
         .distinct().count()
     }
+
+    // ---- flat-memory witness for the streaming iterator (r17) ----
+    // Iterate a shard that inflates past the old 2 GiB whole-shard cap
+    // and sample used heap between records: the member-at-a-time
+    // iterator must hold ONE record, so peak usage stays record-sized
+    // (vs 2 GiB byte[] + 4 GiB char[] for the pre-r17 whole-shard
+    // inflate — which additionally LOST every record past the cap).
+    locally {
+      val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+      val nRecords = 300
+      val fillerLen = 8 << 20
+      val filler = new Array[Byte](fillerLen)
+      java.util.Arrays.fill(filler, 'a'.toByte)
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n".getBytes(latin1)
+      val out = new java.io.ByteArrayOutputStream(4 << 20)
+      var inflated = 0L
+      (0 until nRecords).foreach { i =>
+        val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: http://e/$i\r\n" +
+          s"Content-Length: ${http.length + fillerLen}\r\n\r\n").getBytes(latin1)
+        val gz = new java.util.zip.GZIPOutputStream(out, 64 * 1024) {
+          `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+        }
+        gz.write(head); gz.write(http); gz.write(filler)
+        gz.write("\r\n\r\n".getBytes(latin1))
+        gz.finish()
+        inflated += head.length + http.length + fillerLen + 4
+      }
+      val shard = out.toByteArray
+      val rt = Runtime.getRuntime
+      def usedMb: Long = (rt.totalMemory() - rt.freeMemory()) >> 20
+      System.gc()
+      val baseMb = usedMb
+      var peakMb = 0L
+      var n = 0
+      val t0 = System.nanoTime()
+      val it = graft.sources.WarcText.recordIterator(shard)
+      while (it.hasNext) {
+        val r = it.next()
+        n += r.body.length // consume so the record is live briefly
+        peakMb = math.max(peakMb, usedMb - baseMb)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"CRAWLTHRU stream-shard inflated=${inflated / 1e9}%.2fGB records=$nRecords " +
+        f"sec=$sec%.1f sPerGB=${sec / (inflated / 1e9)}%.1f peakHeapDeltaMB=$peakMb " +
+        f"(old cap: ${Int.MaxValue / (1 << 30)}GiB whole-shard — records past it were LOST)")
+    }
   }
 }

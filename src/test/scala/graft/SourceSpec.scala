@@ -235,6 +235,56 @@ class SourceSpec extends AnyFunSuite {
       Seq("http://crawl.example/doc/1", "http://crawl.example/doc/2"))
   }
 
+  test("streaming .warc.gz: a shard inflating past the old 2 GiB cap yields ALL records (r17)") {
+    // VERDICT r16 item 1 done-criterion: the pre-r17 whole-shard
+    // inflate capped at Int.MaxValue-64 bytes and SILENTLY kept only
+    // the decoded prefix — this shard (260 members x ~8 MiB bodies ≈
+    // 2.18 GiB inflated, ~2 MB compressed) crosses that cap, and the
+    // member-at-a-time iterator must yield every record with one
+    // record in memory at a time (the old path would also have needed
+    // a >4 GiB Latin-1 char view, far past this JVM's comfort).
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val nRecords = 260
+    val fillerLen = 8 << 20
+    val filler = new Array[Byte](fillerLen)
+    java.util.Arrays.fill(filler, 'a'.toByte)
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n".getBytes(latin1)
+    def marker(i: Int) = s"rec-$i|".getBytes(latin1)
+    val out = new java.io.ByteArrayOutputStream(4 << 20)
+    var inflated = 0L
+    (0 until nRecords).foreach { i =>
+      val m = marker(i)
+      val contentLen = http.length + m.length + fillerLen
+      val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://e/$i\r\nContent-Length: $contentLen\r\n\r\n")
+        .getBytes(latin1)
+      // one gzip member per record, concatenated — the CC shard shape
+      val gz = new java.util.zip.GZIPOutputStream(out, 64 * 1024) {
+        `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+      }
+      gz.write(head); gz.write(http); gz.write(m); gz.write(filler)
+      gz.write("\r\n\r\n".getBytes(latin1))
+      gz.finish()
+      inflated += head.length + contentLen + 4
+    }
+    val shard = out.toByteArray
+    assert(inflated > Int.MaxValue.toLong,
+      s"shard must inflate past the old cap (got $inflated)")
+    val it = graft.sources.WarcText.recordIterator(shard)
+    var n = 0
+    while (it.hasNext) {
+      val r = it.next()
+      assert(r.uri == s"http://e/$n")
+      val m = marker(n)
+      assert(r.body.length == m.length + fillerLen, s"record $n body length")
+      assert(java.util.Arrays.equals(r.body.take(m.length), m), s"record $n payload head")
+      n += 1
+    }
+    assert(n == nRecords, s"records past the old 2 GiB cap were lost: $n/$nRecords")
+    assert(!it.truncated && it.nMalformed == 0 && it.nOther == 0,
+      (it.truncated, it.nMalformed, it.nOther))
+  }
+
   test("script/style/comment content never leaks into chunks") {
     // the src_html_extract sentinel payloads (trackpixel, analyticsleak,
     // commentleak, the css color) must be absent from every chunk the

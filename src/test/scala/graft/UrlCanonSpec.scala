@@ -30,7 +30,10 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(c("https://h/p?utm_source=a&id=2&gclid=g&x=1&utm_medium=m") ==
       "https://h/p?id=2&x=1")
     assert(c("https://h/p?utm_source=a&fbclid=f") == "https://h/p")
-    assert(c("https://h/p?ref=x&msclkid=1&mc_eid=2") == "https://h/p")
+    assert(c("https://h/p?msclkid=1&mc_eid=2") == "https://h/p")
+    // bare `ref` is content-bearing (?ref=<branch> on code hosts) and
+    // deliberately NOT a tracking key (ADVICE r16)
+    assert(c("https://h/p?ref=main&gclid=g") == "https://h/p?ref=main")
     // a NON-tracking key that merely contains a tracking name stays
     assert(c("https://h/p?refresh=1&buttm_x=2") == "https://h/p?refresh=1&buttm_x=2")
     // userinfo stays case-sensitive; only the host lowercases
