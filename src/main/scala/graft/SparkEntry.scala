@@ -33,6 +33,7 @@ object SparkEntry {
       (IvfPq.queries, IvfPq.oracleSql),
       (HybridSearch.queries, HybridSearch.oracleSql),
       (Pipeline.queries, Pipeline.oracleSql),
+      (CrawlPipeline.queries, CrawlPipeline.oracleSql),
       (TrainingPipeline.queries, TrainingPipeline.oracleSql),
       (EmbeddingLsh.queries, EmbeddingLsh.oracleSql),
       (ModelRegistry.queries, ModelRegistry.oracleSql),

@@ -54,7 +54,14 @@ object TextAnalysis {
     * this exact scoring). `carry` names input columns to keep beside
     * the scores (so composing operators stay one pass — no join-back
     * of the scored frame onto its own input). */
-  def qualityOf(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+  def qualityOf(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    qualityKeyed(docs, "doc_id" +: carry).orderBy("doc_id")
+
+  /** The same scoring over a frame keyed by arbitrary columns (no
+    * doc_id required, no output ordering) — the crawl funnel scores
+    * (url, text) pages straight off the container parse, where no
+    * integer id exists ([[CrawlPipeline]]). */
+  def qualityKeyed(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
@@ -63,7 +70,7 @@ object TextAnalysis {
     val punct = strippedLen(col("text"), "[a-z0-9\\s]+").cast("double")
     val digits = strippedLen(col("text"), "[^0-9]+").cast("double")
     docs
-      .select(col("doc_id") +: carry.map(col) :+
+      .select(keep.map(col) :+
         round(nStop / nTok, 4).as("stopword_ratio") :+
         round(punct / chars, 4).as("punct_ratio") :+
         round(digits / chars, 4).as("digit_ratio") :+
@@ -73,7 +80,6 @@ object TextAnalysis {
           - greatest(lit(0.0), lit(0.3) - col("stopword_ratio"))
           - col("punct_ratio") - col("digit_ratio")
           - col("repetition_ratio") * 0.4, 4))
-      .orderBy("doc_id")
   }
 
   /** Language id: marker-word hit counts per language, argmax with
@@ -368,9 +374,14 @@ object TextAnalysis {
     * `qdoc` (qt/qr names chosen to never collide with the Dedup oracle
     * fragments this composes with — dedup_keep_best splices it into the
     * component-clustering WITH chain). */
-  private[graft] val qualityCtes: String =
+  private[graft] val qualityCtes: String = qualityCtesFrom("documents")
+
+  /** The same chain over any CTE/table exposing (doc_id, text) — the
+    * crawl-funnel oracle scores the PREDICTED extracted pages, not the
+    * documents table (CrawlPipeline). */
+  private[graft] def qualityCtesFrom(src: String): String =
     s"""qt AS (
-       |  SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |  SELECT doc_id, text, $toksSql AS toks FROM $src),
        |qr AS (
        |  SELECT doc_id,
        |    round(1e-9 + len(list_filter(toks, tok -> tok IN ('the','a','of','and','to','in','is','it')))::DOUBLE

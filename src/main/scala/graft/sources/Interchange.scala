@@ -170,12 +170,26 @@ object Interchange {
       .orderBy("doc_id")
   }
 
+  /** WARC parse-accounting gate (r17, VERDICT r16 item 5): per-file
+    * (responses, framed-and-skipped, unframeable, truncated) from the
+    * streaming iterator's counters — the `doc_extract_report` status
+    * channel for the container path, so lost volume at 100 TB is a
+    * plain sum over this frame. The oracle predicts every row from
+    * the generator's file-grouping arithmetic: each file carries one
+    * warcinfo + a request/response pair per document, nothing is
+    * malformed, nothing truncated — so any accounting slip (a
+    * skipped type counted as a response, a phantom malformed, a
+    * false truncation flag) diverges the hash. */
+  def warcReport(s: SparkSession, dir: String): DataFrame =
+    WarcText.warcReport(s, WarcGen.warcTable(s, dir)).orderBy("path")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jsonl_corrupt" -> (jsonlCorrupt _),
     "src_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_html_extract" -> (htmlExtract _),
     "src_warc_extract" -> (warcExtract _),
+    "src_warc_report" -> (warcReport _),
     "src_schema_evolution" -> (schemaEvolution _))
 
   private def checksumSql(seed: Int): String =
@@ -191,6 +205,30 @@ object Interchange {
        |    THEN ux::HUGEINT - 18446744073709551616 ELSE ux::HUGEINT END)::BIGINT
        |    AS text_checksum
        |FROM x ORDER BY lang""".stripMargin
+
+  /** The WARC gate's predicted extraction as a reusable CTE ending in
+    * `wt(doc_id, text)` — what [[WarcText]] must yield per document
+    * from the [[WarcGen]] container corpus; `pipeline_crawl` splices
+    * it as the head of the crawl-funnel oracle. NOTE: interpolates
+    * into callers' stripMargin strings, so concatenation operators
+    * sit at line ENDS (a line starting with `||` would lose its first
+    * pipe to the outer stripMargin). */
+  private[graft] val warcTextCte: String =
+    """wt AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(
+      |      'Doc ' || doc_id || ' Doc ' || doc_id || ' ' ||
+      |        coalesce(text, '') || ' café & résumé "ok"' ||
+      |        CASE doc_id % 6
+      |          WHEN 1 THEN ' naïve café ' || chr(8212) || ' ' || chr(937)
+      |          WHEN 2 THEN ' ' || chr(54620) || chr(44397) || chr(50612) ||
+      |            ' ' || chr(53580) || chr(49828) || chr(53944)
+      |          WHEN 3 THEN ' data ' || chr(128578) || ' ' || chr(937)
+      |          WHEN 4 THEN ' utf16 ' || chr(10003) || ' ' || chr(937)
+      |          WHEN 5 THEN ' chunked gz ' || chr(8594) || ' ' || chr(937)
+      |          ELSE '' END,
+      |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
+      |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "src_jsonl_corrupt" ->
@@ -237,22 +275,21 @@ object Interchange {
     // source ASCII where the characters leave Latin-1; a wrong-charset
     // decode, skipped BOM, or misordered unchunk/gunzip mojibakes the
     // decoration and diverges the hash.
+    // the generator's grouping arithmetic, replayed: file key k =
+    // doc_id // DocsPerFile, odd keys gzip; per file one warcinfo +
+    // one request per doc (framed, skipped → n_other = n + 1), one
+    // response per doc, zero malformed, zero truncated
+    "src_warc_report" ->
+      s"""WITH f AS (
+         |  SELECT doc_id // ${WarcGen.DocsPerFile} AS k, count(*) AS n
+         |  FROM documents GROUP BY 1)
+         |SELECT 'graft-' || k ||
+         |    CASE WHEN k % 2 = 1 THEN '.warc.gz' ELSE '.warc' END AS path,
+         |  n AS n_responses, (n + 1)::BIGINT AS n_other,
+         |  0::BIGINT AS n_malformed, 0::BIGINT AS truncated
+         |FROM f ORDER BY path""".stripMargin,
     "src_warc_extract" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(
-        |      'Doc ' || doc_id || ' Doc ' || doc_id || ' ' ||
-        |        coalesce(text, '') || ' café & résumé "ok"' ||
-        |        CASE doc_id % 6
-        |          WHEN 1 THEN ' naïve café ' || chr(8212) || ' ' || chr(937)
-        |          WHEN 2 THEN ' ' || chr(54620) || chr(44397) || chr(50612)
-        |            || ' ' || chr(53580) || chr(49828) || chr(53944)
-        |          WHEN 3 THEN ' data ' || chr(128578) || ' ' || chr(937)
-        |          WHEN 4 THEN ' utf16 ' || chr(10003) || ' ' || chr(937)
-        |          WHEN 5 THEN ' chunked gz ' || chr(8594) || ' ' || chr(937)
-        |          ELSE '' END,
-        |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
-        |  FROM documents)
-        |SELECT doc_id, text
-        |FROM t ORDER BY doc_id""".stripMargin)
+      s"""WITH $warcTextCte
+         |SELECT doc_id, text
+         |FROM wt ORDER BY doc_id""".stripMargin)
 }

@@ -703,9 +703,18 @@ object WarcGen {
       .getBytes(Latin1) ++ encoded
   }
 
+  /** The default gate URI: doc_id as the trailing path segment, so
+    * the oracle joins back by the trailing integer
+    * ([[WarcText.utlWarcToText]]). */
+  def gateUri(id: Long): String = s"http://crawl.example/doc/$id"
+
   /** One WARC file for a group of (doc_id, text) rows; gzipped =
-    * per-record gzip members, concatenated (the `.warc.gz` shape). */
-  def warcFile(docs: Seq[(Long, String)], gzipped: Boolean = false): Array[Byte] = {
+    * per-record gzip members, concatenated (the `.warc.gz` shape).
+    * `uriFor` names each document's WARC-Target-URI — the crawl
+    * funnel gate ([[graft.operators.CrawlPipeline]]) passes the messy
+    * URL-variant generator so URL dedup has real work to do. */
+  def warcFile(docs: Seq[(Long, String)], gzipped: Boolean = false,
+      uriFor: Long => String = gateUri): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def emit(rec: Array[Byte]): Unit =
       out.write(if (gzipped) gzipMember(rec) else rec)
@@ -713,7 +722,7 @@ object WarcGen {
       Seq("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> "<urn:graft:info>"),
       "software: graft-testgen\r\n".getBytes(Latin1)))
     docs.foreach { case (id, text) =>
-      val uri = s"http://crawl.example/doc/$id"
+      val uri = uriFor(id)
       emit(record(
         Seq("WARC-Type" -> "request", "WARC-Target-URI" -> uri),
         s"GET /doc/$id HTTP/1.1\r\nHost: crawl.example\r\n\r\n".getBytes(Latin1)))
@@ -737,7 +746,8 @@ object WarcGen {
     * corpus — real use reads .warc(.gz) files from storage with no
     * shuffle at all. */
   def warcTable(s: SparkSession, dir: String,
-      gzFor: Long => Boolean = _ % 2 == 1): DataFrame = {
+      gzFor: Long => Boolean = _ % 2 == 1,
+      uriFor: Long => String = gateUri): DataFrame = {
     import s.implicits._
     graft.Tables.documents(s, dir)
       .select("doc_id", "text")
@@ -746,7 +756,7 @@ object WarcGen {
       .mapGroups { (k: Long, it: Iterator[(Long, String)]) =>
         val gz = gzFor(k)
         val ext = if (gz) "warc.gz" else "warc"
-        (s"graft-$k.$ext", warcFile(it.toSeq.sortBy(_._1), gz))
+        (s"graft-$k.$ext", warcFile(it.toSeq.sortBy(_._1), gz, uriFor))
       }
       .toDF("path", "content")
   }

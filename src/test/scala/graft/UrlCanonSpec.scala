@@ -155,4 +155,17 @@ class UrlCanonSpec extends AnyFunSuite {
       assert(r.getDouble(3) == best)
     }
   }
+  test("CrawlPipeline.messyUrl agrees with the dedup_url column generator (r17)") {
+    // the crawl-funnel gate feeds messyUrl(id) into the WARC corpus as
+    // the target URI while its oracle replays UrlDedup.urlRawCte -- the
+    // same CTE the column-expression generator mirrors; the two Scala
+    // generators must therefore agree byte for byte on every doc
+    val viaCols = graft.operators.UrlDedup.urlTable(spark, sf)
+      .select("doc_id", "url").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(viaCols.nonEmpty)
+    viaCols.foreach { case (id, u) =>
+      assert(graft.operators.CrawlPipeline.messyUrl(id) == u, s"doc $id")
+    }
+  }
 }
