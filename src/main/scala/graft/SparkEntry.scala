@@ -38,7 +38,8 @@ object SparkEntry {
       (EmbeddingLsh.queries, EmbeddingLsh.oracleSql),
       (ModelRegistry.queries, ModelRegistry.oracleSql),
       (graft.sources.Interchange.queries, graft.sources.Interchange.oracleSql),
-      (graft.sources.MediaProbe.queries, graft.sources.MediaProbe.oracleSql))
+      (graft.sources.MediaProbe.queries, graft.sources.MediaProbe.oracleSql),
+      (graft.sources.PngCodec.queries, graft.sources.PngCodec.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The reference's headline flow end-to-end: documents →

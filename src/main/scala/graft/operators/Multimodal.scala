@@ -23,6 +23,13 @@ case class MediaMeta(
   * this container. `stubDecode` derives deterministic fake metadata
   * from the byte length; swap its body for a real codec (JavaCV,
   * TwelveMonkeys, ffmpeg-over-pipe) without touching the dataflow.
+  * Two slices of the boundary are REAL as of r16/r17 because they
+  * need no codec libs: container/header probing
+  * ([[graft.sources.MediaProbe]] — PNG/JPEG/GIF/WAV/MP4/MP3 headers,
+  * `mm_probe_format`) and full PNG pixel decoding
+  * ([[graft.sources.PngCodec]] — zlib + all five row filters,
+  * `mm_decode_pixels`); JPEG entropy decode and WAV/MP3 sample access
+  * remain behind the stub.
   * Everything around the stub is the real 100 TB shape:
   *  - payloads stay in executors (mapPartitions over an iterator —
   *    nothing is collected, one in-flight element per partition
