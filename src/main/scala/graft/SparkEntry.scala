@@ -21,6 +21,7 @@ object SparkEntry {
       (VectorSearch.queries, VectorSearch.oracleSql),
       (BinaryVector.queries, BinaryVector.oracleSql),
       (DocPipeline.queries, DocPipeline.oracleSql),
+      (BpeTokenizer.queries, BpeTokenizer.oracleSql),
       (Dedup.queries, Dedup.oracleSql),
       (UrlDedup.queries, UrlDedup.oracleSql),
       (TextAnalysis.queries, TextAnalysis.oracleSql),
@@ -91,7 +92,8 @@ object SparkEntry {
         .replace("__PQRDIR__", operators.PqIndex.resDumpDir(sfDir))
         .replace("__PQDIR__", operators.PqIndex.dumpDir(sfDir))
         .replace("__IVFDIR__", operators.IvfIndex.dumpDir(sfDir))
-        .replace("__IVFSDIR__", s"${streaming.IvfStream.scratchRoot(sfDir)}/dump"))
+        .replace("__IVFSDIR__", s"${streaming.IvfStream.scratchRoot(sfDir)}/dump")
+        .replace("__BPEDIR__", operators.BpeTokenizer.dumpDir(sfDir)))
     }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
