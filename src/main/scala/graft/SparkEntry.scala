@@ -40,7 +40,8 @@ object SparkEntry {
       (ModelRegistry.queries, ModelRegistry.oracleSql),
       (graft.sources.Interchange.queries, graft.sources.Interchange.oracleSql),
       (graft.sources.MediaProbe.queries, graft.sources.MediaProbe.oracleSql),
-      (graft.sources.PngCodec.queries, graft.sources.PngCodec.oracleSql))
+      (graft.sources.PngCodec.queries, graft.sources.PngCodec.oracleSql),
+      (graft.sources.WavCodec.queries, graft.sources.WavCodec.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The reference's headline flow end-to-end: documents →

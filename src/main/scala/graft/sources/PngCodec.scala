@@ -233,8 +233,70 @@ object PngCodec {
       .orderBy("bucket")
   }
 
+  /** Average-hash fingerprint of one decoded image (r17, VERDICT r16
+    * item 3's suggested follow-on — a REAL pixel fingerprint in place
+    * of the stub integer-mixing ones): luminance proxy lum = r+g+b
+    * per pixel (monotone in the mean, no /3 rounding to disagree on),
+    * a 4×4 average-pool via the floor-bucket map gx = x*4/w,
+    * gy = y*4/h (every cell nonempty at the gate's ≥4-px dims), and
+    * bit (gy*4+gx) set iff the cell mean EXCEEDS the image mean —
+    * compared cross-multiplied in integers (cellSum * imgPix >
+    * imgSum * cellPix), so Spark and the oracle agree EXACTLY with no
+    * float threshold to drift. 16 bits; near-dup images (same pooled
+    * light/dark shape) collide, which is the point. */
+  private[graft] def ahash(img: Image): Int = {
+    val cs = new Array[Long](16); val cn = new Array[Long](16)
+    var ts = 0L
+    var y = 0
+    while (y < img.height) {
+      val gy = y * 4 / img.height
+      var x = 0
+      while (x < img.width) {
+        val i = (y * img.width + x) * img.channels
+        val lum = (img.pixels(i) & 0xFF) + (img.pixels(i + 1) & 0xFF) +
+          (img.pixels(i + 2) & 0xFF)
+        val cell = gy * 4 + x * 4 / img.width
+        cs(cell) += lum; cn(cell) += 1; ts += lum
+        x += 1
+      }
+      y += 1
+    }
+    val tn = img.width.toLong * img.height
+    var hash = 0; var c = 0
+    while (c < 16) {
+      if (cs(c) * tn > ts * cn(c)) hash |= 1 << c
+      c += 1
+    }
+    hash
+  }
+
+  /** Fingerprint census over the gate corpus: synthesize → REAL
+    * decode → 4×4 average-hash per image (one narrow map), then a
+    * partial-agg groupBy on the hash — the grouping IS the near-dup
+    * semantics (images pooling to the same light/dark shape collide),
+    * and the 2^16 hash space keeps the result bounded at any corpus
+    * size. A decode failure lands on the -1 sentinel hash, which the
+    * closed-form oracle never predicts, so failures can't hide. */
+  def pixelFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select("doc_id")
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        decode(PixelGen.png(id)) match {
+          case Some(img) => (ahash(img), 1L, id)
+          case None => (-1, 1L, id)
+        }
+      })
+      .toDF("ahash", "one", "doc_id")
+      .groupBy("ahash")
+      .agg(sum("one").as("n_imgs"), min("doc_id").as("first_doc"))
+      .orderBy("ahash")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_decode_pixels" -> (decodePixels _))
+    "mm_decode_pixels" -> (decodePixels _),
+    "mm_pixel_fingerprint" -> (pixelFingerprint _))
 
   /** The oracle enumerates every pixel of every image lateral-style
     * (dims are ≤15×15, so ≤225 rows per doc) and sums the generator's
@@ -258,7 +320,37 @@ object PngCodec {
         |  sum(w)::BIGINT AS sum_w, sum(h)::BIGINT AS sum_h,
         |  sum(sr)::BIGINT AS sum_r, sum(sg)::BIGINT AS sum_g,
         |  sum(sb)::BIGINT AS sum_b
-        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // re-derives every image's 4x4 average-hash from the closed-form
+    // pixels: per-cell luminance sums via the same floor-bucket map,
+    // the strict cross-multiplied mean comparison, and the bit pack —
+    // then the same census. The decoder AND the pooling must both be
+    // exact for the per-hash counts to line up.
+    "mm_pixel_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + (doc_id % 12) AS w, 4 + ((doc_id * 3) % 12) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    (ys.y * 4) // h * 4 + (xs.x * 4) // w AS cell,
+        |    ((xs.x * 3 + ys.y * 5 + doc_id) % 256)
+        |      + ((xs.x * 7 + ys.y + 2 * doc_id) % 256)
+        |      + ((xs.x + ys.y * 11 + 3 * doc_id) % 256) AS lum
+        |  FROM d,
+        |    unnest(generate_series(0, w - 1)) AS xs(x),
+        |    unnest(generate_series(0, h - 1)) AS ys(y)),
+        |cells AS (
+        |  SELECT doc_id, cell, sum(lum) AS cs, count(*) AS cn,
+        |    sum(sum(lum)) OVER (PARTITION BY doc_id) AS ts,
+        |    sum(count(*)) OVER (PARTITION BY doc_id) AS tn
+        |  FROM px GROUP BY 1, 2),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN cs * tn > ts * cn
+        |        THEN (1::BIGINT << cell) ELSE 0 END)::INTEGER AS ahash
+        |  FROM cells GROUP BY 1)
+        |SELECT ahash, count(*) AS n_imgs, min(doc_id) AS first_doc
+        |FROM hashes GROUP BY 1 ORDER BY 1""".stripMargin)
 }
 
 /** Deterministic real-PNG generator for the `mm_decode_pixels` gate:

@@ -48,6 +48,22 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("ahash: uniform image hashes to 0; a lit quadrant sets exactly its cells") {
+    val w = 8; val h = 8
+    val flat = rgbOf(w, h)((_, _, _) => 100)
+    assert(PngCodec.ahash(PngCodec.decode(PngCodec.encode(w, h, flat, _ % 5)).get) == 0)
+    // light up the top-left quadrant: its four 4x4 cells (gx,gy in
+    // 0..1 -> bits 0,1,4,5) exceed the mean, the rest sit below it
+    val quad = rgbOf(w, h)((x, y, _) => if (x < 4 && y < 4) 200 else 10)
+    val hq = PngCodec.ahash(PngCodec.decode(PngCodec.encode(w, h, quad, _ % 5)).get)
+    assert(hq == ((1 << 0) | (1 << 1) | (1 << 4) | (1 << 5)))
+    // the mean rule is strict: exactly-at-mean cells contribute 0
+    // (cross-multiplied integers, no float threshold), and the hash
+    // is stable under the filter mix (pixels, not encoding, decide)
+    val hq0 = PngCodec.ahash(PngCodec.decode(PngCodec.encode(w, h, quad, _ => 0)).get)
+    assert(hq0 == hq)
+  }
+
   test("decode is total and rejects silent corruption") {
     val base = PixelGen.png(42L)
     // truncation ladder: never throws, returns None once IDAT/IEND gone
