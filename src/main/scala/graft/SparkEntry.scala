@@ -42,7 +42,8 @@ object SparkEntry {
       (graft.sources.MediaProbe.queries, graft.sources.MediaProbe.oracleSql),
       (graft.sources.PngCodec.queries, graft.sources.PngCodec.oracleSql),
       (graft.sources.WavCodec.queries, graft.sources.WavCodec.oracleSql),
-      (graft.sources.GifCodec.queries, graft.sources.GifCodec.oracleSql))
+      (graft.sources.GifCodec.queries, graft.sources.GifCodec.oracleSql),
+      (graft.sources.JpegCodec.queries, graft.sources.JpegCodec.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The reference's headline flow end-to-end: documents →
