@@ -23,13 +23,18 @@ case class MediaMeta(
   * this container. `stubDecode` derives deterministic fake metadata
   * from the byte length; swap its body for a real codec (JavaCV,
   * TwelveMonkeys, ffmpeg-over-pipe) without touching the dataflow.
-  * Two slices of the boundary are REAL as of r16/r17 because they
+  * Five slices of the boundary are REAL as of r16/r17 because they
   * need no codec libs: container/header probing
   * ([[graft.sources.MediaProbe]] — PNG/JPEG/GIF/WAV/MP4/MP3 headers,
-  * `mm_probe_format`) and full PNG pixel decoding
+  * `mm_probe_format`), full PNG pixel decoding
   * ([[graft.sources.PngCodec]] — zlib + all five row filters,
-  * `mm_decode_pixels`); JPEG entropy decode and WAV/MP3 sample access
-  * remain behind the stub.
+  * `mm_decode_pixels` / `mm_pixel_fingerprint`), WAV PCM sample
+  * decoding ([[graft.sources.WavCodec]], `mm_decode_samples`), GIF
+  * LZW pixel decoding ([[graft.sources.GifCodec]],
+  * `mm_decode_gif`), and baseline grayscale JPEG
+  * ([[graft.sources.JpegCodec]], `mm_decode_jpeg`); chroma/
+  * progressive JPEG and lossy audio (MP3 frames) remain behind the
+  * stub.
   * Everything around the stub is the real 100 TB shape:
   *  - payloads stay in executors (mapPartitions over an iterator —
   *    nothing is collected, one in-flight element per partition

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * RFC 2083 §6). `java.util.zip.Inflater` IS zlib, so the only real
   * work is chunk framing and the filter inversions; this converts the
   * PNG slice of the multimodal surface from the documented
-  * deterministic stub ([[graft.operators.Multimodal]] — JPEG entropy
-  * decode and WAV sample access stay stubbed, codec libs absent by
-  * design) into genuine pixel access, the same move `mm_probe_format`
-  * made for headers in r16. Reference context: the reference inspects
+  * deterministic stub ([[graft.operators.Multimodal]]) into genuine
+  * pixel access, the same move `mm_probe_format` made for headers in
+  * r16 — and the move [[WavCodec]] (PCM samples), [[GifCodec]] (LZW
+  * pixels) and [[JpegCodec]] (baseline grayscale) repeated later in
+  * r17, leaving only chroma JPEG and lossy audio behind the stub. Reference context: the reference inspects
   * opaque BLOBs in-engine (/root/reference/scripts/01_pdf_to_vector
   * .sql:49-59); pixels-out-of-a-binary-column is that boundary's
   * image analogue.
@@ -294,9 +295,60 @@ object PngCodec {
       .orderBy("ahash")
   }
 
+  /** Near-duplicate image census by fingerprint hamming distance ≤ 1
+    * (r17): the fingerprint made into an actual dedup operator, with
+    * the scale shape that matters — NOTHING pairwise ever touches the
+    * corpus. Stage 1 collapses the images to the hash census (one
+    * partial-agg groupBy; ≤ 2^16 rows NO MATTER the corpus size).
+    * Stage 2 works entirely on the census: exact-dup pairs are
+    * C(cnt,2) per hash, and hamming-1 pairs come from a flip-key
+    * self-join — each hash emits its 16 one-bit neighbors keyed
+    * (min, max) so every unordered pair is counted once, joined back
+    * to the census on the neighbor (broadcast: the census is tiny).
+    * At 100 TB: one shuffle of (hash) keys, then arithmetic on
+    * ≤65k×16 rows — the `dedup_minhash_lsh` band-bucket idea with
+    * the bucket space small enough to enumerate. */
+  def dedupPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val census = graft.Tables.documents(s, dir)
+      .select("doc_id")
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        decode(PixelGen.png(id)) match {
+          case Some(img) => (ahash(img), 1L)
+          case None => (-1, 1L)
+        }
+      })
+      .toDF("ahash", "one")
+      .groupBy("ahash")
+      .agg(sum("one").as("cnt"))
+      .cache()
+    val exact = census.select(
+      sum(col("cnt")).as("n_images"),
+      count(lit(1)).as("n_hashes"),
+      sum(col("cnt") * (col("cnt") - 1) / 2).cast("long").as("exact_pairs"))
+    // one row per (hash, one-bit neighbor) with the pair ordered so
+    // each unordered hamming-1 pair appears exactly once
+    val flips = census.as[(Int, Long)]
+      .flatMap { case (h, c) =>
+        (0 until 16).iterator.map(b => h ^ (1 << b)).filter(_ > h)
+          .map(n => (h, n, c))
+      }
+      .toDF("h", "n", "cnt")
+    val near = flips
+      .join(broadcast(census.withColumnRenamed("ahash", "n")
+        .withColumnRenamed("cnt", "ncnt")), "n")
+      .select(sum(col("cnt") * col("ncnt")).cast("long").as("near_pairs"))
+    exact.crossJoin(near)
+      .select(col("n_images"), col("n_hashes"),
+        col("exact_pairs"),
+        coalesce(col("near_pairs"), lit(0L)).as("near_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_pixels" -> (decodePixels _),
-    "mm_pixel_fingerprint" -> (pixelFingerprint _))
+    "mm_pixel_fingerprint" -> (pixelFingerprint _),
+    "mm_dedup_pixels" -> (dedupPixels _))
 
   /** The oracle enumerates every pixel of every image lateral-style
     * (dims are ≤15×15, so ≤225 rows per doc) and sums the generator's
@@ -350,7 +402,45 @@ object PngCodec {
         |        THEN (1::BIGINT << cell) ELSE 0 END)::INTEGER AS ahash
         |  FROM cells GROUP BY 1)
         |SELECT ahash, count(*) AS n_imgs, min(doc_id) AS first_doc
-        |FROM hashes GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM hashes GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the dedup census: same hash derivation, then exact pairs as
+    // C(cnt,2) per hash and hamming-1 pairs as a census self-join on
+    // bit_count(xor)=1 — tractable in SQL because the census, not the
+    // corpus, is what gets paired (exactly the Spark plan's shape).
+    "mm_dedup_pixels" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + (doc_id % 12) AS w, 4 + ((doc_id * 3) % 12) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    (ys.y * 4) // h * 4 + (xs.x * 4) // w AS cell,
+        |    ((xs.x * 3 + ys.y * 5 + doc_id) % 256)
+        |      + ((xs.x * 7 + ys.y + 2 * doc_id) % 256)
+        |      + ((xs.x + ys.y * 11 + 3 * doc_id) % 256) AS lum
+        |  FROM d,
+        |    unnest(generate_series(0, w - 1)) AS xs(x),
+        |    unnest(generate_series(0, h - 1)) AS ys(y)),
+        |cells AS (
+        |  SELECT doc_id, cell, sum(lum) AS cs, count(*) AS cn,
+        |    sum(sum(lum)) OVER (PARTITION BY doc_id) AS ts,
+        |    sum(count(*)) OVER (PARTITION BY doc_id) AS tn
+        |  FROM px GROUP BY 1, 2),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN cs * tn > ts * cn
+        |        THEN (1::BIGINT << cell) ELSE 0 END)::INTEGER AS ahash
+        |  FROM cells GROUP BY 1),
+        |census AS (SELECT ahash, count(*) AS cnt FROM hashes GROUP BY 1),
+        |ex AS (
+        |  SELECT sum(cnt)::BIGINT AS n_images, count(*)::BIGINT AS n_hashes,
+        |    sum(cnt * (cnt - 1) // 2)::BIGINT AS exact_pairs
+        |  FROM census),
+        |nr AS (
+        |  SELECT coalesce(sum(c1.cnt * c2.cnt), 0)::BIGINT AS near_pairs
+        |  FROM census c1 JOIN census c2
+        |    ON c1.ahash < c2.ahash
+        |   AND bit_count(xor(c1.ahash::BIGINT, c2.ahash::BIGINT)) = 1)
+        |SELECT n_images, n_hashes, exact_pairs, near_pairs FROM ex, nr""".stripMargin)
 }
 
 /** Deterministic real-PNG generator for the `mm_decode_pixels` gate:
