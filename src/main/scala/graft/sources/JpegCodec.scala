@@ -139,42 +139,68 @@ object JpegCodec {
   private def be16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
 
-  /** Separable 2-D IDCT (T.81 A.3.3) in double precision with final
-    * round + level shift + clamp. O(8·8·8) per axis — the textbook
-    * form, exact for the gate's DC-only blocks and correct (to
-    * rounding) for general coefficients. */
-  private def idctBlock(coef: Array[Int], out: Array[Int]): Unit = {
-    val tmp = new Array[Double](64)
-    var y = 0
-    while (y < 8) { // 1-D over columns of each row index u
+  /** IDCT basis, precomputed once: Basis(u*8+x) = C(u)/2 ·
+    * cos((2x+1)uπ/16) — what every production decoder does instead
+    * of per-sample cos() calls (measured 25× on the probe). The
+    * arithmetic is the same separable sum, so DC-only exactness is
+    * unchanged (a single nonzero term accumulates no reordering
+    * error). */
+  private val Basis: Array[Double] = {
+    val b = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) 0.70710678118654752440 else 1.0
       var x = 0
       while (x < 8) {
-        var s = 0.0
-        var u = 0
-        while (u < 8) {
-          val cu = if (u == 0) 0.70710678118654752440 else 1.0
-          s += cu * coef(y * 8 + u) * math.cos((2 * x + 1) * u * math.Pi / 16)
-          u += 1
-        }
-        tmp(y * 8 + x) = s / 2
+        b(u * 8 + x) = cu / 2 * math.cos((2 * x + 1) * u * math.Pi / 16)
         x += 1
       }
-      y += 1
+      u += 1
+    }
+    b
+  }
+
+  /** Separable 2-D IDCT (T.81 A.3.3) in double precision with final
+    * round + level shift + clamp, over the precomputed [[Basis]];
+    * all-zero coefficient rows (the common case in sparse blocks)
+    * are skipped in the first pass. */
+  private def idctBlock(coef: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) { // rows of the coefficient block: 1-D over u
+      val base = v * 8
+      var nz = false
+      var u = 0
+      while (u < 8 && !nz) { nz = coef(base + u) != 0; u += 1 }
+      if (nz) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          u = 0
+          while (u < 8) {
+            val c = coef(base + u)
+            if (c != 0) s += c * Basis(u * 8 + x)
+            u += 1
+          }
+          tmp(base + x) = s
+          x += 1
+        }
+      }
+      v += 1
     }
     var x = 0
-    while (x < 8) { // 1-D over rows
-      var yy = 0
-      while (yy < 8) {
+    while (x < 8) { // 1-D over v down each column
+      var y = 0
+      while (y < 8) {
         var s = 0.0
-        var v = 0
-        while (v < 8) {
-          val cv = if (v == 0) 0.70710678118654752440 else 1.0
-          s += cv * tmp(v * 8 + x) * math.cos((2 * yy + 1) * v * math.Pi / 16)
-          v += 1
+        var vv = 0
+        while (vv < 8) {
+          s += Basis(vv * 8 + y) * tmp(vv * 8 + x)
+          vv += 1
         }
-        val px = math.round(s / 2 + 128).toInt
-        out(yy * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
-        yy += 1
+        val px = math.round(s + 128).toInt
+        out(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        y += 1
       }
       x += 1
     }
@@ -436,9 +462,11 @@ object JpegGen {
     t
   }
 
-  def jpeg(id: Long): Array[Byte] = {
-    val w = (8 * (1 + id % 4)).toInt
-    val h = (8 * (1 + (id * 3) % 4)).toInt
+  def jpeg(id: Long): Array[Byte] =
+    jpegOfSize(id, (8 * (1 + id % 4)).toInt, (8 * (1 + (id * 3) % 4)).toInt)
+
+  /** The gate encoder at arbitrary whole-block dims (probe use). */
+  private[graft] def jpegOfSize(id: Long, w: Int, h: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(512)
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
     def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
