@@ -32,9 +32,9 @@ case class MediaMeta(
   * decoding ([[graft.sources.WavCodec]], `mm_decode_samples`), GIF
   * LZW pixel decoding ([[graft.sources.GifCodec]],
   * `mm_decode_gif`), and baseline grayscale JPEG
-  * ([[graft.sources.JpegCodec]], `mm_decode_jpeg`); chroma/
-  * progressive JPEG and lossy audio (MP3 frames) remain behind the
-  * stub.
+  * ([[graft.sources.JpegCodec]], `mm_decode_jpeg`) including YCbCr
+  * 4:2:0 color (`mm_decode_jpeg_color`); progressive JPEG and lossy
+  * audio (MP3 frames) remain behind the stub.
   * Everything around the stub is the real 100 TB shape:
   *  - payloads stay in executors (mapPartitions over an iterator —
   *    nothing is collected, one in-flight element per partition

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * UN-STUFFING, per-block DC category decode + EXTEND sign recovery +
   * DC prediction, the general AC run-length path (EOB, ZRL, (r,s)
   * codes), dequantization, de-zigzag, a real separable 2-D IDCT in
-  * double precision, and the +128 level shift with clamping. What
-  * stays out of the subset — and stubbed at the documented boundary —
-  * is only what the gate cannot closed-form: multi-component chroma
-  * (subsampling + YCbCr), restart intervals, and progressive scans
-  * all return None as unsupported rather than decoding wrong.
+  * double precision, and the +128 level shift with clamping — plus
+  * the COLOR half ([[decodeColor]], `mm_decode_jpeg_color`): YCbCr
+  * 4:2:0 frames with interleaved MCUs (four Y blocks then Cb then Cr,
+  * three separate DC predictor chains), chroma upsampling by
+  * replication, and the BT.601 conversion with rounding and clamping.
+  * What stays out of the subset — and stubbed at the documented
+  * boundary — is restart intervals and progressive scans, which
+  * return None as unsupported rather than decoding wrong.
   *
   * The gate corpus is DC-ONLY by construction (every block's AC
   * coefficients are zero, terminated by a real Huffman-coded EOB), a
@@ -206,9 +209,40 @@ object JpegCodec {
     }
   }
 
-  /** Decode a baseline grayscale JPEG. None on anything malformed,
-    * multi-component, progressive, or restart-marked; never throws. */
-  def decode(bytes: Array[Byte]): Option[Gray] = {
+  /** One entropy-coded 8×8 block: DC category + EXTEND + prediction,
+    * the AC run-length path (EOB/ZRL/(r,s)), dequantize, de-zigzag,
+    * IDCT into `block`. Returns the new DC predictor; corruption
+    * surfaces as [[Exhausted]] (mapped to None by the callers). */
+  private def decodeBlock(reader: BitReader, dcT: Huff, acT: Huff,
+      q: Array[Int], pred0: Int, coef: Array[Int], block: Array[Int]): Int = {
+    java.util.Arrays.fill(coef, 0)
+    val t = reader.huffDecode(dcT)
+    if (t > 11) throw Exhausted
+    val pred = pred0 + extend(reader.bits(t), t)
+    coef(0) = pred * q(0)
+    var k = 1
+    var eob = false
+    while (k < 64 && !eob) {
+      val rs = reader.huffDecode(acT)
+      val r = rs >> 4; val s = rs & 0xF
+      if (s == 0) {
+        if (r == 15) k += 16 // ZRL: sixteen zeros
+        else eob = true
+      } else {
+        k += r
+        if (k > 63) throw Exhausted
+        coef(Zigzag(k)) = extend(reader.bits(s), s) * q(k)
+        k += 1
+      }
+    }
+    idctBlock(coef, block)
+    pred
+  }
+
+  /** Shared header walk + entropy decode. channels = 1 (grayscale,
+    * 1×1) or 3 (YCbCr 4:2:0, interleaved MCUs, chroma upsampled by
+    * replication, ITU-R BT.601 conversion). */
+  private def decodeAny(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     try {
       if (bytes == null || bytes.length < 4) return None
       if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
@@ -216,8 +250,11 @@ object JpegCodec {
       val quant = new Array[Array[Int]](4)
       val dcTabs = new Array[Huff](4)
       val acTabs = new Array[Huff](4)
-      var w = -1; var h = -1; var qSel = -1
-      var dcSel = -1; var acSel = -1
+      var w = -1; var h = -1; var ncomp = 0
+      val compQ = new Array[Int](3)    // per-component quant selector
+      val compDc = new Array[Int](3)   // per-component DC table (SOS)
+      val compAc = new Array[Int](3)   // per-component AC table (SOS)
+      val compId = new Array[Int](3)
       var scanAt = -1
       while (scanAt < 0) {
         if (at + 4 > bytes.length) return None
@@ -260,22 +297,39 @@ object JpegCodec {
               if (len < 8) return None
               val precision = bytes(seg) & 0xFF
               h = be16(bytes, seg + 1); w = be16(bytes, seg + 3)
-              val ncomp = bytes(seg + 5) & 0xFF
-              // the supported subset: 8-bit single-component, 1x1
-              if (precision != 8 || ncomp != 1) return None
-              if ((bytes(seg + 7) & 0xFF) != 0x11) return None
-              qSel = bytes(seg + 8) & 0xF
+              ncomp = bytes(seg + 5) & 0xFF
+              // the supported subset: 8-bit grayscale (1×1) or
+              // three-component YCbCr 4:2:0 (2×2, 1×1, 1×1)
+              if (precision != 8 || (ncomp != 1 && ncomp != 3)) return None
+              if (len != 8 + 3 * ncomp) return None
+              var c = 0
+              while (c < ncomp) {
+                compId(c) = bytes(seg + 6 + 3 * c) & 0xFF
+                val samp = bytes(seg + 7 + 3 * c) & 0xFF
+                val want = if (ncomp == 1 || c > 0) 0x11 else 0x22
+                if (samp != want) return None
+                compQ(c) = bytes(seg + 8 + 3 * c) & 0xF
+                c += 1
+              }
             case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                  0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
               return None // extended/progressive/lossless: unsupported
             case 0xDD => return None // DRI: restart markers unsupported
             case 0xDA => // SOS
               val ns = bytes(seg) & 0xFF
-              if (ns != 1 || len != 6 + 2 * ns) return None
-              dcSel = (bytes(seg + 2) >> 4) & 0xF
-              acSel = bytes(seg + 2) & 0xF
-              if ((bytes(seg + 3) & 0xFF) != 0 || (bytes(seg + 4) & 0xFF) != 63 ||
-                  (bytes(seg + 5) & 0xFF) != 0) return None
+              if (ns != ncomp || ns == 0 || len != 6 + 2 * ns) return None
+              var c = 0
+              while (c < ns) {
+                val cs = bytes(seg + 1 + 2 * c) & 0xFF
+                // scan components must arrive in frame order
+                if (cs != compId(c)) return None
+                compDc(c) = (bytes(seg + 2 + 2 * c) >> 4) & 0xF
+                compAc(c) = bytes(seg + 2 + 2 * c) & 0xF
+                c += 1
+              }
+              if ((bytes(seg + 1 + 2 * ns) & 0xFF) != 0 ||
+                  (bytes(seg + 2 + 2 * ns) & 0xFF) != 63 ||
+                  (bytes(seg + 3 + 2 * ns) & 0xFF) != 0) return None
               scanAt = segEnd
             case 0xD9 => return None // EOI before any scan
             case _ => () // APPn/COM/unknown: skipped by length
@@ -284,67 +338,148 @@ object JpegCodec {
         }
       }
       if (w <= 0 || h <= 0 || w.toLong * h > (64 << 20)) return None
-      if (qSel < 0 || quant(qSel) == null) return None
-      if (dcSel < 0 || dcTabs(dcSel) == null || acTabs(acSel) == null) return None
-      val q = quant(qSel)
-      val dcT = dcTabs(dcSel); val acT = acTabs(acSel)
-      val bw = (w + 7) / 8; val bh = (h + 7) / 8
-      val px = new Array[Byte](w * h)
+      var c = 0
+      while (c < ncomp) {
+        if (quant(compQ(c)) == null || dcTabs(compDc(c)) == null ||
+            acTabs(compAc(c)) == null) return None
+        c += 1
+      }
       val reader = new BitReader(bytes, scanAt)
       val coef = new Array[Int](64)
       val block = new Array[Int](64)
-      var pred = 0
-      var by = 0
-      while (by < bh) {
-        var bx = 0
-        while (bx < bw) {
-          java.util.Arrays.fill(coef, 0)
-          // DC: category + EXTEND + prediction
-          val t = reader.huffDecode(dcT)
-          if (t > 11) return None
-          pred += extend(reader.bits(t), t)
-          coef(0) = pred * q(0)
-          // AC: run-length path — EOB / ZRL / (run, size)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = reader.huffDecode(acT)
-            val r = rs >> 4; val s = rs & 0xF
-            if (s == 0) {
-              if (r == 15) k += 16 // ZRL: sixteen zeros
-              else eob = true
-            } else {
-              k += r
-              if (k > 63) return None
-              coef(Zigzag(k)) = extend(reader.bits(s), s) * q(k)
-              k += 1
+      if (ncomp == 1) {
+        val q = quant(compQ(0))
+        val dcT = dcTabs(compDc(0)); val acT = acTabs(compAc(0))
+        val bw = (w + 7) / 8; val bh = (h + 7) / 8
+        val px = new Array[Byte](w * h)
+        var pred = 0
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            pred = decodeBlock(reader, dcT, acT, q, pred, coef, block)
+            var yy = 0
+            while (yy < 8) {
+              val iy = by * 8 + yy
+              if (iy < h) {
+                var xx = 0
+                while (xx < 8) {
+                  val ix = bx * 8 + xx
+                  if (ix < w) px(iy * w + ix) = block(yy * 8 + xx).toByte
+                  xx += 1
+                }
+              }
+              yy += 1
             }
+            bx += 1
           }
-          idctBlock(coef, block)
-          // crop into the image
-          var yy = 0
-          while (yy < 8) {
-            val iy = by * 8 + yy
-            if (iy < h) {
+          by += 1
+        }
+        Some((w, h, 1, px))
+      } else {
+        // 4:2:0 interleaved MCUs: per MCU four Y blocks (row-major),
+        // one Cb, one Cr — each component with its own DC predictor
+        val mw = (w + 15) / 16; val mh = (h + 15) / 16
+        val yPlane = new Array[Byte](mw * 16 * mh * 16)
+        val cbPlane = new Array[Byte](mw * 8 * mh * 8)
+        val crPlane = new Array[Byte](mw * 8 * mh * 8)
+        val yStride = mw * 16; val cStride = mw * 8
+        var predY = 0; var predCb = 0; var predCr = 0
+        var my = 0
+        while (my < mh) {
+          var mx = 0
+          while (mx < mw) {
+            var j = 0
+            while (j < 4) { // Y blocks, left-to-right, top-to-bottom
+              predY = decodeBlock(reader, dcTabs(compDc(0)), acTabs(compAc(0)),
+                quant(compQ(0)), predY, coef, block)
+              val ox = mx * 16 + (j % 2) * 8; val oy = my * 16 + (j / 2) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  yPlane((oy + yy) * yStride + ox + xx) = block(yy * 8 + xx).toByte
+                  xx += 1
+                }
+                yy += 1
+              }
+              j += 1
+            }
+            predCb = decodeBlock(reader, dcTabs(compDc(1)), acTabs(compAc(1)),
+              quant(compQ(1)), predCb, coef, block)
+            var yy = 0
+            while (yy < 8) {
               var xx = 0
               while (xx < 8) {
-                val ix = bx * 8 + xx
-                if (ix < w) px(iy * w + ix) = block(yy * 8 + xx).toByte
+                cbPlane((my * 8 + yy) * cStride + mx * 8 + xx) = block(yy * 8 + xx).toByte
                 xx += 1
               }
+              yy += 1
             }
-            yy += 1
+            predCr = decodeBlock(reader, dcTabs(compDc(2)), acTabs(compAc(2)),
+              quant(compQ(2)), predCr, coef, block)
+            yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                crPlane((my * 8 + yy) * cStride + mx * 8 + xx) = block(yy * 8 + xx).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            mx += 1
           }
-          bx += 1
+          my += 1
         }
-        by += 1
+        // upsample chroma by replication + BT.601 conversion, the
+        // multiply order mirrored VERBATIM in the oracle SQL so the
+        // double arithmetic is bit-identical cross-engine
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val yv = (yPlane(y * yStride + x) & 0xFF).toDouble
+            val cb = (cbPlane((y / 2) * cStride + x / 2) & 0xFF) - 128
+            val cr = (crPlane((y / 2) * cStride + x / 2) & 0xFF) - 128
+            val r = math.round(yv + 1.402 * cr).toInt
+            val g = math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt
+            val b = math.round(yv + 1.772 * cb).toInt
+            val i = (y * w + x) * 3
+            px(i) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+            px(i + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
+            px(i + 2) = (if (b < 0) 0 else if (b > 255) 255 else b).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, 3, px))
       }
-      Some(Gray(w, h, px))
     } catch {
       case Exhausted => None
       case scala.util.control.NonFatal(_) => None
     }
   }
+
+  /** Decode a baseline grayscale JPEG. None on anything malformed,
+    * color, progressive, or restart-marked; never throws. */
+  def decode(bytes: Array[Byte]): Option[Gray] =
+    decodeAny(bytes) match {
+      case Some((w, h, 1, px)) => Some(Gray(w, h, px))
+      case _ => None
+    }
+
+  /** RGB triples, row-major — the color twin of [[Gray]]. */
+  final case class Color(width: Int, height: Int, pixels: Array[Byte])
+
+  /** Decode a baseline YCbCr 4:2:0 JPEG to RGB. None on anything
+    * malformed, grayscale, progressive, or restart-marked; never
+    * throws. */
+  def decodeColor(bytes: Array[Byte]): Option[Color] =
+    decodeAny(bytes) match {
+      case Some((w, h, 3, px)) => Some(Color(w, h, px))
+      case _ => None
+    }
 
   /** Per-bucket gray moments over the gate corpus: synthesize → REAL
     * baseline decode → per-image sum + extremes in one narrow map,
@@ -380,8 +515,43 @@ object JpegCodec {
       .orderBy("bucket")
   }
 
+  /** Per-bucket RGB channel sums over the COLOR gate corpus:
+    * synthesize → REAL 4:2:0 decode (interleaved MCUs, per-component
+    * DC predictors, chroma upsample, BT.601) → per-image channel sums
+    * in one narrow map, then the partial-agg bucket groupBy. Decode
+    * failure reports the sentinel row, guaranteed to diverge the
+    * oracle. */
+  def decodeJpegColor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select("doc_id")
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        decodeColor(JpegGen.jpegColor(id)) match {
+          case Some(c) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < c.pixels.length) {
+              sr += c.pixels(i) & 0xFF
+              sg += c.pixels(i + 1) & 0xFF
+              sb += c.pixels(i + 2) & 0xFF
+              i += 3
+            }
+            (id % 8, 1L, c.width.toLong, c.height.toLong, sr, sg, sb)
+          case None => (id % 8, 1L, -1L, -1L, -1L, -1L, -1L)
+        }
+      })
+      .toDF("bucket", "one", "w", "h", "sr", "sg", "sb")
+      .groupBy("bucket")
+      .agg(sum("one").as("n_imgs"),
+        sum("w").as("sum_w"), sum("h").as("sum_h"),
+        sum("sr").as("sum_r"), sum("sg").as("sum_g"), sum("sb").as("sum_b"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_decode_jpeg" -> (decodeJpeg _))
+    "mm_decode_jpeg" -> (decodeJpeg _),
+    "mm_decode_jpeg_color" -> (decodeJpegColor _))
 
   /** The oracle enumerates every 8×8 block: the DC-only IDCT is flat
     * at 128 + 2·dc (Q[0]=16), so each block contributes 64 identical
@@ -407,6 +577,43 @@ object JpegCodec {
         |  sum(w)::BIGINT AS sum_w, sum(h)::BIGINT AS sum_h,
         |  sum(sgray)::BIGINT AS sum_gray,
         |  min(mn)::BIGINT AS min_gray, max(mx)::BIGINT AS max_gray
+        |FROM img GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the color gate: DC-only everywhere keeps every plane flat per
+    // block, so the pixel is closed-form — Y from the block's dc, Cb/
+    // Cr from the MCU's chroma dcs — and the BT.601 conversion is
+    // replayed with the SAME double constants (::DOUBLE — DuckDB
+    // would otherwise parse the literals as DECIMAL and round
+    // differently) in the SAME operation order as the Scala code, so
+    // the doubles are bit-identical and round() agrees (tie values
+    // cannot occur: the chroma deltas are even integers whose scaled
+    // fractions never land on .5).
+    "mm_decode_jpeg_color" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 16 * (1 + (doc_id * 3) % 2) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (128 + 2 * (((doc_id + (xs.x // 16) * 7 + (ys.y // 16) * 11
+        |        + (((ys.y % 16) // 8) * 2 + (xs.x % 16) // 8) * 3) % 100) - 50))::DOUBLE AS yv,
+        |    (2 * (((doc_id + (xs.x // 16) * 3 + (ys.y // 16) * 5) % 21) - 10))::DOUBLE AS cbv,
+        |    (2 * (((doc_id * 2 + (xs.x // 16) * 5 + (ys.y // 16) * 3) % 21) - 10))::DOUBLE AS crv
+        |  FROM d,
+        |    unnest(generate_series(0, w - 1)) AS xs(x),
+        |    unnest(generate_series(0, h - 1)) AS ys(y)),
+        |rgb AS (
+        |  SELECT doc_id, w, h,
+        |    LEAST(255, GREATEST(0, round(yv + 1.402::DOUBLE * crv)::INT)) AS r,
+        |    LEAST(255, GREATEST(0, round(yv - 0.344136::DOUBLE * cbv
+        |        - 0.714136::DOUBLE * crv)::INT)) AS g,
+        |    LEAST(255, GREATEST(0, round(yv + 1.772::DOUBLE * cbv)::INT)) AS b
+        |  FROM px),
+        |img AS (
+        |  SELECT doc_id, w, h, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb
+        |  FROM rgb GROUP BY 1, 2, 3)
+        |SELECT doc_id % 8 AS bucket, count(*) AS n_imgs,
+        |  sum(w)::BIGINT AS sum_w, sum(h)::BIGINT AS sum_h,
+        |  sum(sr)::BIGINT AS sum_r, sum(sg)::BIGINT AS sum_g,
+        |  sum(sb)::BIGINT AS sum_b
         |FROM img GROUP BY 1 ORDER BY 1""".stripMargin)
 }
 
@@ -511,6 +718,88 @@ object JpegGen {
         bx += 1
       }
       by += 1
+    }
+    bits.flushOnes()
+    marker(0xD9)                      // EOI
+    out.toByteArray
+  }
+
+  /** Y dc per (MCU, block-in-MCU j = by*2+bx) and the MCU-flat
+    * chroma dcs — mirrored in the `mm_decode_jpeg_color` oracle. The
+    * chroma deltas (2·dc ∈ even [-20, 20]) are chosen so no BT.601
+    * product can land on a .5 rounding tie in either engine. */
+  def dcY(id: Long, mx: Int, my: Int, j: Int): Int =
+    (((id + mx * 7 + my * 11 + j * 3) % 100) - 50).toInt
+  def dcCb(id: Long, mx: Int, my: Int): Int =
+    (((id + mx * 3 + my * 5) % 21) - 10).toInt
+  def dcCr(id: Long, mx: Int, my: Int): Int =
+    (((id * 2 + mx * 5 + my * 3) % 21) - 10).toInt
+
+  /** The color gate encoder: baseline YCbCr 4:2:0 — three components
+    * in the frame (Y 2×2, Cb/Cr 1×1, all on the same quant and
+    * Huffman tables, which is legal), interleaved MCU scan with four
+    * Y blocks then Cb then Cr per MCU, three separate DC predictor
+    * chains, every block DC-only + EOB. Dims are whole MCUs (16/32). */
+  def jpegColor(id: Long): Array[Byte] = {
+    val w = (16 * (1 + id % 2)).toInt
+    val h = (16 * (1 + (id * 3) % 2)).toInt
+    val out = new java.io.ByteArrayOutputStream(512)
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    marker(0xD8)                      // SOI
+    marker(0xDB); u16(2 + 65)         // DQT (shared, Q=16)
+    out.write(0x00)
+    var k = 0
+    while (k < 64) { out.write(16); k += 1 }
+    marker(0xC4); u16(2 + 17 + 12)    // DHT DC (shared)
+    out.write(0x00)
+    var l = 1
+    while (l <= 16) { out.write(DcBits(l)); l += 1 }
+    DcVals.foreach(v => out.write(v & 0xFF))
+    marker(0xC4); u16(2 + 17 + 1)     // DHT AC (shared)
+    out.write(0x10)
+    l = 1
+    while (l <= 16) { out.write(AcBits(l)); l += 1 }
+    out.write(0)
+    marker(0xC0); u16(8 + 9)          // SOF0, 3 components
+    out.write(8); u16(h); u16(w); out.write(3)
+    out.write(1); out.write(0x22); out.write(0) // Y: 2x2
+    out.write(2); out.write(0x11); out.write(0) // Cb
+    out.write(3); out.write(0x11); out.write(0) // Cr
+    marker(0xDA); u16(6 + 6)          // SOS, 3 components
+    out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x00)
+    out.write(3); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val bits = new BitWriter(out)
+    def putDc(diff: Int): Unit = {
+      val t = category(diff)
+      bits.put(t, 4)
+      if (t > 0) {
+        val mag = if (diff < 0) diff + (1 << t) - 1 else diff
+        bits.put(mag, t)
+      }
+      bits.put(0, 2)                  // AC EOB
+    }
+    var predY = 0; var predCb = 0; var predCr = 0
+    var my = 0
+    while (my < h / 16) {
+      var mx = 0
+      while (mx < w / 16) {
+        var j = 0
+        while (j < 4) {
+          val v = dcY(id, mx, my, j)
+          putDc(v - predY); predY = v
+          j += 1
+        }
+        val cb = dcCb(id, mx, my)
+        putDc(cb - predCb); predCb = cb
+        val cr = dcCr(id, mx, my)
+        putDc(cr - predCr); predCr = cr
+        mx += 1
+      }
+      my += 1
     }
     bits.flushOnes()
     marker(0xD9)                      // EOI

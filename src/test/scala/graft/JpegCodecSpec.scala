@@ -117,6 +117,29 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(row0(0) == 131 && row0(7) == 125) // 128 +- 2.77
   }
 
+  test("4:2:0 color: MCU interleave, chroma predictors, and BT.601 match the closed form") {
+    Seq(0L, 1L, 2L, 3L, 7L, 123L).foreach { id =>
+      val c = JpegCodec.decodeColor(JpegGen.jpegColor(id)).getOrElse(fail(s"id=$id"))
+      assert(c.width == 16 * (1 + id % 2) && c.height == 16 * (1 + (id * 3) % 2))
+      for (y <- 0 until c.height; x <- 0 until c.width) {
+        val mx = x / 16; val my = y / 16
+        val j = (y % 16) / 8 * 2 + (x % 16) / 8
+        val yv = (128 + 2 * JpegGen.dcY(id, mx, my, j)).toDouble
+        val cb = 2 * JpegGen.dcCb(id, mx, my)
+        val cr = 2 * JpegGen.dcCr(id, mx, my)
+        def cl(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+        val i = (y * c.width + x) * 3
+        assert((c.pixels(i) & 0xFF) == cl(math.round(yv + 1.402 * cr)), s"r $id ($x,$y)")
+        assert((c.pixels(i + 1) & 0xFF) ==
+          cl(math.round(yv - 0.344136 * cb - 0.714136 * cr)), s"g $id ($x,$y)")
+        assert((c.pixels(i + 2) & 0xFF) == cl(math.round(yv + 1.772 * cb)), s"b $id ($x,$y)")
+      }
+    }
+    // the two decode fronts are mutually exclusive on ncomp
+    assert(JpegCodec.decode(JpegGen.jpegColor(5L)).isEmpty)
+    assert(JpegCodec.decodeColor(JpegGen.jpeg(5L)).isEmpty)
+  }
+
   test("decode is total and rejects the unsupported forms as None") {
     val base = JpegGen.jpeg(42L)
     // a decoder is conventionally lenient about a missing EOI once
