@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * 4:2:0 frames with interleaved MCUs (four Y blocks then Cb then Cr,
   * three separate DC predictor chains), chroma upsampling by
   * replication, and the BT.601 conversion with rounding and clamping.
-  * What stays out of the subset — and stubbed at the documented
-  * boundary — is restart intervals and progressive scans, which
-  * return None as unsupported rather than decoding wrong.
+  * Restart intervals are supported (DRI parsed; each boundary
+  * demands the cycling RSTn, re-aligns to the byte edge, resets the
+  * predictors). What stays out of the subset — and stubbed at the
+  * documented boundary — is progressive scans, which return None as
+  * unsupported rather than decoding wrong.
   *
   * The gate corpus is DC-ONLY by construction (every block's AC
   * coefficients are zero, terminated by a real Huffman-coded EOB), a
@@ -131,6 +133,16 @@ object JpegCodec {
         l += 1
       }
       throw Exhausted // over-long code: corrupt stream
+    }
+    /** Consume an expected RSTn at an MCU boundary: discard the pad
+      * bits to the byte edge, then the marker itself — a missing or
+      * out-of-sequence restart is corruption (T.81 E.1.4). */
+    def restart(seq: Int): Unit = {
+      cnt = 0
+      if (pos + 2 > data.length) throw Exhausted
+      if ((data(pos) & 0xFF) != 0xFF ||
+          (data(pos + 1) & 0xFF) != (0xD0 + seq)) throw Exhausted
+      pos += 2
     }
   }
 
@@ -255,6 +267,7 @@ object JpegCodec {
       val compDc = new Array[Int](3)   // per-component DC table (SOS)
       val compAc = new Array[Int](3)   // per-component AC table (SOS)
       val compId = new Array[Int](3)
+      var restartInterval = 0
       var scanAt = -1
       while (scanAt < 0) {
         if (at + 4 > bytes.length) return None
@@ -314,7 +327,9 @@ object JpegCodec {
             case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                  0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
               return None // extended/progressive/lossless: unsupported
-            case 0xDD => return None // DRI: restart markers unsupported
+            case 0xDD => // DRI: restart interval in MCUs
+              if (len != 4) return None
+              restartInterval = be16(bytes, seg)
             case 0xDA => // SOS
               val ns = bytes(seg) & 0xFF
               if (ns != ncomp || ns == 0 || len != 6 + 2 * ns) return None
@@ -347,6 +362,21 @@ object JpegCodec {
       val reader = new BitReader(bytes, scanAt)
       val coef = new Array[Int](64)
       val block = new Array[Int](64)
+      // restart bookkeeping, shared by both fronts: after every
+      // `restartInterval` MCUs (except the last), an RSTn with a
+      // cycling sequence number re-aligns the stream and resets every
+      // DC predictor
+      var mcuCount = 0
+      var rstSeq = 0
+      def maybeRestart(totalMcus: Int): Boolean = {
+        mcuCount += 1
+        if (restartInterval > 0 && mcuCount % restartInterval == 0 &&
+            mcuCount < totalMcus) {
+          reader.restart(rstSeq)
+          rstSeq = (rstSeq + 1) % 8
+          true
+        } else false
+      }
       if (ncomp == 1) {
         val q = quant(compQ(0))
         val dcT = dcTabs(compDc(0)); val acT = acTabs(compAc(0))
@@ -358,6 +388,7 @@ object JpegCodec {
           var bx = 0
           while (bx < bw) {
             pred = decodeBlock(reader, dcT, acT, q, pred, coef, block)
+            if (maybeRestart(bw * bh)) pred = 0
             var yy = 0
             while (yy < 8) {
               val iy = by * 8 + yy
@@ -427,6 +458,7 @@ object JpegCodec {
               }
               yy += 1
             }
+            if (maybeRestart(mw * mh)) { predY = 0; predCb = 0; predCr = 0 }
             mx += 1
           }
           my += 1
@@ -739,10 +771,17 @@ object JpegGen {
     * in the frame (Y 2×2, Cb/Cr 1×1, all on the same quant and
     * Huffman tables, which is legal), interleaved MCU scan with four
     * Y blocks then Cb then Cr per MCU, three separate DC predictor
-    * chains, every block DC-only + EOB. Dims are whole MCUs (16/32). */
+    * chains, every block DC-only + EOB. Dims are whole MCUs (16/32).
+    * Odd doc_ids additionally ship a DRI of 1 MCU with real RSTn
+    * markers (cycling sequence numbers RST0-RST2 across their 4-MCU
+    * images, predictors reset, ones-padded byte alignment) — restart
+    * handling is load-bearing on half the gate corpus while the pixel
+    * oracle is UNCHANGED, because the closed-form dc values are
+    * absolute and only the transmitted diffs change. */
   def jpegColor(id: Long): Array[Byte] = {
     val w = (16 * (1 + id % 2)).toInt
     val h = (16 * (1 + (id * 3) % 2)).toInt
+    val restartEvery = if (id % 2 == 1) 1 else 0
     val out = new java.io.ByteArrayOutputStream(512)
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
     def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
@@ -766,6 +805,7 @@ object JpegGen {
     out.write(1); out.write(0x22); out.write(0) // Y: 2x2
     out.write(2); out.write(0x11); out.write(0) // Cb
     out.write(3); out.write(0x11); out.write(0) // Cr
+    if (restartEvery > 0) { marker(0xDD); u16(4); u16(restartEvery) } // DRI
     marker(0xDA); u16(6 + 6)          // SOS, 3 components
     out.write(3)
     out.write(1); out.write(0x00)
@@ -783,6 +823,8 @@ object JpegGen {
       bits.put(0, 2)                  // AC EOB
     }
     var predY = 0; var predCb = 0; var predCr = 0
+    var mcus = 0; var rst = 0
+    val totalMcus = (w / 16) * (h / 16)
     var my = 0
     while (my < h / 16) {
       var mx = 0
@@ -797,6 +839,13 @@ object JpegGen {
         putDc(cb - predCb); predCb = cb
         val cr = dcCr(id, mx, my)
         putDc(cr - predCr); predCr = cr
+        mcus += 1
+        if (restartEvery > 0 && mcus % restartEvery == 0 && mcus < totalMcus) {
+          bits.flushOnes()
+          marker(0xD0 + rst)
+          rst = (rst + 1) % 8
+          predY = 0; predCb = 0; predCr = 0
+        }
         mx += 1
       }
       my += 1

@@ -140,6 +140,27 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decodeColor(JpegGen.jpeg(5L)).isEmpty)
   }
 
+  test("restart markers: DRI streams decode; sequence and presence are checked") {
+    // odd ids carry DRI=1 with RST0..RST2 between their four MCUs —
+    // covered by the closed-form test above; here pin the checking:
+    val base = JpegGen.jpegColor(7L)
+    // locate the first RST marker (FF D0 after the SOS header)
+    val sos = base.indices.find(i => (base(i) & 0xFF) == 0xFF &&
+      (base(i + 1) & 0xFF) == 0xDA).get
+    val rst0 = (sos until base.length - 1).find(i =>
+      (base(i) & 0xFF) == 0xFF && (base(i + 1) & 0xFF) == 0xD0)
+      .getOrElse(fail("no RST0 in an odd-id color stream"))
+    // out-of-sequence: RST0 -> RST5 must shear to None
+    val wrongSeq = base.clone(); wrongSeq(rst0 + 1) = 0xD5.toByte
+    assert(JpegCodec.decodeColor(wrongSeq).isEmpty)
+    // missing restart: excising the marker must shear to None (the
+    // decoder EXPECTS a restart exactly there)
+    val excised = base.take(rst0) ++ base.drop(rst0 + 2)
+    assert(JpegCodec.decodeColor(excised).isEmpty)
+    // even ids have no DRI and no restarts — and decode fine
+    assert(JpegCodec.decodeColor(JpegGen.jpegColor(6L)).isDefined)
+  }
+
   test("decode is total and rejects the unsupported forms as None") {
     val base = JpegGen.jpeg(42L)
     // a decoder is conventionally lenient about a missing EOI once
