@@ -778,9 +778,11 @@ object JpegGen {
     * handling is load-bearing on half the gate corpus while the pixel
     * oracle is UNCHANGED, because the closed-form dc values are
     * absolute and only the transmitted diffs change. */
-  def jpegColor(id: Long): Array[Byte] = {
-    val w = (16 * (1 + id % 2)).toInt
-    val h = (16 * (1 + (id * 3) % 2)).toInt
+  def jpegColor(id: Long): Array[Byte] =
+    jpegColorOfSize(id, (16 * (1 + id % 2)).toInt, (16 * (1 + (id * 3) % 2)).toInt)
+
+  /** The color gate encoder at arbitrary whole-MCU dims (probe use). */
+  private[graft] def jpegColorOfSize(id: Long, w: Int, h: Int): Array[Byte] = {
     val restartEvery = if (id % 2 == 1) 1 else 0
     val out = new java.io.ByteArrayOutputStream(512)
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }

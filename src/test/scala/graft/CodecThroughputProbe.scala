@@ -46,6 +46,12 @@ object CodecThroughputProbe {
     val jpegSec = time(20)(graft.sources.JpegCodec.decode(bigJpeg).get)
     report("jpeg_1024gray", bigJpeg.length, jw * jh, jpegSec)
 
+    // color JPEG: 1024x1024 4:2:0 with restart markers (odd id) —
+    // 1.5 blocks/pixel-area of IDCT plus upsample + BT.601 per pixel
+    val bigColor = graft.sources.JpegGen.jpegColorOfSize(3L, jw, jh)
+    val colorSec = time(10)(graft.sources.JpegCodec.decodeColor(bigColor).get)
+    report("jpeg_1024ycbcr", bigColor.length, jw * jh * 3, colorSec)
+
     // WAV: 10-s 44.1 kHz stereo (payload >> header; pure LE16 parse)
     val bigWav = {
       val ch = 2; val nf = 441000

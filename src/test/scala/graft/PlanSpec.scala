@@ -161,6 +161,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("pixel near-dup census: the hamming join broadcasts the census, no cartesian") {
+    val p = plan(graft.sources.PngCodec.dedupPixels(spark, sf))
+    // the flip-key join must broadcast (the census is bounded at
+    // 2^16 rows at ANY corpus size) — a sort-merge join here would
+    // mean the planner saw corpus-sized inputs
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q10 returned-item report: dims broadcast, top-20 is TakeOrderedAndProject") {
     val p = plan(Analytics2.q10Returned(spark, sf))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
