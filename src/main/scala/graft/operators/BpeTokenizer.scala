@@ -183,8 +183,46 @@ object BpeTokenizer {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Sequence packing on LEARNED-BPE token counts (`tp_pack_bpe`,
+    * r17): `tp_pack_sequences`' concat-and-cut packing with the
+    * budget measured in the tokens a training loader actually feeds
+    * the model — the learned tokenizer's, not whitespace words. The
+    * rationale is the r16 verdict's own: token-budget accounting is
+    * only as real as the tokenizer; this closes the loop by running
+    * the PACKER on the learned counts. Same scale shape as both
+    * parents: distinct-word costing (vocabulary-sized, merges
+    * broadcast), one broadcast join onto the token stream, per-doc
+    * partial-agg sum, then the 8-shard window — no global order, no
+    * single-partition window anywhere. The oracle replays the
+    * persisted merge table for the costs AND the pack arithmetic. */
+  def packBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 2048
+    val merges = learnMerges(s, dir)
+    val mergesB = s.sparkContext.broadcast(merges.toArray)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val wordCost = toks.select(col("token")).distinct().as[String]
+      .map(w => (w, tokenize(w, mergesB.value.toSeq).length.toLong))
+      .toDF("token", "vt")
+    val perDoc = toks.join(broadcast(wordCost), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("vt")).as("ntok"))
+      .withColumn("shard",
+        graft.functions.PortableHash.phash(col("doc_id"), 13) % 8)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDoc
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("bin", expr(s"(cum - ntok) div $budget"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+      .orderBy("shard", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "doc_chunk_bpe" -> (chunksByBpe _))
+    "doc_chunk_bpe" -> (chunksByBpe _),
+    "tp_pack_bpe" -> (packBpe _))
 
   /** The replay: distinct words re-tokenized by the PERSISTED merge
     * table — seq = ' sym sym … ', one leftmost occurrence of the
@@ -232,5 +270,52 @@ object BpeTokenizer {
          |  count(*) AS n_words, sum(vt)::BIGINT AS n_vtokens,
          |  string_agg(token, ' ' ORDER BY pos) AS chunk_text
          |FROM c GROUP BY doc_id, chunk_id
-         |ORDER BY doc_id, chunk_id""".stripMargin)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // the pack: the same merge-table replay prices every doc in BPE
+    // tokens, then tp_pack_sequences' shard/cumsum/bin arithmetic
+    // runs on those counts
+    "tp_pack_bpe" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, t[i] AS token FROM (
+         |    SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |      x -> length(x) > 0) AS t FROM documents) s,
+         |    unnest(generate_series(1, len(t))) AS u(i)),
+         |bm AS (
+         |  SELECT rank, l, r FROM read_parquet('__BPEDIR__/merges.parquet/*.parquet')),
+         |bwords AS (SELECT DISTINCT token FROM toks),
+         |brep AS (
+         |  SELECT token,
+         |    ' ' || array_to_string(regexp_split_to_array(token, ''), ' ') || ' ' AS seq,
+         |    1 AS rk
+         |  FROM bwords
+         |  UNION ALL
+         |  SELECT token,
+         |    CASE WHEN idx > 0
+         |      THEN substr(seq, 1, idx - 1) || ' ' || l || r || ' ' || substr(seq, idx + plen)
+         |      ELSE seq END,
+         |    CASE WHEN idx > 0 THEN rk ELSE rk + 1 END
+         |  FROM (
+         |    SELECT brep.token, brep.seq, brep.rk, m.l, m.r,
+         |      length(' ' || m.l || ' ' || m.r || ' ') AS plen,
+         |      position((' ' || m.l || ' ' || m.r || ' ') IN brep.seq) AS idx
+         |    FROM brep JOIN bm m ON m.rank = brep.rk) x),
+         |bcost AS (
+         |  SELECT token, len(string_split(trim(seq), ' '))::BIGINT AS vt
+         |  FROM brep WHERE rk = (SELECT max(rank) FROM bm) + 1),
+         |perdoc AS (
+         |  SELECT k.doc_id, sum(f.vt) AS ntok
+         |  FROM toks k JOIN bcost f ON k.token = f.token
+         |  GROUP BY k.doc_id),
+         |sh AS (
+         |  SELECT doc_id, ntok,
+         |    ${graft.functions.PortableHash.duckSql("doc_id::VARCHAR", 13)} % 8 AS shard
+         |  FROM perdoc),
+         |c AS (
+         |  SELECT shard, ntok,
+         |    sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM sh)
+         |SELECT shard::BIGINT AS shard, ((cum - ntok) // 2048)::BIGINT AS bin,
+         |  count(*) AS n_docs, sum(ntok)::BIGINT AS sum_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
