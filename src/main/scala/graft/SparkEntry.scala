@@ -35,6 +35,7 @@ object SparkEntry {
       (HybridSearch.queries, HybridSearch.oracleSql),
       (Pipeline.queries, Pipeline.oracleSql),
       (CrawlPipeline.queries, CrawlPipeline.oracleSql),
+      (MediaPipeline.queries, MediaPipeline.oracleSql),
       (TrainingPipeline.queries, TrainingPipeline.oracleSql),
       (EmbeddingLsh.queries, EmbeddingLsh.oracleSql),
       (ModelRegistry.queries, ModelRegistry.oracleSql),
