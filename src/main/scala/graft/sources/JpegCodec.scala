@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions._
   * replication, and the BT.601 conversion with rounding and clamping.
   * Restart intervals are supported (DRI parsed; each boundary
   * demands the cycling RSTn, re-aligns to the byte edge, resets the
-  * predictors). What stays out of the subset — and stubbed at the
-  * documented boundary — is progressive scans, which return None as
-  * unsupported rather than decoding wrong.
+  * predictors), and so is a PROGRESSIVE (SOF2) grayscale subset
+  * (`mm_decode_jpeg_prog`): multi-scan coefficient accumulation with
+  * DC successive approximation (point-transformed first scan, then
+  * raw refinement bits ORed in at Al — two's-complement OR
+  * reconstructs negatives exactly) and first-pass AC band scans with
+  * real EOB-run decoding, finalized (dequantize + IDCT) only at EOI.
+  * What stays out of the subset — and stubbed at the documented
+  * boundary — is AC refinement scans and progressive color, which
+  * return None as unsupported rather than decoding wrong.
   *
   * The gate corpus is DC-ONLY by construction (every block's AC
   * coefficients are zero, terminated by a real Huffman-coded EOB), a
@@ -269,11 +275,24 @@ object JpegCodec {
       val compId = new Array[Int](3)
       var restartInterval = 0
       var scanAt = -1
-      while (scanAt < 0) {
-        if (at + 4 > bytes.length) return None
+      // progressive (SOF2) state: raw coefficients accumulate in
+      // ZIGZAG order across scans and only dequantize+IDCT at EOI
+      var progressive = false
+      var progCoef: Array[Array[Int]] = null
+      var progPred = 0
+      var progEobrun = 0
+      var progResumeAt = -1
+      var sawScan = false
+      while (scanAt == -1) {
+        if (at + 2 > bytes.length) return None
         if ((bytes(at) & 0xFF) != 0xFF) return None
         val m = bytes(at + 1) & 0xFF
-        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) { at += 2 }
+        if (m == 0xD9 && progressive) {
+          // EOI closes the progressive stream: finalize below
+          scanAt = -2
+        }
+        else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) { at += 2 }
+        else if (at + 4 > bytes.length) return None
         else {
           val len = be16(bytes, at + 2)
           if (len < 2 || at + 2 + len > bytes.length) return None
@@ -306,14 +325,17 @@ object JpegCodec {
                 if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
                 p += 17 + total
               }
-            case 0xC0 => // SOF0 baseline
+            case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
               if (len < 8) return None
+              progressive = m == 0xC2
               val precision = bytes(seg) & 0xFF
               h = be16(bytes, seg + 1); w = be16(bytes, seg + 3)
               ncomp = bytes(seg + 5) & 0xFF
               // the supported subset: 8-bit grayscale (1×1) or
-              // three-component YCbCr 4:2:0 (2×2, 1×1, 1×1)
+              // three-component YCbCr 4:2:0 (2×2, 1×1, 1×1);
+              // progressive only as grayscale
               if (precision != 8 || (ncomp != 1 && ncomp != 3)) return None
+              if (progressive && ncomp != 1) return None
               if (len != 8 + 3 * ncomp) return None
               var c = 0
               while (c < ncomp) {
@@ -324,9 +346,13 @@ object JpegCodec {
                 compQ(c) = bytes(seg + 8 + 3 * c) & 0xF
                 c += 1
               }
-            case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+              if (progressive) {
+                if (w <= 0 || h <= 0 || w.toLong * h > (64 << 20)) return None
+                progCoef = Array.fill(((w + 7) / 8) * ((h + 7) / 8))(new Array[Int](64))
+              }
+            case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                  0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-              return None // extended/progressive/lossless: unsupported
+              return None // extended/lossless/arith: unsupported
             case 0xDD => // DRI: restart interval in MCUs
               if (len != 4) return None
               restartInterval = be16(bytes, seg)
@@ -342,17 +368,132 @@ object JpegCodec {
                 compAc(c) = bytes(seg + 2 + 2 * c) & 0xF
                 c += 1
               }
-              if ((bytes(seg + 1 + 2 * ns) & 0xFF) != 0 ||
-                  (bytes(seg + 2 + 2 * ns) & 0xFF) != 63 ||
-                  (bytes(seg + 3 + 2 * ns) & 0xFF) != 0) return None
-              scanAt = segEnd
+              val ss = bytes(seg + 1 + 2 * ns) & 0xFF
+              val se = bytes(seg + 2 + 2 * ns) & 0xFF
+              val ahal = bytes(seg + 3 + 2 * ns) & 0xFF
+              if (!progressive) {
+                if (ss != 0 || se != 63 || ahal != 0) return None
+                scanAt = segEnd
+              } else {
+                // one progressive scan, decoded in place; the walk
+                // resumes at the next marker (DHT redefinitions and
+                // further scans follow)
+                if (restartInterval != 0) return None // DRI+SOF2: out of subset
+                val ah = (ahal >> 4) & 0xF; val al = ahal & 0xF
+                val reader = new BitReader(bytes, segEnd)
+                val nBlocks = progCoef.length
+                if (ss == 0) {
+                  if (se != 0) return None // DC scan is exactly band 0
+                  val dcT = dcTabs(compDc(0))
+                  if (ah == 0) {
+                    // DC first: category-coded shifted diffs
+                    if (dcT == null) return None
+                    progPred = 0
+                    var b = 0
+                    while (b < nBlocks) {
+                      val t = reader.huffDecode(dcT)
+                      if (t > 11) return None
+                      progPred += extend(reader.bits(t), t)
+                      progCoef(b)(0) = progPred << al
+                      b += 1
+                    }
+                  } else {
+                    // DC refinement: one raw bit per block ORs in the
+                    // next lower magnitude bit (two's-complement OR
+                    // reconstructs negatives exactly)
+                    if (ah != al + 1) return None
+                    var b = 0
+                    while (b < nBlocks) {
+                      if (reader.nextBit() == 1) progCoef(b)(0) |= 1 << al
+                      b += 1
+                    }
+                  }
+                } else {
+                  // AC band scan, first pass only (Ah=0): EOB-run
+                  // coding over the band; AC refinement is out of the
+                  // subset and degrades rather than decoding wrong
+                  if (ah != 0) return None
+                  if (se < ss || se > 63) return None
+                  val acT = acTabs(compAc(0))
+                  if (acT == null) return None
+                  progEobrun = 0
+                  var b = 0
+                  while (b < nBlocks) {
+                    if (progEobrun > 0) { progEobrun -= 1 }
+                    else {
+                      var k = ss
+                      var done = false
+                      while (k <= se && !done) {
+                        val rs = reader.huffDecode(acT)
+                        val r = rs >> 4; val s2 = rs & 0xF
+                        if (s2 == 0) {
+                          if (r == 15) k += 16 // ZRL
+                          else {
+                            // EOBRUN: this block plus (run-1) more
+                            progEobrun = (1 << r) - 1 + reader.bits(r)
+                            done = true
+                          }
+                        } else {
+                          k += r
+                          if (k > se) return None
+                          progCoef(b)(k) = extend(reader.bits(s2), s2) << al
+                          k += 1
+                        }
+                      }
+                    }
+                    b += 1
+                  }
+                }
+                sawScan = true
+                // resume the marker walk after the entropy data: the
+                // next FF followed by a non-stuffing byte is a marker
+                var p = reader.pos
+                while (p + 1 < bytes.length &&
+                    !((bytes(p) & 0xFF) == 0xFF && (bytes(p + 1) & 0xFF) != 0x00))
+                  p += 1
+                if (p + 1 >= bytes.length) return None
+                progResumeAt = p
+              }
             case 0xD9 => return None // EOI before any scan
             case _ => () // APPn/COM/unknown: skipped by length
           }
-          at = segEnd
+          at = if (progResumeAt >= 0) progResumeAt else segEnd
+          progResumeAt = -1
         }
       }
       if (w <= 0 || h <= 0 || w.toLong * h > (64 << 20)) return None
+      if (scanAt == -2) {
+        // progressive finalize at EOI: dequantize the accumulated
+        // zigzag coefficients and IDCT every block
+        if (!sawScan || quant(compQ(0)) == null) return None
+        val q = quant(compQ(0))
+        val bw = (w + 7) / 8; val bh = (h + 7) / 8
+        val px = new Array[Byte](w * h)
+        val nat = new Array[Int](64)
+        val blk = new Array[Int](64)
+        var b = 0
+        while (b < progCoef.length) {
+          var k = 0
+          while (k < 64) { nat(Zigzag(k)) = progCoef(b)(k) * q(k); k += 1 }
+          idctBlock(nat, blk)
+          val bx = b % bw; val by = b / bw
+          var yy = 0
+          while (yy < 8) {
+            val iy = by * 8 + yy
+            if (iy < h) {
+              var xx = 0
+              while (xx < 8) {
+                val ix = bx * 8 + xx
+                if (ix < w) px(iy * w + ix) = blk(yy * 8 + xx).toByte
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+          b += 1
+        }
+        return Some((w, h, 1, px))
+      }
       var c = 0
       while (c < ncomp) {
         if (quant(compQ(c)) == null || dcTabs(compDc(c)) == null ||
@@ -581,9 +722,46 @@ object JpegCodec {
       .orderBy("bucket")
   }
 
+  /** The progressive gate: the SAME image and oracle as
+    * `mm_decode_jpeg`, delivered as a three-scan SOF2 stream (DC
+    * first at Al=1 → DC refinement → AC band as EOB-runs) — the
+    * multi-scan accumulation, the successive-approximation shift/OR,
+    * and EOBRUN decode all sit between the bytes and the unchanged
+    * closed form. */
+  def decodeJpegProg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select("doc_id")
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        decode(JpegGen.jpegProgressive(id)) match {
+          case Some(g) =>
+            var sum = 0L; var mn = 256L; var mx = -1L
+            var i = 0
+            while (i < g.pixels.length) {
+              val v = (g.pixels(i) & 0xFF).toLong
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            (id % 8, 1L, g.width.toLong, g.height.toLong, sum, mn, mx)
+          case None => (id % 8, 1L, -1L, -1L, -1L, -1L, -1L)
+        }
+      })
+      .toDF("bucket", "one", "w", "h", "sgray", "mn", "mx")
+      .groupBy("bucket")
+      .agg(sum("one").as("n_imgs"),
+        sum("w").as("sum_w"), sum("h").as("sum_h"),
+        sum("sgray").as("sum_gray"),
+        min("mn").as("min_gray"), max("mx").as("max_gray"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_jpeg" -> (decodeJpeg _),
-    "mm_decode_jpeg_color" -> (decodeJpegColor _))
+    "mm_decode_jpeg_color" -> (decodeJpegColor _),
+    "mm_decode_jpeg_prog" -> (decodeJpegProg _))
 
   /** The oracle enumerates every 8×8 block: the DC-only IDCT is flat
     * at 128 + 2·dc (Q[0]=16), so each block contributes 64 identical
@@ -592,6 +770,29 @@ object JpegCodec {
     * IDCT landing exactly on the integers. */
   val oracleSql: Map[String, String] = Map(
     "mm_decode_jpeg" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + (doc_id * 3) % 4) AS h
+        |  FROM documents),
+        |blk AS (
+        |  SELECT doc_id, w, h,
+        |    128 + 2 * (((doc_id + bxs.bx * 3 + bys.by * 5) % 120) - 60) AS lvl
+        |  FROM d,
+        |    unnest(generate_series(0, w // 8 - 1)) AS bxs(bx),
+        |    unnest(generate_series(0, h // 8 - 1)) AS bys(by)),
+        |img AS (
+        |  SELECT doc_id, w, h, sum(64 * lvl) AS sgray,
+        |    min(lvl) AS mn, max(lvl) AS mx
+        |  FROM blk GROUP BY 1, 2, 3)
+        |SELECT doc_id % 8 AS bucket, count(*) AS n_imgs,
+        |  sum(w)::BIGINT AS sum_w, sum(h)::BIGINT AS sum_h,
+        |  sum(sgray)::BIGINT AS sum_gray,
+        |  min(mn)::BIGINT AS min_gray, max(mx)::BIGINT AS max_gray
+        |FROM img GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the progressive stream reconstructs the IDENTICAL image, so its
+    // oracle is the grayscale one verbatim — everything progressive
+    // (multi-scan accumulation, the Al shift/OR, EOBRUN) must cancel
+    // out exactly
+    "mm_decode_jpeg_prog" ->
       """WITH d AS (
         |  SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + (doc_id * 3) % 4) AS h
         |  FROM documents),
@@ -752,6 +953,102 @@ object JpegGen {
       by += 1
     }
     bits.flushOnes()
+    marker(0xD9)                      // EOI
+    out.toByteArray
+  }
+
+  /** The progressive gate encoder (SOF2): the SAME image as
+    * [[jpeg]] — identical dims and per-block dc closed form, so the
+    * `mm_decode_jpeg_prog` oracle IS the `mm_decode_jpeg` oracle —
+    * delivered the progressive way, in three scans:
+    *
+    *  1. DC first (Ss=Se=0, Ah=0, Al=1): category-coded diffs of the
+    *     POINT-TRANSFORMED values dc>>1;
+    *  2. DC refinement (Ah=1, Al=0): one raw bit per block (dc&1) —
+    *     the successive-approximation path, reconstructing negatives
+    *     via two's-complement OR;
+    *  3. AC band (Ss=1, Se=63, Ah=0): all coefficients zero, coded as
+    *     real EOB-RUNs over an AC table carrying EOB0..EOB4 symbols
+    *     (3-bit canonical codes), so multi-block runs with extra-bit
+    *     counts are load-bearing, not just repeated EOBs.
+    *
+    * A decoder that skips the refinement bit, shifts the wrong way,
+    * misses a run, or finalizes before EOI diverges the oracle. */
+  def jpegProgressive(id: Long): Array[Byte] = {
+    val w = (8 * (1 + id % 4)).toInt
+    val h = (8 * (1 + (id * 3) % 4)).toInt
+    val bw = w / 8; val bh = h / 8
+    val out = new java.io.ByteArrayOutputStream(512)
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    marker(0xD8)                      // SOI
+    marker(0xDB); u16(2 + 65)         // DQT
+    out.write(0x00)
+    var k = 0
+    while (k < 64) { out.write(16); k += 1 }
+    marker(0xC4); u16(2 + 17 + 12)    // DHT DC (the shared table)
+    out.write(0x00)
+    var l = 1
+    while (l <= 16) { out.write(DcBits(l)); l += 1 }
+    DcVals.foreach(v => out.write(v & 0xFF))
+    marker(0xC4); u16(2 + 17 + 5)     // DHT AC: EOB0..EOB4, 3-bit codes
+    out.write(0x10)
+    l = 1
+    while (l <= 16) { out.write(if (l == 3) 5 else 0); l += 1 }
+    Seq(0x00, 0x10, 0x20, 0x30, 0x40).foreach(out.write)
+    marker(0xC2); u16(2 + 9)          // SOF2 progressive
+    out.write(8); u16(h); u16(w)
+    out.write(1); out.write(1); out.write(0x11); out.write(0)
+    def sos(ss: Int, se: Int, ahal: Int): Unit = {
+      marker(0xDA); u16(2 + 6)
+      out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write(ahal)
+    }
+    // scan 1: DC first at Al=1
+    sos(0, 0, 0x01)
+    locally {
+      val bits = new BitWriter(out)
+      var pred = 0
+      var b = 0
+      while (b < bw * bh) {
+        val v = dc(id, b % bw, b / bw) >> 1
+        val diff = v - pred; pred = v
+        val t = category(diff)
+        bits.put(t, 4)
+        if (t > 0) {
+          val mag = if (diff < 0) diff + (1 << t) - 1 else diff
+          bits.put(mag, t)
+        }
+        b += 1
+      }
+      bits.flushOnes()
+    }
+    // scan 2: DC refinement, the dropped low bit
+    sos(0, 0, 0x10)
+    locally {
+      val bits = new BitWriter(out)
+      var b = 0
+      while (b < bw * bh) {
+        bits.put(dc(id, b % bw, b / bw) & 1, 1)
+        b += 1
+      }
+      bits.flushOnes()
+    }
+    // scan 3: the AC band, all zero, as EOB-runs
+    sos(1, 63, 0x00)
+    locally {
+      val bits = new BitWriter(out)
+      var n = bw * bh
+      while (n > 0) {
+        val e = math.min(n, 31)
+        var r = 0
+        while ((1 << (r + 1)) <= e) r += 1
+        bits.put(r, 3)                // EOBr symbol (code == r, 3 bits)
+        if (r > 0) bits.put(e - (1 << r), r)
+        n -= e
+      }
+      bits.flushOnes()
+    }
     marker(0xD9)                      // EOI
     out.toByteArray
   }

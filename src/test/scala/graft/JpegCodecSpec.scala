@@ -161,6 +161,44 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decodeColor(JpegGen.jpegColor(6L)).isDefined)
   }
 
+  test("progressive: three scans reconstruct the baseline image exactly") {
+    Seq(0L, 1L, 3L, 7L, 12L, 123L, 9999L).foreach { id =>
+      val p = JpegCodec.decode(JpegGen.jpegProgressive(id)).getOrElse(fail(s"id=$id"))
+      val b = JpegCodec.decode(JpegGen.jpeg(id)).get
+      assert(p.width == b.width && p.height == b.height, s"id=$id dims")
+      assert(java.util.Arrays.equals(p.pixels, b.pixels),
+        s"id=$id progressive != baseline")
+    }
+  }
+
+  test("progressive: refinement and EOB-runs are load-bearing; AC refinement degrades") {
+    val base = JpegGen.jpegProgressive(42L) // 24x8: 3 blocks, odd dcs exist
+    // dropping the EOI leaves the accumulation unfinalized -> None
+    assert(JpegCodec.decode(base.dropRight(2)).isEmpty)
+    // flipping a refinement bit changes a dc by exactly 1 -> pixels
+    // shift by 2 in one block (proves the scan is actually read):
+    // find scan 2 (the second SOS) and flip its first payload bit
+    val sosIdx = base.indices.filter(i => (base(i) & 0xFF) == 0xFF &&
+      (base(i + 1) & 0xFF) == 0xDA)
+    assert(sosIdx.length == 3)
+    val scan2Payload = sosIdx(1) + 2 + 8 // marker + len(2+6) header
+    val flipped = base.clone()
+    flipped(scan2Payload) = (flipped(scan2Payload) ^ 0x80).toByte
+    val f = JpegCodec.decode(flipped)
+    if (f.isDefined) {
+      val orig = JpegCodec.decode(base).get
+      assert(!java.util.Arrays.equals(f.get.pixels, orig.pixels),
+        "flipped refinement bit decoded to identical pixels")
+    }
+    // an AC REFINEMENT scan (Ss>0, Ah>0) is out of the subset: patch
+    // scan 3's AhAl from 0x00 to 0x10 and the file must degrade
+    val scan3AhAl = sosIdx(2) + 2 + 2 + 5 // marker, len, ns+comp+Ss+Se
+    val acr = base.clone()
+    assert((acr(scan3AhAl) & 0xFF) == 0x00)
+    acr(scan3AhAl) = 0x10.toByte
+    assert(JpegCodec.decode(acr).isEmpty)
+  }
+
   test("decode is total and rejects the unsupported forms as None") {
     val base = JpegGen.jpeg(42L)
     // a decoder is conventionally lenient about a missing EOI once
