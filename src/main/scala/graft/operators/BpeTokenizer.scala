@@ -258,7 +258,7 @@ object BpeTokenizer {
          |    FROM brep JOIN bm m ON m.rank = brep.rk) x),
          |bcost AS (
          |  SELECT token, len(string_split(trim(seq), ' '))::BIGINT AS vt
-         |  FROM brep WHERE rk = (SELECT max(rank) FROM bm) + 1),
+         |  FROM brep WHERE rk = (SELECT coalesce(max(rank), 0) FROM bm) + 1),
          |costed AS (
          |  SELECT k.doc_id, k.pos, k.token, f.vt
          |  FROM toks k JOIN bcost f ON k.token = f.token),
@@ -301,7 +301,7 @@ object BpeTokenizer {
          |    FROM brep JOIN bm m ON m.rank = brep.rk) x),
          |bcost AS (
          |  SELECT token, len(string_split(trim(seq), ' '))::BIGINT AS vt
-         |  FROM brep WHERE rk = (SELECT max(rank) FROM bm) + 1),
+         |  FROM brep WHERE rk = (SELECT coalesce(max(rank), 0) FROM bm) + 1),
          |perdoc AS (
          |  SELECT k.doc_id, sum(f.vt) AS ntok
          |  FROM toks k JOIN bcost f ON k.token = f.token

@@ -93,14 +93,20 @@ object CrawlPipeline {
         .select(col("url"), col("text"),
           coalesce(col("quality"), lit(-1e9)).as("qk"))
       // ONE hash-partition on the canonical url serves the copy
-      // count, the keeper election, and the keep-best assembly
-      val grp = scored.groupBy(col("url").as("ug"))
-        .agg(count(lit(1)).as("n_copies"), max(col("qk")).as("mq"))
+      // count AND the keeper election, as two windows over the same
+      // partitioning — a single pass over `scored`. (The r17 review
+      // caught the previous aggregate-then-self-join shape evaluating
+      // the container-parse → extract → score lineage TWICE — the
+      // funnel's dominant cost at 100 TB — because the join keys
+      // (url, qk) could not reuse the aggregate's exchange.)
+      import org.apache.spark.sql.expressions.Window
+      val byUrl = Window.partitionBy(col("url"))
+      val elect = byUrl.orderBy(col("qk").desc, col("text").asc)
       scored
-        .join(grp, col("url") === col("ug") && col("qk") === col("mq"))
-        .groupBy(col("url"))
-        .agg(min(col("text")).as("text"), max(col("mq")).as("qk"),
-          max(col("n_copies")).as("n_copies"))
+        .withColumn("n_copies", count(lit(1)).over(byUrl))
+        .withColumn("rn", row_number().over(elect))
+        .filter(col("rn") === 1)
+        .select(col("url"), col("text"), col("qk"), col("n_copies"))
     }
 
   /** Chunk count for a text column — the `doc_chunk` sizing arithmetic

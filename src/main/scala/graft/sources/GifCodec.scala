@@ -46,10 +46,7 @@ object GifCodec {
   /** RGB triples, row-major. */
   final case class Image(width: Int, height: Int, pixels: Array[Byte])
 
-  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
-    i + s.length <= b.length && s.indices.forall(k => (b(i + k) & 0xFF) == s.charAt(k))
-  private def le16(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  import ByteIo.{ascii, le16}
 
   /** GIF-variant LZW decode of `data` (sub-blocks already
     * concatenated) with `minCodeSize`, expecting exactly `expect`
@@ -266,8 +263,11 @@ object GifCodec {
     * image, LZW-compressed, sub-block framed. */
   def encode(w: Int, h: Int, indices: Array[Byte], palette: Array[Byte]): Array[Byte] = {
     require(indices.length == w * h, "indices must be w*h bytes")
-    require(palette.length % 3 == 0 && Integer.bitCount(palette.length / 3) == 1,
-      "palette entries must be a power of two")
+    require(palette.length % 3 == 0 && Integer.bitCount(palette.length / 3) == 1
+      && palette.length / 3 >= 2,
+      "palette entries must be a power of two, at least 2 (a 1-entry " +
+        "table has no GCT size-field encoding — (0-1)&7 would declare " +
+        "256 entries)")
     val ncol = palette.length / 3
     val sizeBits = 31 - Integer.numberOfLeadingZeros(ncol) // log2
     val mcs = math.max(2, sizeBits)
@@ -296,38 +296,11 @@ object GifCodec {
     out.toByteArray
   }
 
-  /** Per-bucket channel sums over the gate corpus: synthesize → REAL
-    * LZW decode → per-image sums in one narrow map, then a
-    * partial-agg groupBy on the 8-value bucket (the
-    * `mm_decode_pixels` shape). Decode failure reports the sentinel
-    * row, guaranteed to diverge the closed-form oracle. */
-  def decodeGif(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.Tables.documents(s, dir)
-      .select("doc_id")
-      .as[Long]
-      .mapPartitions(_.map { id =>
-        decode(GifGen.gif(id)) match {
-          case Some(img) =>
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var i = 0
-            while (i < img.pixels.length) {
-              sr += img.pixels(i) & 0xFF
-              sg += img.pixels(i + 1) & 0xFF
-              sb += img.pixels(i + 2) & 0xFF
-              i += 3
-            }
-            (id % 8, 1L, img.width.toLong, img.height.toLong, sr, sg, sb)
-          case None => (id % 8, 1L, -1L, -1L, -1L, -1L, -1L)
-        }
-      })
-      .toDF("bucket", "one", "w", "h", "sr", "sg", "sb")
-      .groupBy("bucket")
-      .agg(sum("one").as("n_imgs"),
-        sum("w").as("sum_w"), sum("h").as("sum_h"),
-        sum("sr").as("sum_r"), sum("sg").as("sum_g"), sum("sb").as("sum_b"))
-      .orderBy("bucket")
-  }
+  /** Per-bucket channel sums over the gate corpus — the shared
+    * [[DecodeGate.rgbSums]] harness over the real LZW decode. */
+  def decodeGif(s: SparkSession, dir: String): DataFrame =
+    DecodeGate.rgbSums(s, dir)(id => decode(GifGen.gif(id))
+      .map(g => PngCodec.Image(g.width, g.height, 3, g.pixels)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_gif" -> (decodeGif _))

@@ -157,8 +157,7 @@ object JpegCodec {
   private def extend(v: Int, t: Int): Int =
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
-  private def be16(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  import ByteIo.be16
 
   /** IDCT basis, precomputed once: Basis(u*8+x) = C(u)/2 ·
     * cos((2x+1)uπ/16) — what every production decoder does instead
@@ -654,163 +653,64 @@ object JpegCodec {
       case _ => None
     }
 
-  /** Per-bucket gray moments over the gate corpus: synthesize → REAL
-    * baseline decode → per-image sum + extremes in one narrow map,
-    * then a partial-agg groupBy on the 8-value bucket. Decode failure
-    * reports the sentinel row, guaranteed to diverge the oracle. */
-  def decodeJpeg(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.Tables.documents(s, dir)
-      .select("doc_id")
-      .as[Long]
-      .mapPartitions(_.map { id =>
-        decode(JpegGen.jpeg(id)) match {
-          case Some(g) =>
-            var sum = 0L; var mn = 256L; var mx = -1L
-            var i = 0
-            while (i < g.pixels.length) {
-              val v = (g.pixels(i) & 0xFF).toLong
-              sum += v
-              if (v < mn) mn = v
-              if (v > mx) mx = v
-              i += 1
-            }
-            (id % 8, 1L, g.width.toLong, g.height.toLong, sum, mn, mx)
-          case None => (id % 8, 1L, -1L, -1L, -1L, -1L, -1L)
-        }
-      })
-      .toDF("bucket", "one", "w", "h", "sgray", "mn", "mx")
-      .groupBy("bucket")
-      .agg(sum("one").as("n_imgs"),
-        sum("w").as("sum_w"), sum("h").as("sum_h"),
-        sum("sgray").as("sum_gray"),
-        min("mn").as("min_gray"), max("mx").as("max_gray"))
-      .orderBy("bucket")
-  }
+  /** Per-bucket gray moments over the gate corpus — the shared
+    * [[DecodeGate.graySums]] harness over the real baseline decode. */
+  def decodeJpeg(s: SparkSession, dir: String): DataFrame =
+    DecodeGate.graySums(s, dir)(id => decode(JpegGen.jpeg(id)))
 
-  /** Per-bucket RGB channel sums over the COLOR gate corpus:
-    * synthesize → REAL 4:2:0 decode (interleaved MCUs, per-component
-    * DC predictors, chroma upsample, BT.601) → per-image channel sums
-    * in one narrow map, then the partial-agg bucket groupBy. Decode
-    * failure reports the sentinel row, guaranteed to diverge the
-    * oracle. */
-  def decodeJpegColor(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.Tables.documents(s, dir)
-      .select("doc_id")
-      .as[Long]
-      .mapPartitions(_.map { id =>
-        decodeColor(JpegGen.jpegColor(id)) match {
-          case Some(c) =>
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var i = 0
-            while (i < c.pixels.length) {
-              sr += c.pixels(i) & 0xFF
-              sg += c.pixels(i + 1) & 0xFF
-              sb += c.pixels(i + 2) & 0xFF
-              i += 3
-            }
-            (id % 8, 1L, c.width.toLong, c.height.toLong, sr, sg, sb)
-          case None => (id % 8, 1L, -1L, -1L, -1L, -1L, -1L)
-        }
-      })
-      .toDF("bucket", "one", "w", "h", "sr", "sg", "sb")
-      .groupBy("bucket")
-      .agg(sum("one").as("n_imgs"),
-        sum("w").as("sum_w"), sum("h").as("sum_h"),
-        sum("sr").as("sum_r"), sum("sg").as("sum_g"), sum("sb").as("sum_b"))
-      .orderBy("bucket")
-  }
+  /** Per-bucket RGB channel sums over the COLOR gate corpus
+    * (interleaved MCUs, per-component DC predictors, chroma upsample,
+    * BT.601) — the shared [[DecodeGate.rgbSums]] harness. */
+  def decodeJpegColor(s: SparkSession, dir: String): DataFrame =
+    DecodeGate.rgbSums(s, dir)(id => decodeColor(JpegGen.jpegColor(id))
+      .map(c => PngCodec.Image(c.width, c.height, 3, c.pixels)))
 
   /** The progressive gate: the SAME image and oracle as
     * `mm_decode_jpeg`, delivered as a three-scan SOF2 stream (DC
-    * first at Al=1 → DC refinement → AC band as EOB-runs) — the
+    * first at Al=1 -> DC refinement -> AC band as EOB-runs) — the
     * multi-scan accumulation, the successive-approximation shift/OR,
     * and EOBRUN decode all sit between the bytes and the unchanged
     * closed form. */
-  def decodeJpegProg(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.Tables.documents(s, dir)
-      .select("doc_id")
-      .as[Long]
-      .mapPartitions(_.map { id =>
-        decode(JpegGen.jpegProgressive(id)) match {
-          case Some(g) =>
-            var sum = 0L; var mn = 256L; var mx = -1L
-            var i = 0
-            while (i < g.pixels.length) {
-              val v = (g.pixels(i) & 0xFF).toLong
-              sum += v
-              if (v < mn) mn = v
-              if (v > mx) mx = v
-              i += 1
-            }
-            (id % 8, 1L, g.width.toLong, g.height.toLong, sum, mn, mx)
-          case None => (id % 8, 1L, -1L, -1L, -1L, -1L, -1L)
-        }
-      })
-      .toDF("bucket", "one", "w", "h", "sgray", "mn", "mx")
-      .groupBy("bucket")
-      .agg(sum("one").as("n_imgs"),
-        sum("w").as("sum_w"), sum("h").as("sum_h"),
-        sum("sgray").as("sum_gray"),
-        min("mn").as("min_gray"), max("mx").as("max_gray"))
-      .orderBy("bucket")
-  }
+  def decodeJpegProg(s: SparkSession, dir: String): DataFrame =
+    DecodeGate.graySums(s, dir)(id => decode(JpegGen.jpegProgressive(id)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_jpeg" -> (decodeJpeg _),
     "mm_decode_jpeg_color" -> (decodeJpegColor _),
     "mm_decode_jpeg_prog" -> (decodeJpegProg _))
 
-  /** The oracle enumerates every 8×8 block: the DC-only IDCT is flat
+  /** The gray-moments oracle, shared by `mm_decode_jpeg` AND
+    * `mm_decode_jpeg_prog` (the progressive stream reconstructs the
+    * IDENTICAL image, so everything progressive — multi-scan
+    * accumulation, the Al shift/OR, EOBRUN — must cancel out
+    * exactly): enumerates every 8×8 block — the DC-only IDCT is flat
     * at 128 + 2·dc (Q[0]=16), so each block contributes 64 identical
-    * pixels — the decoder must reproduce the sums through real
+    * pixels — and the decoder must reproduce the sums through real
     * Huffman decoding, DC prediction, dequantization, and the float
     * IDCT landing exactly on the integers. */
+  private val GrayMomentsOracle: String =
+      """WITH d AS (
+        |  SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + (doc_id * 3) % 4) AS h
+        |  FROM documents),
+        |blk AS (
+        |  SELECT doc_id, w, h,
+        |    128 + 2 * (((doc_id + bxs.bx * 3 + bys.by * 5) % 120) - 60) AS lvl
+        |  FROM d,
+        |    unnest(generate_series(0, w // 8 - 1)) AS bxs(bx),
+        |    unnest(generate_series(0, h // 8 - 1)) AS bys(by)),
+        |img AS (
+        |  SELECT doc_id, w, h, sum(64 * lvl) AS sgray,
+        |    min(lvl) AS mn, max(lvl) AS mx
+        |  FROM blk GROUP BY 1, 2, 3)
+        |SELECT doc_id % 8 AS bucket, count(*) AS n_imgs,
+        |  sum(w)::BIGINT AS sum_w, sum(h)::BIGINT AS sum_h,
+        |  sum(sgray)::BIGINT AS sum_gray,
+        |  min(mn)::BIGINT AS min_gray, max(mx)::BIGINT AS max_gray
+        |FROM img GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "mm_decode_jpeg" ->
-      """WITH d AS (
-        |  SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + (doc_id * 3) % 4) AS h
-        |  FROM documents),
-        |blk AS (
-        |  SELECT doc_id, w, h,
-        |    128 + 2 * (((doc_id + bxs.bx * 3 + bys.by * 5) % 120) - 60) AS lvl
-        |  FROM d,
-        |    unnest(generate_series(0, w // 8 - 1)) AS bxs(bx),
-        |    unnest(generate_series(0, h // 8 - 1)) AS bys(by)),
-        |img AS (
-        |  SELECT doc_id, w, h, sum(64 * lvl) AS sgray,
-        |    min(lvl) AS mn, max(lvl) AS mx
-        |  FROM blk GROUP BY 1, 2, 3)
-        |SELECT doc_id % 8 AS bucket, count(*) AS n_imgs,
-        |  sum(w)::BIGINT AS sum_w, sum(h)::BIGINT AS sum_h,
-        |  sum(sgray)::BIGINT AS sum_gray,
-        |  min(mn)::BIGINT AS min_gray, max(mx)::BIGINT AS max_gray
-        |FROM img GROUP BY 1 ORDER BY 1""".stripMargin,
-    // the progressive stream reconstructs the IDENTICAL image, so its
-    // oracle is the grayscale one verbatim — everything progressive
-    // (multi-scan accumulation, the Al shift/OR, EOBRUN) must cancel
-    // out exactly
-    "mm_decode_jpeg_prog" ->
-      """WITH d AS (
-        |  SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + (doc_id * 3) % 4) AS h
-        |  FROM documents),
-        |blk AS (
-        |  SELECT doc_id, w, h,
-        |    128 + 2 * (((doc_id + bxs.bx * 3 + bys.by * 5) % 120) - 60) AS lvl
-        |  FROM d,
-        |    unnest(generate_series(0, w // 8 - 1)) AS bxs(bx),
-        |    unnest(generate_series(0, h // 8 - 1)) AS bys(by)),
-        |img AS (
-        |  SELECT doc_id, w, h, sum(64 * lvl) AS sgray,
-        |    min(lvl) AS mn, max(lvl) AS mx
-        |  FROM blk GROUP BY 1, 2, 3)
-        |SELECT doc_id % 8 AS bucket, count(*) AS n_imgs,
-        |  sum(w)::BIGINT AS sum_w, sum(h)::BIGINT AS sum_h,
-        |  sum(sgray)::BIGINT AS sum_gray,
-        |  min(mn)::BIGINT AS min_gray, max(mx)::BIGINT AS max_gray
-        |FROM img GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mm_decode_jpeg" -> GrayMomentsOracle,
+    "mm_decode_jpeg_prog" -> GrayMomentsOracle,
     // the color gate: DC-only everywhere keeps every plane flat per
     // block, so the pixel is closed-form — Y from the block's dc, Cb/
     // Cr from the MCU's chroma dcs — and the BT.601 conversion is

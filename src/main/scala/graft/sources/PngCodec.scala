@@ -49,9 +49,7 @@ object PngCodec {
   private val Sig: Array[Byte] =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
-  private def be32(b: Array[Byte], i: Int): Long =
-    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
-      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  import ByteIo.be32
 
   private def u32be(v: Long): Array[Byte] =
     Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
@@ -202,38 +200,10 @@ object PngCodec {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Per-bucket channel sums over the gate corpus: synthesize → REAL
-    * decode → per-image sums in one narrow map, then a partial-agg
-    * groupBy on the 8-value bucket. A decode failure reports the -1
-    * sentinel row (total — and guaranteed to diverge the oracle's
-    * closed-form sums, so failures can't hide). */
-  def decodePixels(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.Tables.documents(s, dir)
-      .select("doc_id")
-      .as[Long]
-      .mapPartitions(_.map { id =>
-        decode(PixelGen.png(id)) match {
-          case Some(img) =>
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var i = 0
-            while (i < img.pixels.length) {
-              sr += img.pixels(i) & 0xFF
-              sg += img.pixels(i + 1) & 0xFF
-              sb += img.pixels(i + 2) & 0xFF
-              i += 3
-            }
-            (id % 8, 1L, img.width.toLong, img.height.toLong, sr, sg, sb)
-          case None => (id % 8, 1L, -1L, -1L, -1L, -1L, -1L)
-        }
-      })
-      .toDF("bucket", "one", "w", "h", "sr", "sg", "sb")
-      .groupBy("bucket")
-      .agg(sum("one").as("n_imgs"),
-        sum("w").as("sum_w"), sum("h").as("sum_h"),
-        sum("sr").as("sum_r"), sum("sg").as("sum_g"), sum("sb").as("sum_b"))
-      .orderBy("bucket")
-  }
+  /** Per-bucket channel sums over the gate corpus — the shared
+    * [[DecodeGate.rgbSums]] harness over the real PNG decode. */
+  def decodePixels(s: SparkSession, dir: String): DataFrame =
+    DecodeGate.rgbSums(s, dir)(id => decode(PixelGen.png(id)))
 
   /** Average-hash fingerprint of one decoded image (r17, VERDICT r16
     * item 3's suggested follow-on — a REAL pixel fingerprint in place
@@ -255,8 +225,15 @@ object PngCodec {
       var x = 0
       while (x < img.width) {
         val i = (y * img.width + x) * img.channels
-        val lum = (img.pixels(i) & 0xFF) + (img.pixels(i + 1) & 0xFF) +
-          (img.pixels(i + 2) & 0xFF)
+        // grayscale (channels < 3, a form decode() legitimately
+        // returns for colorType 0) scales its single sample by 3 so
+        // the luminance proxy lives on the same 0..765 scale as RGB —
+        // reading fixed +1/+2 offsets would overrun the pixel array
+        val lum =
+          if (img.channels >= 3)
+            (img.pixels(i) & 0xFF) + (img.pixels(i + 1) & 0xFF) +
+              (img.pixels(i + 2) & 0xFF)
+          else 3 * (img.pixels(i) & 0xFF)
         val cell = gy * 4 + x * 4 / img.width
         cs(cell) += lum; cn(cell) += 1; ts += lum
         x += 1

@@ -273,26 +273,24 @@ object WarcText {
   }
 
   /** Streaming record iterator over one WARC container (VERDICT r16
-    * item 1): `.warc.gz` inflates member-at-a-time through ONE
-    * GZIPInputStream (which consumes concatenated members natively, so
-    * the per-record members real shards ship stream seamlessly) — no
-    * whole-shard buffer exists anywhere, memory is O(largest record),
-    * and a CC shard inflating past the old 2 GiB cap now yields ALL
-    * its records (pinned by SourceSpec's >2 GiB shard class). A
-    * truncated or corrupt trailing member ends the stream; records
-    * decoded before it are kept and the loss is accounted
-    * ([[WarcRecords.truncated]]). */
+    * item 1): `.warc.gz` inflates member-at-a-time through
+    * [[GzipMembers]] — no whole-shard buffer exists anywhere, memory
+    * is O(largest record), and a CC shard inflating past the old
+    * 2 GiB cap now yields ALL its records (pinned by SourceSpec's
+    * >2 GiB shard class). A truncated or corrupt member — ANYWHERE in
+    * the shard, not just trailing — ends the stream with an error;
+    * records decoded before it are kept and the loss is accounted
+    * ([[WarcRecords.truncated]]). The r17 review found the previous
+    * JDK GZIPInputStream SWALLOWED mid-shard member corruption as a
+    * clean EOF (its readTrailer treats an unparseable next header as
+    * end-of-stream), so the rest of the shard vanished with
+    * truncated=false — the exact lost volume `src_warc_report` exists
+    * to expose; the hand-rolled member walk makes every corruption an
+    * IOException that [[ByteScan]] records as a stream death. */
   private[graft] def recordIterator(file: Array[Byte]): WarcRecords = {
-    val base = new java.io.ByteArrayInputStream(file)
     val in: java.io.InputStream =
-      if (isGzip(file))
-        try new java.util.zip.GZIPInputStream(base, 64 * 1024)
-        catch { case scala.util.control.NonFatal(_) =>
-          // gzip magic but an unreadable member header: no records
-          // (the pre-r17 whole-shard inflate yielded the same empty)
-          new java.io.ByteArrayInputStream(Array.emptyByteArray)
-        }
-      else base
+      if (isGzip(file)) new GzipMembers(file)
+      else new java.io.ByteArrayInputStream(file)
     new WarcRecords(in)
   }
 
@@ -371,6 +369,90 @@ object WarcText {
   * for resynchronization. A read error (truncated/corrupt gzip member)
   * reads as EOF and is remembered in [[died]] — totality at this layer
   * is what lets every caller above stay exception-free. */
+/** Member-at-a-time gzip inflation over an in-memory `.warc.gz` shard
+  * (RFC 1952 framing by hand + `Inflater(nowrap)`): each member's
+  * header is parsed explicitly (magic, CM=8, FLG-driven FEXTRA/FNAME/
+  * FCOMMENT/FHCRC fields), its deflate stream inflated to exhaustion,
+  * and the cursor advanced past the 8-byte trailer using
+  * `Inflater.getRemaining` for an EXACT compressed-byte account — so
+  * a malformed member header mid-shard, a truncated deflate stream,
+  * or a cut trailer is an `IOException` at the precise member, never
+  * a silent clean EOF. (JDK GZIPInputStream's multi-member mode
+  * cannot do this: its readTrailer catches the next header's parse
+  * failure internally and reports end-of-stream, losing the rest of
+  * the shard unaccounted — the r17 review finding.) Memory is the
+  * inflater's window; nothing inflated is buffered here. */
+private[sources] final class GzipMembers(data: Array[Byte]) extends java.io.InputStream {
+  private var memberStart = 0   // cursor: start of the next member
+  private var dataStart = 0     // current member's deflate offset
+  private var inf: java.util.zip.Inflater = null
+  private val one = new Array[Byte](1)
+
+  private def fail(msg: String): Nothing = {
+    if (inf != null) { inf.end(); inf = null }
+    throw new java.io.IOException(msg + " at offset " + memberStart)
+  }
+
+  /** Position the inflater at the next member's deflate data; false on
+    * a clean end (cursor exactly at the shard's end). */
+  private def startMember(): Boolean = {
+    if (memberStart >= data.length) return false
+    if (memberStart + 10 > data.length) fail("truncated gzip member header")
+    if ((data(memberStart) & 0xFF) != 0x1F || (data(memberStart + 1) & 0xFF) != 0x8B)
+      fail("bad gzip magic")
+    if ((data(memberStart + 2) & 0xFF) != 8) fail("unknown gzip method")
+    val flg = data(memberStart + 3) & 0xFF
+    var p = memberStart + 10
+    if ((flg & 0x04) != 0) { // FEXTRA: LE16 length + payload
+      if (p + 2 > data.length) fail("truncated FEXTRA")
+      p += 2 + ((data(p) & 0xFF) | ((data(p + 1) & 0xFF) << 8))
+    }
+    if ((flg & 0x08) != 0) { // FNAME: NUL-terminated
+      while (p < data.length && data(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT
+      while (p < data.length && data(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 0x02) != 0) p += 2 // FHCRC
+    if (p > data.length) fail("truncated gzip member header fields")
+    inf = new java.util.zip.Inflater(true)
+    inf.setInput(data, p, data.length - p)
+    dataStart = p
+    true
+  }
+
+  override def read(): Int = {
+    val n = read(one, 0, 1)
+    if (n < 0) -1 else one(0) & 0xFF
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (len == 0) return 0
+    while (true) {
+      if (inf == null && !startMember()) return -1
+      val n =
+        try inf.inflate(b, off, len)
+        catch { case _: java.util.zip.DataFormatException =>
+          fail("corrupt deflate data") }
+      if (n > 0) return n
+      if (inf.finished()) {
+        // exact advance: compressed bytes consumed + the 8-byte
+        // CRC32/ISIZE trailer
+        val consumed = (data.length - dataStart) - inf.getRemaining
+        inf.end(); inf = null
+        memberStart = dataStart + consumed + 8
+        if (memberStart > data.length) fail("truncated gzip trailer")
+        // loop: next member (or clean end)
+      } else if (inf.needsInput() || inf.needsDictionary()) {
+        fail("truncated deflate stream")
+      }
+    }
+    -1 // unreachable
+  }
+}
+
 private[sources] final class ByteScan(in: java.io.InputStream) {
   private var buf = new Array[Byte](64 * 1024)
   private var pos = 0
@@ -528,10 +610,16 @@ private[graft] final class WarcRecords private[sources] (in: java.io.InputStream
   private def step(): Unit = {
     val hEnd = sc.indexWithin(HeadEndPat, HeaderCap)
     if (hEnd < 0) {
-      // no header terminator in the remainder (or past the 1 MiB cap):
-      // nothing framable remains — stop, as the whole-file scan did
+      // no header terminator within the 1 MiB cap: this record is
+      // unframeable — but it must lose only ITSELF (the r17 review
+      // caught the previous early-stop silently dropping every
+      // subsequent intact record while warcReport showed one
+      // malformed and no truncation). Step past this version line and
+      // resynchronize on the next one; memory stays bounded because
+      // skipUntil drops the window as it scans.
       nMalformed += 1
-      atRecord = false
+      sc.take(VersionPat.length)
+      atRecord = sc.skipUntil(VersionPat)
       return
     }
     val headers = sc.takeString(hEnd + 4).substring(0, hEnd)

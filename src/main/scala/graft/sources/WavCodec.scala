@@ -46,13 +46,7 @@ object WavCodec {
   /** Interleaved 16-bit samples: `samples(frame * channels + ch)`. */
   final case class Pcm(channels: Int, rate: Int, samples: Array[Short])
 
-  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
-    i + s.length <= b.length && s.indices.forall(k => (b(i + k) & 0xFF) == s.charAt(k))
-  private def le16(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
-  private def le32(b: Array[Byte], i: Int): Long =
-    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
-      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+  import ByteIo.{ascii, le16, le32}
 
   /** Decode a 16-bit integer-PCM WAV. None on anything malformed or
     * unsupported; never throws. */

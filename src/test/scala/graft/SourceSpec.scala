@@ -235,6 +235,52 @@ class SourceSpec extends AnyFunSuite {
       Seq("http://crawl.example/doc/1", "http://crawl.example/doc/2"))
   }
 
+  test("a header block past the 1 MiB cap loses only itself; later records survive (r17 review)") {
+    // record 2 is a version line followed by >HeaderCap of
+    // terminator-free bytes — the unframeable-header path (hEnd < 0).
+    // Record 3 sits beyond the cap and must still parse (the pre-fix
+    // early-stop dropped it with only nMalformed=1 and
+    // truncated=false on the books)
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    def rec(i: Int): Array[Byte] = {
+      val body = s"HTTP/1.1 200 OK\r\n\r\npayload-$i".getBytes(latin1)
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://e/$i\r\nContent-Length: ${body.length}\r\n\r\n")
+        .getBytes(latin1) ++ body ++ "\r\n\r\n".getBytes(latin1)
+    }
+    val junk = new Array[Byte](graft.sources.WarcText.HeaderCap + (64 << 10))
+    java.util.Arrays.fill(junk, 'A'.toByte)
+    val file = rec(1) ++ "WARC/1.0\r\n".getBytes(latin1) ++ junk ++ rec(3)
+    val it = graft.sources.WarcText.recordIterator(file)
+    val uris = it.toSeq.map(_.uri)
+    assert(uris == Seq("http://e/1", "http://e/3"), uris)
+    assert(it.nMalformed == 1, it.nMalformed)
+    assert(!it.truncated)
+  }
+
+  test("mid-shard gzip member corruption is flagged, not a silent clean EOF (r17 review)") {
+    // three per-record members; corrupt member 2's magic. JDK
+    // GZIPInputStream reported a CLEAN end-of-stream here (readTrailer
+    // swallows the next header's parse failure), so records 2-3
+    // vanished with truncated=false; the hand-rolled member walk must
+    // keep record 1 AND raise the truncation flag
+    import graft.sources.WarcGen
+    val one = WarcGen.warcFile(Seq((1L, "a")), gzipped = true)
+    val two = WarcGen.warcFile(Seq((2L, "b")), gzipped = true)
+    val three = WarcGen.warcFile(Seq((3L, "c")), gzipped = true)
+    val shard = one ++ two ++ three
+    // sanity: intact shard yields all three with no flags
+    val intactIt = graft.sources.WarcText.recordIterator(shard)
+    assert(intactIt.toSeq.map(_.uri) == (1 to 3).map(i => s"http://crawl.example/doc/$i"))
+    assert(!intactIt.truncated)
+    val mangled = shard.clone()
+    mangled(one.length) = 0x00.toByte // member 2's 0x1F magic byte
+    val it = graft.sources.WarcText.recordIterator(mangled)
+    val uris = it.toSeq.map(_.uri) // total: never throws
+    assert(uris == Seq("http://crawl.example/doc/1"), uris)
+    assert(it.truncated, "mid-shard member corruption must flag truncation")
+  }
+
   test("streaming .warc.gz: a shard inflating past the old 2 GiB cap yields ALL records (r17)") {
     // VERDICT r16 item 1 done-criterion: the pre-r17 whole-shard
     // inflate capped at Int.MaxValue-64 bytes and SILENTLY kept only
