@@ -34,8 +34,8 @@ case class MediaMeta(
   * `mm_decode_gif`), and baseline grayscale JPEG
   * ([[graft.sources.JpegCodec]], `mm_decode_jpeg`) including YCbCr
   * 4:2:0 color (`mm_decode_jpeg_color`) and a progressive grayscale
-  * subset (`mm_decode_jpeg_prog`); AC-refinement progressive scans
-  * and lossy audio (MP3 frames) remain behind the stub.
+  * subset (`mm_decode_jpeg_prog`, AC refinement included); progressive
+  * color and lossy audio (MP3 frames) remain behind the stub.
   * Everything around the stub is the real 100 TB shape:
   *  - payloads stay in executors (mapPartitions over an iterator —
   *    nothing is collected, one in-flight element per partition

@@ -23,11 +23,15 @@ import org.apache.spark.sql.functions._
   * (`mm_decode_jpeg_prog`): multi-scan coefficient accumulation with
   * DC successive approximation (point-transformed first scan, then
   * raw refinement bits ORed in at Al — two's-complement OR
-  * reconstructs negatives exactly) and first-pass AC band scans with
-  * real EOB-run decoding, finalized (dequantize + IDCT) only at EOI.
-  * What stays out of the subset — and stubbed at the documented
-  * boundary — is AC refinement scans and progressive color, which
-  * return None as unsupported rather than decoding wrong.
+  * reconstructs negatives exactly), AC band scans with real EOB-run
+  * decoding, and AC REFINEMENT scans (T.81 G.1.2.3 — correction bits
+  * on already-nonzero coefficients interleaved with ±1 placements and
+  * EOB-runs whose covered blocks still consume corrections; pinned by
+  * JpegAcRefineSpec's hand-derived bitstreams against baseline
+  * twins), finalized (dequantize + IDCT) only at EOI. What stays out
+  * of the subset — and stubbed at the documented boundary — is
+  * progressive color, which returns None as unsupported rather than
+  * decoding wrong.
   *
   * The gate corpus is DC-ONLY by construction (every block's AC
   * coefficients are zero, terminated by a real Huffman-coded EOB), a
@@ -407,11 +411,9 @@ object JpegCodec {
                       b += 1
                     }
                   }
-                } else {
-                  // AC band scan, first pass only (Ah=0): EOB-run
-                  // coding over the band; AC refinement is out of the
-                  // subset and degrades rather than decoding wrong
-                  if (ah != 0) return None
+                } else if (ah == 0) {
+                  // AC band scan, first pass: EOB-run coding over the
+                  // band
                   if (se < ss || se > 63) return None
                   val acT = acTabs(compAc(0))
                   if (acT == null) return None
@@ -439,6 +441,72 @@ object JpegCodec {
                           k += 1
                         }
                       }
+                    }
+                    b += 1
+                  }
+                } else {
+                  // AC REFINEMENT scan (T.81 G.1.2.3): every already-
+                  // nonzero coefficient in the band receives a
+                  // correction bit as the traversal passes it (ORing
+                  // the next lower magnitude bit in, toward the sign),
+                  // (r, s=1) symbols place NEW ±2^Al coefficients
+                  // after skipping r ZERO-history positions, ZRL skips
+                  // 16 zeros, and an EOB-run covers whole blocks whose
+                  // nonzeros still consume correction bits — the
+                  // libjpeg decode_mcu_AC_refine traversal.
+                  if (ah != al + 1) return None
+                  if (se < ss || se > 63) return None
+                  val acT = acTabs(compAc(0))
+                  if (acT == null) return None
+                  val p1 = 1 << al
+                  def refineOne(coef: Array[Int], k: Int): Unit =
+                    if (reader.nextBit() == 1 && (coef(k) & p1) == 0)
+                      coef(k) += (if (coef(k) >= 0) p1 else -p1)
+                  progEobrun = 0
+                  var b = 0
+                  while (b < nBlocks) {
+                    val coef = progCoef(b)
+                    var k = ss
+                    if (progEobrun == 0) {
+                      var toEob = false
+                      while (k <= se && !toEob) {
+                        val rs = reader.huffDecode(acT)
+                        var r = rs >> 4; val s2 = rs & 0xF
+                        var newVal = 0
+                        if (s2 == 0) {
+                          if (r != 15) {
+                            progEobrun = (1 << r) + (if (r > 0) reader.bits(r) else 0)
+                            toEob = true // sweep the band tail below
+                          }
+                          // r == 15 (ZRL): newVal 0, skip 16 zeros
+                        } else {
+                          if (s2 != 1) return None // refinement is ±1 only
+                          newVal = if (reader.nextBit() == 1) p1 else -p1
+                        }
+                        if (!toEob) {
+                          // advance past r zero-history positions,
+                          // correcting nonzeros en route; place newVal
+                          // (if any) on the stopping zero
+                          var placed = false
+                          while (k <= se && !placed) {
+                            if (coef(k) != 0) { refineOne(coef, k); k += 1 }
+                            else if (r == 0) {
+                              if (s2 != 0) coef(k) = newVal
+                              k += 1; placed = true
+                            } else { r -= 1; k += 1 }
+                          }
+                          if (!placed && s2 != 0) return None // run overran band
+                        }
+                      }
+                    }
+                    if (progEobrun > 0) {
+                      // block inside an EOB-run: remaining nonzeros in
+                      // the band still receive correction bits
+                      while (k <= se) {
+                        if (coef(k) != 0) refineOne(coef, k)
+                        k += 1
+                      }
+                      progEobrun -= 1
                     }
                     b += 1
                   }

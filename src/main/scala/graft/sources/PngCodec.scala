@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   * pixel access, the same move `mm_probe_format` made for headers in
   * r16 — and the move [[WavCodec]] (PCM samples), [[GifCodec]] (LZW
   * pixels) and [[JpegCodec]] (baseline grayscale + 4:2:0 color +
-  * progressive grayscale) repeated later in r17, leaving only AC-
-  * refinement progressive scans and lossy audio behind the stub. Reference context: the reference inspects
+  * progressive grayscale incl. AC refinement) repeated later in r17,
+  * leaving only progressive color and lossy audio behind the stub. Reference context: the reference inspects
   * opaque BLOBs in-engine (/root/reference/scripts/01_pdf_to_vector
   * .sql:49-59); pixels-out-of-a-binary-column is that boundary's
   * image analogue.

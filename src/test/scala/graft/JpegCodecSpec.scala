@@ -190,13 +190,20 @@ class JpegCodecSpec extends AnyFunSuite {
       assert(!java.util.Arrays.equals(f.get.pixels, orig.pixels),
         "flipped refinement bit decoded to identical pixels")
     }
-    // an AC REFINEMENT scan (Ss>0, Ah>0) is out of the subset: patch
-    // scan 3's AhAl from 0x00 to 0x10 and the file must degrade
+    // an AC REFINEMENT scan (Ss>0, Ah>0) is supported since the r17
+    // review round (JpegAcRefineSpec pins its semantics): patching
+    // scan 3's AhAl from 0x00 to 0x10 turns the all-zero EOB-run band
+    // into a refinement that corrects nothing — the image must decode
+    // IDENTICALLY (the EOBRUN extra-bit reads are the same either
+    // way, and no correction bits are consumed on an all-zero band)
     val scan3AhAl = sosIdx(2) + 2 + 2 + 5 // marker, len, ns+comp+Ss+Se
     val acr = base.clone()
     assert((acr(scan3AhAl) & 0xFF) == 0x00)
     acr(scan3AhAl) = 0x10.toByte
-    assert(JpegCodec.decode(acr).isEmpty)
+    val refined = JpegCodec.decode(acr)
+    assert(refined.isDefined, "no-op AC refinement must decode")
+    assert(java.util.Arrays.equals(refined.get.pixels,
+      JpegCodec.decode(base).get.pixels))
   }
 
   test("decode is total and rejects the unsupported forms as None") {
