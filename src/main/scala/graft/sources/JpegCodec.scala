@@ -942,9 +942,12 @@ object JpegGen {
     *
     * A decoder that skips the refinement bit, shifts the wrong way,
     * misses a run, or finalizes before EOI diverges the oracle. */
-  def jpegProgressive(id: Long): Array[Byte] = {
-    val w = (8 * (1 + id % 4)).toInt
-    val h = (8 * (1 + (id * 3) % 4)).toInt
+  def jpegProgressive(id: Long): Array[Byte] =
+    jpegProgressiveOfSize(id, (8 * (1 + id % 4)).toInt, (8 * (1 + (id * 3) % 4)).toInt)
+
+  /** The progressive gate encoder at arbitrary whole-block dims
+    * (probe use). */
+  private[graft] def jpegProgressiveOfSize(id: Long, w: Int, h: Int): Array[Byte] = {
     val bw = w / 8; val bh = h / 8
     val out = new java.io.ByteArrayOutputStream(512)
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }

@@ -52,6 +52,13 @@ object CodecThroughputProbe {
     val colorSec = time(10)(graft.sources.JpegCodec.decodeColor(bigColor).get)
     report("jpeg_1024ycbcr", bigColor.length, jw * jh * 3, colorSec)
 
+    // progressive JPEG: the same geometry over three scans (DC first,
+    // DC refinement, AC band EOB-runs) — prices the multi-scan
+    // coefficient-accumulation overhead vs the baseline row
+    val bigProg = graft.sources.JpegGen.jpegProgressiveOfSize(3L, jw, jh)
+    val progSec = time(20)(graft.sources.JpegCodec.decode(bigProg).get)
+    report("jpeg_1024prog", bigProg.length, jw * jh, progSec)
+
     // WAV: 10-s 44.1 kHz stereo (payload >> header; pure LE16 parse)
     val bigWav = {
       val ch = 2; val nf = 441000
