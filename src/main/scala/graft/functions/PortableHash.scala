@@ -18,9 +18,18 @@ import org.apache.spark.sql.functions._
   * DuckDB `('0x' || substr(md5(x), 1, 8))::UBIGINT`.
   */
 object PortableHash {
+  import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+
+  /** All four digest words of md5(str(c)) — the shared primitive
+    * ([[Md5Words]]: raw-digest codegen, no hex/`conv` string work).
+    * Values are bit-identical to the historical
+    * conv(substring(md5(..), 8w+1, 8), 16, 10) chain. */
+  private def words(strCol: Column): Column =
+    toColumn(Md5Words(toExpr(strCol)))
+
   /** Unsigned-32-bit hash of a string column, as LongType. */
   def phash(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    element_at(words(c.cast("string")), 1)
 
   /** Seeded variant: independent hash family member `seed`. */
   def phash(c: Column, seed: Column): Column =
@@ -48,8 +57,12 @@ object PortableHash {
     * hash values. */
   def phashWord(c: Column, seed: Int, word: Int): Column = {
     require(word >= 0 && word < 4)
-    conv(substring(md5(concat(lit(seed.toString), lit(":"), c.cast("string"))),
-      word * 8 + 1, 8), 16, 10).cast("long")
+    // the 8 distinct Md5Words subtrees of a 32-expression minhash
+    // array are deduplicated by codegen subexpression elimination —
+    // one digest per (seed, row), exactly like the md5() calls the
+    // previous conv/substring form relied on CSE for.
+    element_at(words(concat(lit(seed.toString), lit(":"), c.cast("string"))),
+      word + 1)
   }
 
   /** Driver-side (plain String) form of the same convention — for
@@ -71,8 +84,10 @@ object PortableHash {
     * agrees across engines even though the representations differ.
     * 32-bit `phash` collides at ~2¹⁶ keys (birthday); shuffling
     * billions of shingles needs the 64-bit form. */
-  def phash64(c: Column, seed: Int): Column =
-    shiftleft(phashWord(c, seed, 0), 32).bitwiseOR(phashWord(c, seed, 1))
+  def phash64(c: Column, seed: Int): Column = {
+    val w = words(concat(lit(seed.toString), lit(":"), c.cast("string")))
+    shiftleft(element_at(w, 1), 32).bitwiseOR(element_at(w, 2))
+  }
 
   def duckSql64(expr: String, seed: Int): String =
     s"(${duckSqlWord(expr, seed, 0)} * 4294967296 + ${duckSqlWord(expr, seed, 1)})"

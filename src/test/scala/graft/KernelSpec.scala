@@ -189,4 +189,46 @@ class KernelSpec extends AnyFunSuite {
       .filter(col("a") =!= col("b")).count()
     assert(diff == 0L)
   }
+
+  test("Md5Words matches the conv/substring/md5 chain bit-for-bit") {
+    // the r17 PortableHash rewrite: every phash/phashWord/phash64 now
+    // reads raw digest bytes through the codegen Md5Words kernel —
+    // this pins word w == conv(substring(md5(s), 8w+1, 8), 16, 10)
+    // over real corpus strings, every word, several seeds, so the
+    // swap cannot have moved any signature, band key or join key.
+    import graft.functions.PortableHash
+    def oldWord(c: org.apache.spark.sql.Column, seed: Int, word: Int) =
+      conv(substring(md5(concat(lit(seed.toString), lit(":"), c.cast("string"))),
+        word * 8 + 1, 8), 16, 10).cast("long")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val sh = docs.select(explode(
+      graft.functions.TextFunctions.shingles(
+        graft.functions.TextFunctions.tokens(col("text")), 3)).as("s"))
+    val mism = sh.select(
+      (0 until 4).flatMap(w => Seq(77, 91).map(seed =>
+        (PortableHash.phashWord(col("s"), seed, w) =!=
+          oldWord(col("s"), seed, w)).as(s"m_${seed}_$w"))): _*)
+      .select(greatest((lit(false) +: (0 until 4).flatMap(w =>
+        Seq(77, 91).map(seed => col(s"m_${seed}_$w")))): _*).as("any"))
+      .filter(col("any")).count()
+    assert(mism == 0L, "Md5Words deviates from the conv/substring chain")
+    // 64-bit packing: phash64 == old shiftleft(word0,32)|word1 form
+    val m64 = sh.select((PortableHash.phash64(col("s"), 91) =!=
+      shiftleft(oldWord(col("s"), 91, 0), 32).bitwiseOR(oldWord(col("s"), 91, 1))).as("m"))
+      .filter(col("m")).count()
+    assert(m64 == 0L, "phash64 packing deviates")
+    // interpreted eval path agrees with the driver-side local form
+    val w = graft.functions.Md5Words(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("42:hello world"),
+        org.apache.spark.sql.types.StringType))
+    val arr = w.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until 4).foreach { i =>
+      assert(arr.getLong(i) == PortableHash.phashWordLocal("hello world", 42, i))
+    }
+    // null propagates like the md5 chain did
+    val nulls = docs.select(PortableHash.phash(lit(null).cast("string")).as("h"))
+      .filter(col("h").isNotNull).count()
+    assert(nulls == 0L)
+  }
 }
