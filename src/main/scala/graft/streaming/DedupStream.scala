@@ -15,7 +15,12 @@ import graft.operators.Dedup
   *
   * Per micro-batch (foreachBatch):
   *  1. band keys of the new docs (the same md5 MinHash banding as the
-  *     batch operator — one narrow pass over the batch);
+  *     batch operator — one narrow pass over the batch), materialized
+  *     ONCE to a per-batch scratch table (r17: this replaced a
+  *     `.persist()` — the in-memory columnar cache build cost more
+  *     than the band compute itself at micro-batch sizes, and the
+  *     three consumers each re-scan the tiny parquet instead of
+  *     re-running the shingle+MinHash chain);
   *  2. candidates = new-bands ⋈ state-table (new × old) plus the
   *     in-batch self-join (new × new) — band equi-joins, never doc×doc;
   *  3. append new bands to the state table, new candidates to the out
@@ -55,6 +60,7 @@ object DedupStream {
     val root = graft.functions.Scratch.fresh("dedupstream", dir)
     val statePath = s"$root/state"
     val outPath = s"$root/cands"
+    val batchBandsPath = s"$root/batch_bands"
     val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
     val stream = s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "documents.parquet")
@@ -64,11 +70,25 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // a file-source micro-batch is ONE partition per file; the
         // shingle+MinHash stage is the compute-dense step, so spread
-        // it to cluster parallelism first (no-op on a full batch)
-        val bands = Dedup.bandsOf(Dedup.minhashSigOf(Dedup.shingleSetOf(
-            graft.Tables.spreadFrame(batch))))
-          .persist()
+        // it to cluster parallelism first (no-op on a full batch).
+        // The band table is consumed three ways per batch (in-batch
+        // self-join, new-vs-state join, state append); it is
+        // materialized ONCE — appended to the state table, the
+        // operator's own at-rest artifact — and every consumer reads
+        // the written partitions back instead of re-running the
+        // shingle+MinHash chain per consumer. (r17: this replaces a
+        // `.persist()` whose in-memory columnar build cost more than
+        // the band compute itself at micro-batch sizes, and it drops
+        // the per-batch job count from three full compute passes to
+        // one compute + cheap re-scans.) Batch isolation comes from
+        // the monotone batch_file column: state rows of THIS batch
+        // carry the current per-batch file tag, prior batches an
+        // older one.
         val priorExists = graft.functions.Scratch.exists(s, statePath)
+        Dedup.bandsOf(Dedup.minhashSigOf(Dedup.shingleSetOf(
+            graft.Tables.spreadFrame(batch))))
+          .write.mode("overwrite").parquet(batchBandsPath)
+        val bands = s.read.parquet(batchBandsPath)
         val withinBatch = bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -84,7 +104,6 @@ object DedupStream {
         // state-table file count stays linear in batches.
         bands.repartition(col("band"))
           .write.mode("append").partitionBy("band").parquet(statePath)
-        bands.unpersist()
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
