@@ -28,6 +28,22 @@ object GraftSession {
     math.max(parallelism, math.min(MaxShufflePartitions.toLong, bySize).toInt)
   }
 
+  /** Shard count for writing an O(corpus) ARTIFACT table of roughly
+    * `bytes` payload (index assignments, PQ codes): target files of
+    * [[TargetPartitionBytes]] (guide §6: output files in the
+    * 128 MB–1 GB range), floored at 2 and capped at
+    * [[MaxShufflePartitions]]. The session's shuffle-partition count
+    * is the wrong unit for these writes: it is floored at CORE COUNT
+    * for compute parallelism, so a small dump pays one near-empty
+    * file + task commit per core (32 at the bench geometry), while at
+    * scale the two formulas coincide (both are bytes/128 MiB). The
+    * floor of 2 keeps the multi-file pin (AnnSpec): a single-file
+    * dump would hide the AQE-coalesced one-task-writes-the-corpus
+    * failure mode this path guards against. */
+  def artifactShards(bytes: Long): Int =
+    math.max(2L, math.min(MaxShufflePartitions.toLong,
+      bytes / TargetPartitionBytes)).toInt
+
   /** Total bytes under a directory (the local stand-in for a cloud
     * prefix listing). */
   def dirBytes(dir: String): Long = {

@@ -331,9 +331,11 @@ object IvfIndex {
         // O(corpus) table: shard the write across an EXPLICIT partition
         // count — without one, AQE coalesces a small shuffle to a
         // single task, and at the target scale one task would write
-        // the whole corpus. shuffle.partitions is already sized from
-        // input bytes (GraftSession), so the count scales with data.
-        val shards = s.conf.get("spark.sql.shuffle.partitions").toInt
+        // the whole corpus. The count is derived from the TABLE's own
+        // size (~16 B/row), not the session's shuffle partitions,
+        // whose core-count floor wrote one near-empty file per core
+        // at small corpora (GraftSession.artifactShards).
+        val shards = graft.GraftSession.artifactShards(n * 16L)
         indexed.select(col("vec_id"), col("centroid_id"))
           .repartition(shards, col("vec_id"))
           .write.mode("overwrite")

@@ -203,9 +203,12 @@ object PqIndex {
     * the exact failure mode this guards against); the shuffle moves
     * 12-byte rows — noise next to the encode. */
   private def persistArtifacts(s: SparkSession, dump: String,
-      codes: DataFrame, codebooks: Codebooks): DataFrame = {
+      codes: DataFrame, codebooks: Codebooks, rows: Long): DataFrame = {
     import s.implicits._
-    val shards = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // shard count from the CODES table's own size (~16 B/row), not the
+    // session's core-count-floored shuffle partitions — see
+    // GraftSession.artifactShards.
+    val shards = graft.GraftSession.artifactShards(rows * 16L)
     codes.repartition(shards, col("vec_id"))
       .write.mode("overwrite").parquet(s"$dump/codes.parquet")
     val cbRows = for {
@@ -235,7 +238,8 @@ object PqIndex {
       // persist the index artifacts: the codes table is the 4-byte
       // at-rest layout (what a 100 TB deployment keeps resident), the
       // codebooks are its 8×16×8-double dictionary.
-      val out = persistArtifacts(s, dumpDir(dir), codes, codebooks)
+      val out = persistArtifacts(s, dumpDir(dir), codes, codebooks,
+        IvfIndex.corpusCount(s, dir))
       norm.unpersist()
       (out, codebooks)
     })
@@ -369,7 +373,8 @@ object PqIndex {
           offsets.zipWithIndex.map { case (o, i) => (i, o.toSeq) }.toSeq
             .toDF("cid", "ovec").coalesce(1)
             .write.mode("overwrite").parquet(s"$dump/offsets.parquet")
-          persistArtifacts(s, dump, codes, codebooks)
+          persistArtifacts(s, dump, codes, codebooks,
+            IvfIndex.corpusCount(s, dir))
         } else codes.cache()
       out.count() // materialize before dropping the encode frames
       resid.unpersist(); assigned.unpersist()

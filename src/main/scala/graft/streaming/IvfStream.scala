@@ -84,8 +84,16 @@ object IvfStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // centroid assignment is nlist × dim dots per row, and a
         // file-source micro-batch arrives one-partition-per-file:
-        // spread it to cluster parallelism (no-op on a full batch)
+        // spread it to cluster parallelism (no-op on a full batch).
+        // Cluster the WRITE by the partition column with an explicit
+        // count (AQE must not coalesce it to one task): without it,
+        // every spread task writes a sliver into every centroid dir —
+        // tasks × nlist files per batch (~1000 at the bench geometry,
+        // the dominant cost of this trigger) instead of one file per
+        // centroid per batch; file count stays linear in batches, the
+        // DedupStream state-table rule.
         IvfIndex.assign(model, graft.Tables.spreadFrame(batch))
+          .repartition(nlist, col("centroid_id"))
           .write.mode("append").partitionBy("centroid_id").parquet(indexPath)
       }
       .option("checkpointLocation", s"$root/ckpt")
@@ -99,7 +107,10 @@ object IvfStream {
     // O(corpus) dump: shard by vec_id hash with an EXPLICIT partition
     // count — an expression-only repartition lets AQE coalesce a small
     // shuffle back to a single write task, exactly what this avoids.
-    val shards = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // Count derived from the assignment table's own size (~16 B/row),
+    // not the core-count-floored session shuffle partitions — see
+    // GraftSession.artifactShards.
+    val shards = graft.GraftSession.artifactShards(baseN * 2L * 16L)
     IvfIndex.readIndex(s, indexPath).select(col("vec_id"), col("centroid_id"))
       .repartition(shards, col("vec_id"))
       .write.mode("overwrite").parquet(s"$root/dump/assign.parquet")
