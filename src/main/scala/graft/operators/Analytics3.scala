@@ -37,13 +37,22 @@ object Analytics3 {
     * accumulation-order independent, unlike avg), per-part min, then
     * join-back on the rounded equality with min-suppkey tie-break. */
   def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    // r17: per-part min + join-back-on-equality → a min() window over
+    // the SAME key (guide §2.4 — a window partitioned like the
+    // preceding aggregation needs no second shuffle, and the final
+    // per-part agg reuses the window's hash partitioning): one
+    // exchange on l_partkey instead of two plus a broadcast build of
+    // the per-part-min table. Row set is identical by construction —
+    // `unit_cost = min(unit_cost) over (partition by l_partkey)`
+    // selects exactly the rows the equality join kept, on the same
+    // rounded values.
     val unit = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(round(col("l_extendedprice") / col("l_quantity"), 4)).as("unit_cost"))
-    val best = unit.groupBy(col("l_partkey").as("pk"))
-      .agg(min(col("unit_cost")).as("min_cost"))
+    val wMin = Window.partitionBy(col("l_partkey"))
     val p = Tables.part(s, dir).select("p_partkey", "p_brand")
-    unit.join(best, col("l_partkey") === col("pk") && col("unit_cost") === col("min_cost"))
+    unit.withColumn("min_cost", min(col("unit_cost")).over(wMin))
+      .filter(col("unit_cost") === col("min_cost"))
       .groupBy(col("l_partkey"))
       .agg(min(col("l_suppkey")).as("s_suppkey"), min(col("unit_cost")).as("min_cost"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
