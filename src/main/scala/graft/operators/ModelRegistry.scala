@@ -182,11 +182,18 @@ object ModelRegistry {
     val mod = abSampleMod(Tables.documents(s, dir).count())
     val na = neighbors(s, dir, a, 3, mod)
     val nb = neighbors(s, dir, b, 3, mod)
-    val matches = na.join(nb, Seq("doc_id", "nbr"))
+    // both neighbor tables and the match counts are SAMPLE-bounded
+    // (≤ sample × k ≤ AbSampleCap × 3 rows at any corpus size), so the
+    // joins are declared broadcast instead of letting size estimates
+    // pick sort-merge (r17: the initial plan carried two
+    // SortMergeJoins — two exchanges + sorts — on tables whose bound
+    // is a few thousand rows by construction; guide §3.1, hint when
+    // you KNOW a side is small).
+    val matches = na.join(broadcast(nb), Seq("doc_id", "nbr"))
       .groupBy("doc_id").agg(count(lit(1)).as("m"))
     Tables.documents(s, dir).select(col("doc_id"))
       .filter(inSample(col("doc_id"), mod))
-      .join(matches, Seq("doc_id"), "left")
+      .join(broadcast(matches), Seq("doc_id"), "left")
       .select(coalesce(col("m"), lit(0L)).as("overlap"))
       .groupBy("overlap")
       .agg(count(lit(1)).as("n_docs"))
