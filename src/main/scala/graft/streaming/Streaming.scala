@@ -352,28 +352,36 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // quality scoring is per-row regex/ratio work and a file-source
         // micro-batch is one partition per file: spread first (no-op
-        // when the batch already fills the cluster)
-        val scored = graft.operators.TextAnalysis.qualityOf(graft.Tables.spreadFrame(batch))
-          .select(col("doc_id"), col("quality")).persist()
-        scored.filter(col("quality") >= QualityThreshold)
-          .write.mode("append").parquet(s"$root/accept")
-        scored.filter(col("quality") < QualityThreshold)
-          .write.mode("append").parquet(s"$root/reject")
-        scored.unpersist()
+        // when the batch already fills the cluster). The fork is ONE
+        // write partitioned by the route column (r17): the previous
+        // persist + two filtered appends built an in-memory columnar
+        // cache of the scored batch and ran two jobs over it — the
+        // partitioned write scores each row once, routes it in the
+        // same pass, and still lands accept/reject in separate sink
+        // directories (route=accept / route=reject). repartition on
+        // the route column keeps file count at one per route per
+        // batch, the state-table rule.
+        graft.operators.TextAnalysis.qualityOf(graft.Tables.spreadFrame(batch))
+          .select(col("doc_id"), col("quality"))
+          .withColumn("route",
+            when(col("quality") >= QualityThreshold, "accept").otherwise("reject"))
+          .repartition(col("route"))
+          .write.mode("append").partitionBy("route").parquet(s"$root/routes")
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    def routeOf(name: String): DataFrame = {
-      val p = s"$root/$name"
-      if (!graft.functions.Scratch.exists(s, p))
-        s.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0.0).as("quality")).limit(0)
-          .select(lit(name).as("route"), col("doc_id"), col("quality"))
-      else s.read.parquet(p).select(lit(name).as("route"), col("doc_id"), col("quality"))
-    }
-    routeOf("accept").unionByName(routeOf("reject"))
+    // the route partition column comes back on the read, so the
+    // report is one pruned-scannable groupBy; a drain that fired zero
+    // batches (empty source glob) reports an empty frame like before.
+    val routed =
+      if (!graft.functions.Scratch.exists(s, s"$root/routes"))
+        s.emptyDataFrame.select(lit("").as("route"), lit(0L).as("doc_id"),
+          lit(0.0).as("quality")).limit(0)
+      else s.read.parquet(s"$root/routes")
+    routed
       .groupBy(col("route"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("quality")), 4).as("avg_quality"))
       .orderBy("route")
