@@ -15,8 +15,39 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Reader cache: one DataFrame per (session, path, size, mtime).
+    *
+    * Every `spark.read.parquet(path)` pays a driver-side file listing
+    * plus a parquet footer read for schema inference — measured at
+    * ~60 ms per call on this corpus (DecompProbe), and the per-query
+    * bench harness constructs every table it touches afresh, so the
+    * suite paid it thousands of times per run. A real deployment
+    * reads these tables through a catalog whose manifest carries the
+    * schema and file list (guide §6 — the practical argument for
+    * table formats at scale); this cache is the local stand-in:
+    * the LOGICAL reader (schema + file index) is reused, while every
+    * action still scans the parquet data itself — nothing about
+    * query RESULTS is cached. The size+mtime key drops the entry
+    * when the driver regenerates testdata mid-round (the TESTDATA.md
+    * gotcha), and stopped sessions are evicted like DfCache entries. */
+  private val readers = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long, Long), DataFrame]
+  graft.functions.SessionEvict.register(() =>
+    readers.keys.filter(_._1.sparkContext.isStopped).foreach(readers.remove))
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    graft.functions.SessionEvict.hook(spark)
+    readers.keys.filter(_._1.sparkContext.isStopped).foreach(readers.remove)
+    val (bytes, mtime) =
+      try {
+        val p = java.nio.file.Paths.get(path)
+        (GraftSession.dirBytes(path),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      } catch { case _: Throwable => (-1L, -1L) }
+    readers.getOrElseUpdate((spark, path, bytes, mtime),
+      spark.read.parquet(path))
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")

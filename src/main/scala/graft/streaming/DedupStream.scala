@@ -61,7 +61,7 @@ object DedupStream {
     val statePath = s"$root/state"
     val outPath = s"$root/cands"
     val batchBandsPath = s"$root/batch_bands"
-    val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val batchSchema = graft.Tables.documents(s, dir).schema
     val stream = s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "documents.parquet")
       .option("maxFilesPerTrigger", "1")

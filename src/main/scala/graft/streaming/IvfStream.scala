@@ -75,7 +75,7 @@ object IvfStream {
     IvfIndex.writeIndex(IvfIndex.assign(model, emb.filter(col("vec_id") % 2 === 0)), indexPath)
 
     // streaming upsert of the odd half
-    val batchSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val batchSchema = graft.Tables.embeddings(s, dir).schema
     val stream = s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(dir)

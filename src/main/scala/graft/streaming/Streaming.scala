@@ -110,7 +110,7 @@ object Streaming {
 
   /** events.parquet as a bounded file stream with normalized ts. */
   def eventStream(s: SparkSession, dir: String): DataFrame = {
-    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = graft.Tables.table(s, dir, "events").schema
     // file-stream sources take a directory; the sf dir holds every
     // table, so glob-filter down to the events file(s).
     val raw = s.readStream.schema(batchSchema)
@@ -207,7 +207,7 @@ object Streaming {
     * micro-batch, no stream-side shuffle before the agg). */
   def enrich(s: SparkSession, dir: String): DataFrame =
       withStatePartitions(s, s"$dir/events.parquet") {
-    val cust = s.read.parquet(s"$dir/customer.parquet")
+    val cust = graft.Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = eventStream(s, dir)
       .join(broadcast(cust), col("user_id") === col("c_custkey"))
@@ -343,7 +343,7 @@ object Streaming {
     // wiped fixed path: the route sinks are append-mode, so stale
     // content would double-count; per-call temp dirs would leak disk
     val root = graft.functions.Scratch.fresh("qroute", dir)
-    val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val batchSchema = graft.Tables.documents(s, dir).schema
     val stream = s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "documents.parquet")
       .option("maxFilesPerTrigger", "1")

@@ -33,6 +33,77 @@ object DecompProbe {
     import graft.operators.{Dedup, IvfIndex}
     val docs = graft.Tables.spread(spark, sfDir, "documents")
 
+    // ---- per-read driver overhead: listing + footer schema ----
+    if (sys.env.contains("GRAFT_PROBE_READ")) {
+      for (r <- 1 to 3) {
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 100) {
+          graft.Tables.lineitem(spark, sfDir).queryExecution.analyzed
+          i += 1
+        }
+        println(f"[decomp] 100x read.parquet(lineitem) analyze: ${(System.nanoTime() - t0) / 1e9}%.3f s (round $r)")
+        val t1 = System.nanoTime()
+        i = 0
+        while (i < 100) { graft.Tables.lineitem(spark, sfDir).filter(col("l_quantity") > 1000).count(); i += 1 }
+        println(f"[decomp] 100x read+empty-count: ${(System.nanoTime() - t1) / 1e9}%.3f s (round $r)")
+      }
+      spark.stop()
+      return
+    }
+
+    // ---- shingle-stage split: HOF tokenize+shingle vs distinct ----
+    if (sys.env.contains("GRAFT_PROBE_SHINGLE")) {
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      import graft.functions.TextFunctions._
+      val tokenized = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      t("tokens noop")(noop(tokenized))
+      val sh = docs.select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 3)).as("shingle"))
+      t("explode shingles noop (no distinct)")(noop(sh))
+      t("explode shingles noop again")(noop(sh))
+      t("distinct noop")(noop(sh.distinct()))
+      t("minhash sig agg noop")(noop(Dedup.minhashSigOf(sh.distinct())))
+      t("bands noop")(noop(Dedup.bandsOf(Dedup.minhashSigOf(sh.distinct()))))
+      // A/B the ObjectHashAggregate sort fallback threshold in-session
+      val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+      for (thr <- Seq("128", "65536", "128", "65536")) {
+        spark.conf.set(key, thr)
+        t(s"sig noop @fallback=$thr a")(noop(Dedup.minhashSigOf(sh.distinct())))
+        t(s"sig noop @fallback=$thr b")(noop(Dedup.minhashSigOf(sh.distinct())))
+      }
+      spark.stop()
+      return
+    }
+
+    // ---- cappedIntersections internals (both capped dedups) ----
+    if (sys.env.contains("GRAFT_PROBE_CAPPED")) {
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val sh0 = Dedup.shingleSetOf(docs)
+      t("warm shingle cache (count)")(sh0.count())
+      val sh = sh0.select(col("doc_id"),
+        graft.functions.PortableHash.phash64(col("shingle"), 91).as("h"))
+      t("sh phash64 noop")(noop(sh))
+      val dfc = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      t("dfc agg noop")(noop(dfc))
+      val shRare = sh.join(dfc.filter(col("df") <= Dedup.DfCap).select("h"), "h")
+      t("shRare join noop")(noop(shRare))
+      val interRare = shRare.as("x")
+        .join(shRare.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter_r"))
+      t("interRare pairs noop")(noop(interRare))
+      println(s"[decomp] interRare rows = ${interRare.count()}")
+      t("ngramJaccardCapped full count")(Dedup.ngramJaccardCapped(spark, sfDir).count())
+      t("ngramJaccardCapped again")(Dedup.ngramJaccardCapped(spark, sfDir).count())
+      t("containmentCapped full count")(Dedup.containmentCapped(spark, sfDir).count())
+      spark.stop()
+      return
+    }
+
     // ---- stream_minhash_cand internals (batch form) ----
     val sh = t("shingleSetOf(docs).count")(Dedup.shingleSetOf(docs))
     t("  count")(sh.count())
