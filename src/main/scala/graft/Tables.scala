@@ -35,16 +35,45 @@ object Tables {
   graft.functions.SessionEvict.register(() =>
     readers.keys.filter(_._1.sparkContext.isStopped).foreach(readers.remove))
 
+  /** One walk, both staleness signals (ADVICE r17): total bytes AND
+    * the newest mtime over every file under the table dir — the
+    * top-level dir's own mtime misses an in-place same-size rewrite
+    * of a nested part file, which would otherwise pin a stale footer
+    * schema/file index. Returns (-1, -1) when the stat fails. */
+  private def dirStat(dir: String): (Long, Long) =
+    try {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(p)) (-1L, -1L)
+      else {
+        var bytes = 0L
+        var mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
+        val s = java.nio.file.Files.walk(p)
+        try s.forEach { f =>
+          if (java.nio.file.Files.isRegularFile(f)) {
+            bytes += java.nio.file.Files.size(f)
+            val m = java.nio.file.Files.getLastModifiedTime(f).toMillis
+            if (m > mtime) mtime = m
+          }
+        } finally s.close()
+        (bytes, mtime)
+      }
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     graft.functions.SessionEvict.hook(spark)
     readers.keys.filter(_._1.sparkContext.isStopped).foreach(readers.remove)
-    val (bytes, mtime) =
-      try {
-        val p = java.nio.file.Paths.get(path)
-        (GraftSession.dirBytes(path),
-          java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      } catch { case _: Throwable => (-1L, -1L) }
+    val (bytes, mtime) = dirStat(path)
+    // a failed stat must not pin a reader under the sentinel key
+    // across distinct error states (ADVICE r17)
+    if (bytes < 0) return spark.read.parquet(path)
+    // drop superseded (size, mtime) generations of this (session,
+    // path) so a session that regenerates testdata repeatedly doesn't
+    // leak one logical plan + file index per generation (ADVICE r17)
+    readers.keys
+      .filter(k => (k._1 eq spark) && k._2 == path &&
+        (k._3 != bytes || k._4 != mtime))
+      .foreach(readers.remove)
     readers.getOrElseUpdate((spark, path, bytes, mtime),
       spark.read.parquet(path))
   }

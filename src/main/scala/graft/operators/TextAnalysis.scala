@@ -139,9 +139,16 @@ object TextAnalysis {
     * side joins back by token (broadcast at any realistic vocabulary);
     * totals are scalar broadcasts. */
   def collocations(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.spread(s, dir, "documents")
-      .select(col("doc_id"),
-        filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0).as("toks"))
+    // materialized once per (session, dir): the bigram and unigram
+    // subtrees (and their scalar totals) otherwise each re-scan the
+    // corpus and re-run the split+filter tokenizer — the tokenized
+    // array table is the shared intermediate, same rule as the dedup
+    // shingle table (r18).
+    val toks = graft.functions.DfCache.getOrElseUpdate(s, s"collocToks:$dir") {
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0).as("toks"))
+    }
     val bi = toks.filter(size(col("toks")) >= 2)
       .select(explode(transform(sequence(lit(0), size(col("toks")) - 2),
         i => struct(element_at(col("toks"), i + 1).as("w1"),

@@ -73,22 +73,26 @@ object DedupStream {
         // it to cluster parallelism first (no-op on a full batch).
         // The band table is consumed three ways per batch (in-batch
         // self-join, new-vs-state join, state append); it is
-        // materialized ONCE — appended to the state table, the
-        // operator's own at-rest artifact — and every consumer reads
-        // the written partitions back instead of re-running the
-        // shingle+MinHash chain per consumer. (r17: this replaces a
-        // `.persist()` whose in-memory columnar build cost more than
-        // the band compute itself at micro-batch sizes, and it drops
-        // the per-batch job count from three full compute passes to
-        // one compute + cheap re-scans.) Batch isolation comes from
-        // the monotone batch_file column: state rows of THIS batch
-        // carry the current per-batch file tag, prior batches an
-        // older one.
+        // materialized ONCE to a per-batch scratch table (overwritten
+        // each batch) and every consumer re-scans that tiny parquet
+        // instead of re-running the shingle+MinHash chain per
+        // consumer. (r17: this replaces a `.persist()` whose
+        // in-memory columnar build cost more than the band compute
+        // itself at micro-batch sizes, and it drops the per-batch job
+        // count from three full compute passes to one compute + cheap
+        // re-scans.) The STATE table is a separate append below;
+        // batch isolation needs no tag because the scratch table only
+        // ever holds the current batch.
         val priorExists = graft.functions.Scratch.exists(s, statePath)
-        Dedup.bandsOf(Dedup.minhashSigOf(Dedup.shingleSetOf(
+        val computed = Dedup.bandsOf(Dedup.minhashSigOf(Dedup.shingleSetOf(
             graft.Tables.spreadFrame(batch))))
-          .write.mode("overwrite").parquet(batchBandsPath)
-        val bands = s.read.parquet(batchBandsPath)
+        computed.write.mode("overwrite").parquet(batchBandsPath)
+        // read back with the EXPLICIT band schema (ADVICE r17): a
+        // batch whose documents yield zero band rows (all under 3
+        // tokens) writes a data-less dir, and schema inference would
+        // fail on it where the old persist() path handled empty
+        // frames fine.
+        val bands = s.read.schema(computed.schema).parquet(batchBandsPath)
         val withinBatch = bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

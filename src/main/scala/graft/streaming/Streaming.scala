@@ -85,7 +85,11 @@ object Streaming {
     // the read — resolve existence wherever the path actually lives.
     if (!graft.functions.Scratch.exists(s, out))
       s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), df.schema)
-    else s.read.parquet(out)
+    // explicit schema (ADVICE r17): a drain whose batches all had zero
+    // rows leaves a dir with no data files, and schema INFERENCE would
+    // throw where the stream's own schema reads it as a typed empty
+    // frame (and skips the footer read on the normal path too).
+    else s.read.schema(df.schema).parquet(out)
   }
 
   /** Run a stateful streaming query with its state-partition count
@@ -97,15 +101,39 @@ object Streaming {
     * per store per batch), so over-partitioning a small stream buys
     * pure overhead — while a 100 TB stream still gets bytes-driven
     * fan-out. The conf is restored before returning (batch queries on
-    * the session keep their own sizing). */
+    * the session keep their own sizing).
+    *
+    * No-data micro-batches are disabled for the wrapped drain (r18):
+    * Spark fires an extra ZERO-ROW batch after the last data batch
+    * solely to advance the watermark and evict state, and that batch
+    * reloads every state-store partition to do it — measured 1.6 s of
+    * the 4.9 s stream_dedup wall and 1.7 s of the 7.8 s
+    * stream_interval_join wall (StreamProbe, sf0.1: batch 1 rows=0,
+    * addBatch 1.3–1.4 s). None of the operators here need it for their
+    * OUTPUT: complete-mode sinks re-emit full state on every data
+    * batch, dropDuplicates emits first-seen rows immediately, inner
+    * stream-stream joins emit matches in the batch that completes
+    * them, and flatMapGroupsWithState runs with NoTimeout — the
+    * watermark only governs state EVICTION, which a bounded
+    * AvailableNow drain ends by terminating. (A watermark-SEALED
+    * append sink — hourlyWatermarked's shape — DOES need the final
+    * advance; that one re-enables the flag inside its own body.)
+    * Oracle-checked: all wrapped drains hash-match their batch
+    * oracles at every SF with the flag off. */
   private[streaming] def withStatePartitions[T](s: SparkSession, inputPath: String)(body: => T): T = {
     val k = "spark.sql.shuffle.partitions"
+    val kNoData = "spark.sql.streaming.noDataMicroBatches.enabled"
     val old = s.conf.get(k)
+    val oldNoData = s.conf.get(kNoData)
     val bytes = graft.GraftSession.dirBytes(inputPath)
     val sized = math.max(8L, bytes / graft.GraftSession.TargetPartitionBytes)
       .min(graft.GraftSession.MaxShufflePartitions.toLong).toString
     s.conf.set(k, sized)
-    try body finally s.conf.set(k, old)
+    s.conf.set(kNoData, "false")
+    try body finally {
+      s.conf.set(k, old)
+      s.conf.set(kNoData, oldNoData)
+    }
   }
 
   /** events.parquet as a bounded file stream with normalized ts. */
@@ -158,6 +186,13 @@ object Streaming {
     * are emitted, so this is spec-tested rather than oracle-diffed. */
   def hourlyWatermarked(s: SparkSession, dir: String): DataFrame =
       withStatePartitions(s, s"$dir/events.parquet") {
+    // the ONE drain here whose OUTPUT depends on the final watermark
+    // advance: append mode emits a window only once the watermark
+    // seals it, and on a bounded drain that seal happens in the
+    // trailing no-data batch — re-enable it for this query only
+    // (withStatePartitions turns it off for the eviction-only drains).
+    val kNoData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    s.conf.set(kNoData, "true")
     val agg = eventStream(s, dir)
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -375,12 +410,28 @@ object Streaming {
     q.awaitTermination()
     // the route partition column comes back on the read, so the
     // report is one pruned-scannable groupBy; a drain that fired zero
-    // batches (empty source glob) reports an empty frame like before.
+    // batches (empty source glob) — or whose batches all had zero
+    // rows, leaving the dir with no parquet DATA files (ADVICE r17) —
+    // reports a typed empty frame instead of failing schema inference.
+    val routesPath = s"$root/routes"
+    def hasData: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(routesPath)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.exists(p) && {
+        val it = fs.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val f = it.next().getPath.getName
+          found = !f.startsWith("_") && !f.startsWith(".")
+        }
+        found
+      }
+    }
     val routed =
-      if (!graft.functions.Scratch.exists(s, s"$root/routes"))
+      if (!hasData)
         s.emptyDataFrame.select(lit("").as("route"), lit(0L).as("doc_id"),
           lit(0.0).as("quality")).limit(0)
-      else s.read.parquet(s"$root/routes")
+      else s.read.parquet(routesPath)
     routed
       .groupBy(col("route"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("quality")), 4).as("avg_quality"))

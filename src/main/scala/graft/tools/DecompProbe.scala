@@ -77,7 +77,7 @@ object DecompProbe {
       return
     }
 
-    // ---- cappedIntersections internals (both capped dedups) ----
+    // ---- cappedPairs internals (both capped dedups) ----
     if (sys.env.contains("GRAFT_PROBE_CAPPED")) {
       def noop(df: org.apache.spark.sql.DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
@@ -100,6 +100,16 @@ object DecompProbe {
       t("ngramJaccardCapped full count")(Dedup.ngramJaccardCapped(spark, sfDir).count())
       t("ngramJaccardCapped again")(Dedup.ngramJaccardCapped(spark, sfDir).count())
       t("containmentCapped full count")(Dedup.containmentCapped(spark, sfDir).count())
+      spark.stop()
+      return
+    }
+
+    // ---- model_ab_overlap internals ----
+    if (sys.env.contains("GRAFT_PROBE_AB")) {
+      import graft.operators.ModelRegistry
+      t("abOverlap draw 1 (cold caches)")(ModelRegistry.abOverlap(spark, sfDir).count())
+      t("abOverlap draw 2")(ModelRegistry.abOverlap(spark, sfDir).count())
+      t("abOverlap draw 3")(ModelRegistry.abOverlap(spark, sfDir).count())
       spark.stop()
       return
     }
