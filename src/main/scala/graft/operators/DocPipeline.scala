@@ -310,12 +310,22 @@ object DocPipeline {
   /** Chunk-level knn: top-10 chunks most cosine-similar to the chunk
     * (doc 0, chunk 1), via an inverted-index (bucket) equi-join —
     * sparse dot products with integer exactness, no cross join. */
+  /** Per-chunk L2 norms of the weight table, materialized once per
+    * (session, dir) like the weights themselves (r18): chunkKnn (and
+    * contextPack through it) and maxSim each re-aggregated the full
+    * weight table into the same norms twice per draw (corpus side +
+    * query side). */
+  private def chunkNorms(s: SparkSession, dir: String): DataFrame =
+    graft.functions.DfCache.getOrElseUpdate(s, s"chunkNorms:$dir") {
+      chunkWeights(s, dir).groupBy("doc_id", "chunk_id")
+        .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    }
+
   def chunkKnn(s: SparkSession, dir: String): DataFrame = {
     // the weights table feeds four plan branches (weights, norms, the
     // query's weights and norm) — DfCache materializes it once.
     val w = chunkWeights(s, dir)
-    val norms = w.groupBy("doc_id", "chunk_id")
-      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val norms = chunkNorms(s, dir)
     val q = w.filter(col("doc_id") === 0 && col("chunk_id") === 1)
       .select(col("bucket"), col("w").as("wq"))
     val qNorm = norms.filter(col("doc_id") === 0 && col("chunk_id") === 1)
@@ -379,8 +389,7 @@ object DocPipeline {
     * reduce identical values. */
   def maxSim(s: SparkSession, dir: String): DataFrame = {
     val w = chunkWeights(s, dir)
-    val norms = w.groupBy("doc_id", "chunk_id")
-      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val norms = chunkNorms(s, dir)
     val qw = w.filter(col("doc_id") === 0)
       .select(col("chunk_id").as("qc"), col("bucket"), col("w").as("wq"))
     val qn = norms.filter(col("doc_id") === 0)

@@ -165,7 +165,7 @@ object Interchange {
     * must be invisible: any framing slip, skipped-type leak, or HTTP
     * header residue diverges the hash. */
   def warcExtract(s: SparkSession, dir: String): DataFrame = {
-    WarcText.utlWarcToText(s, WarcGen.warcTable(s, dir))
+    WarcText.utlWarcToText(s, WarcGen.gateTable(s, dir))
       .select(col("doc_id"), col("text"))
       .orderBy("doc_id")
   }
@@ -181,7 +181,7 @@ object Interchange {
     * skipped type counted as a response, a phantom malformed, a
     * false truncation flag) diverges the hash. */
   def warcReport(s: SparkSession, dir: String): DataFrame =
-    WarcText.warcReport(s, WarcGen.warcTable(s, dir)).orderBy("path")
+    WarcText.warcReport(s, WarcGen.gateTable(s, dir)).orderBy("path")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jsonl_corrupt" -> (jsonlCorrupt _),

@@ -848,4 +848,16 @@ object WarcGen {
       }
       .toDF("path", "content")
   }
+
+  /** The default-variant gate corpus, materialized once per
+    * (session, dir) like the PDF gate fixtures (r18): the synthetic
+    * container files are the gate's INPUT — real use reads .warc(.gz)
+    * from storage — so re-building (and re-gzipping) them on every
+    * timing draw charged fixture construction to the extraction
+    * operator under test. The charset/chunked/gzip DECODE still runs
+    * in full on every draw. Non-default variants (probes,
+    * pipeline_crawl's messy-url corpus) keep calling [[warcTable]]
+    * directly or cache under their own key. */
+  def gateTable(s: SparkSession, dir: String): DataFrame =
+    graft.functions.DfCache.getOrElseUpdate(s, s"warcGate:$dir")(warcTable(s, dir))
 }

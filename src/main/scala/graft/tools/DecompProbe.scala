@@ -73,6 +73,21 @@ object DecompProbe {
         t(s"sig noop @fallback=$thr a")(noop(Dedup.minhashSigOf(sh.distinct())))
         t(s"sig noop @fallback=$thr b")(noop(Dedup.minhashSigOf(sh.distinct())))
       }
+      // A/B: 32 codegen'd min() columns (HashAggregate) vs the
+      // TypedImperative array aggregate (ObjectHashAggregate)
+      def sigAlt(shingleDf: org.apache.spark.sql.DataFrame) = {
+        import graft.functions.PortableHash
+        shingleDf
+          .select((col("doc_id") +: (0 until Dedup.NumPerms).map(i =>
+            PortableHash.phashWord(col("shingle"), i / 4, i % 4).as(s"h$i"))): _*)
+          .groupBy("doc_id")
+          .agg(array((0 until Dedup.NumPerms).map(i => min(col(s"h$i"))): _*).as("sig"))
+      }
+      t("sigAlt 32-min noop a")(noop(sigAlt(sh.distinct())))
+      t("sigAlt 32-min noop b")(noop(sigAlt(sh.distinct())))
+      t("sig typed noop again")(noop(Dedup.minhashSigOf(sh.distinct())))
+      t("bands over sigAlt noop")(noop(Dedup.bandsOf(sigAlt(sh.distinct()))))
+      t("bands over typed noop")(noop(Dedup.bandsOf(Dedup.minhashSigOf(sh.distinct()))))
       spark.stop()
       return
     }

@@ -156,6 +156,30 @@ class KernelSpec extends AnyFunSuite {
       (2L, Seq(10L, 10L, 10L), Seq(10L, 10L, 10L))))
   }
 
+  test("flat-column signature aggregates match the retired ArrayLongReduce forms") {
+    // r18: minhashSigOf/simhashSig swapped the array-buffer
+    // TypedImperativeAggregate for 32 flat codegen'd min()/sum()
+    // columns; this pins the swap — same signatures over real corpus
+    // shingles, element for element.
+    import graft.operators.Dedup
+    import graft.functions.PortableHash
+    val sh = Tables.documents(spark, sf).limit(40)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokens(col("text")), 3)).as("shingle"))
+      .distinct()
+    val viaFlat = Dedup.minhashSigOf(sh)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val viaTyped = sh
+      .select(col("doc_id"),
+        array((0 until Dedup.NumPerms).map(i =>
+          PortableHash.phashWord(col("shingle"), i / 4, i % 4)): _*).as("hs"))
+      .groupBy("doc_id")
+      .agg(ArrayReduceAgg.arrayMinAgg(col("hs")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    assert(viaFlat == viaTyped)
+  }
+
   test("FastHalfUpRound is bit-identical to the BigDecimal reference") {
     import graft.functions.FastHalfUpRound.{round => fast, slow}
     def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
