@@ -114,7 +114,21 @@ object DedupStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(outPath).distinct().orderBy("doc_a", "doc_b")
+    // explicit schema + existence guard, like the per-batch scratch
+    // read above: a corpus whose every batch yields zero candidates
+    // leaves outPath data-less (or, with zero batches, absent) and
+    // schema inference would throw where a typed empty frame is the
+    // correct answer (ADVICE r17 class).
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_b",
+        org.apache.spark.sql.types.LongType)))
+    val out =
+      if (!graft.functions.Scratch.exists(s, outPath))
+        s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), pairSchema)
+      else s.read.schema(pairSchema).parquet(outPath)
+    out.distinct().orderBy("doc_a", "doc_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

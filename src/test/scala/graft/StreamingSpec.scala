@@ -113,6 +113,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(all == pairs(Dedup.bandCandidatesOf(docs)))
   }
 
+  test("dedup stream survives a zero-band micro-batch (ADVICE r17)") {
+    // every doc under 3 tokens -> shingleSetOf is empty -> the
+    // per-batch band scratch is written with NO data files; the
+    // explicit-schema read must yield an empty typed frame, not an
+    // 'Unable to infer schema' failure, and the drained candidate set
+    // is empty.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tinydocs").toString
+    Seq((1L, "one two", "en", "syn", 7L), (2L, "ok", "en", "syn", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = graft.streaming.DedupStream.candidates(spark, dir)
+    assert(out.columns.toSeq == Seq("doc_a", "doc_b"))
+    assert(out.count() == 0)
+  }
+
+  test("quality route reports a typed empty frame on an all-empty drain (ADVICE r17)") {
+    // a documents.parquet with ZERO rows still fires one micro-batch;
+    // the partitioned route write then creates the sink dir with no
+    // parquet data files, which used to fail schema inference.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptydocs").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = Streaming.qualityRoute(spark, dir)
+    assert(out.columns.toSeq == Seq("route", "n_docs", "avg_quality"))
+    assert(out.count() == 0)
+  }
+
   test("mm_frame_sample is deterministic and bounded by n_frames") {
     val a = Multimodal.frameSample(spark, sf).collect().map(_.toSeq)
     val b = Multimodal.frameSample(spark, sf).collect().map(_.toSeq)
